@@ -1,38 +1,684 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline smoke check at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query.
+
+Determinism conventions shared by both sides (required for the driver's
+order-insensitive value-hash compare):
+- session timezone pinned to UTC;
+- float sums/means accumulate in DECIMAL (associative/commutative → result
+  independent of partition merge order), then cast to double;
+- every float output rounded to 6 decimals with the same alias both sides;
+- ties in orderings broken by an explicit secondary key.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.operators.asof import asof_nearest
+from time_series_loader_spark.operators.continuity import (
+    continuity_stats,
+    find_gaps,
+    infer_frequency_seconds,
+)
+from time_series_loader_spark.operators.fill import bfill, ffill
+from time_series_loader_spark.operators.grid import reindex_to_grid
+from time_series_loader_spark.operators.interpolate import interpolate_time
+from time_series_loader_spark.operators.outliers import remove_outliers_zscore
+from time_series_loader_spark.operators.resample import resample, resample_with_dates
+
+_DEC = "decimal(27,12)"
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from time_series_loader_spark.session import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _r6(c, name):
+    # floor-based half-up rounding: identical double ops in Spark and
+    # DuckDB (Spark's round() uses decimal-string HALF_UP, which disagrees
+    # with binary-double rounding exactly at .5 midpoints)
+    return (F.floor(c * 1000000.0 + 0.5) / 1000000.0).alias(name)
+
+
+def _dsum(c):
+    return F.sum(F.col(c).cast(_DEC)).cast("double")
+
+
+def _davg(c):
+    return F.sum(F.col(c).cast(_DEC)).cast("double") / F.count(F.col(c))
+
+
+# --------------------------------------------------------------------------
+# flagship: multi-step time-series pipeline (scan → resample → grid → fill)
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The reference's end-to-end shape (§3.1+§3.3): ingest a time-sliced
+    series, hourly mean resample (A1), reindex to a 30-min grid (J2),
+    forward-fill (W4) — one lazy Spark plan.
+    """
+    _prep(spark)
+    events = _t(spark, "/root/testdata/sf0.001", "events")
+    hourly = resample(events, "ts", "1h", method="mean", value_cols=["value"])
+    grid = reindex_to_grid(hourly, "ts", "30min")
+    filled = ffill(grid, "ts", ["value"])
+    return filled.select("ts", _r6(F.col("value"), "value"))
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+
+def q_resample_1h_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 frequency-bucket resample, mean (reference load_file.py:2127-2149)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = resample(ev, "ts", "1h", method="mean", value_cols=["value"])
+    n = ev.groupBy(F.expr("timestamp_seconds(floor(unix_timestamp(ts)/3600)*3600)").alias("ts")).agg(
+        F.count("value").alias("n")
+    )
+    return out.join(n, "ts").select("ts", _r6(F.col("value"), "value_mean"), "n")
+
+
+SQL_resample_1h_mean = """
+SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * INTERVAL '1 second' AS ts,
+       floor((CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) / COUNT(value))*1000000 + 0.5)/1000000 AS value_mean,
+       COUNT(value) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_resample_15min_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = resample(ev, "ts", "15min", method="sum", value_cols=["value"])
+    return out.select("ts", _r6(F.col("value"), "value_sum"))
+
+
+SQL_resample_15min_sum = """
+SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/900)*900 AS BIGINT) * INTERVAL '1 second' AS ts,
+       floor((CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE))*1000000 + 0.5)/1000000 AS value_sum
+FROM events GROUP BY 1
+"""
+
+
+def q_resample_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 first/last methods → min_by/max_by on event time."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    first = resample(ev, "ts", "1h", method="first", value_cols=["value"]).withColumnRenamed(
+        "value", "value_first"
+    )
+    last = resample(ev, "ts", "1h", method="last", value_cols=["value"]).withColumnRenamed(
+        "value", "value_last"
+    )
+    return first.join(last, "ts").select(
+        "ts", _r6(F.col("value_first"), "value_first"), _r6(F.col("value_last"), "value_last")
+    )
+
+
+SQL_resample_first_last = """
+SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * INTERVAL '1 second' AS ts,
+       floor((arg_min(value, ts))*1000000 + 0.5)/1000000 AS value_first,
+       floor((arg_max(value, ts))*1000000 + 0.5)/1000000 AS value_last
+FROM events GROUP BY 1
+"""
+
+
+def q_resample_skipna_false(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 skipna=False semantics: any null in bucket → null mean
+    (reference load_file.py:2187-2194)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("value") >= 20, F.col("value"))
+    )
+    out = resample(ev, "ts", "1h", method="mean", value_cols=["value"], skipna=False)
+    return out.select("ts", _r6(F.col("value"), "value_mean"))
+
+
+SQL_resample_skipna_false = """
+WITH nulled AS (
+  SELECT ts, CASE WHEN value >= 20 THEN value END AS value FROM events
+)
+SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * INTERVAL '1 second' AS ts,
+       floor((CASE WHEN COUNT(value) = COUNT(*)
+             THEN CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) / COUNT(value) END)*1000000 + 0.5)/1000000
+         AS value_mean
+FROM nulled GROUP BY 1
+"""
+
+
+def q_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2: lag/diff + gap enumeration (reference load_file.py:2079-2092).
+
+    The expected frequency is inferred from the data (W3 median), so the
+    query is meaningful at every scale factor: a gap is a delta > 10× the
+    median spacing (expected + min_gap with min_gap = 9×expected).
+    """
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    med = float(infer_frequency_seconds(ev, "ts").collect()[0][0])
+    g = find_gaps(ev, "ts", expected_freq=med, min_gap=9 * med)
+    return g.select(
+        "gap_start", "gap_end", _r6(F.col("gap_seconds"), "gap_seconds"), "expected_points"
+    )
+
+
+SQL_gaps = """
+WITH d AS (
+  SELECT lag(ts) OVER (ORDER BY ts) AS gap_start, ts AS gap_end,
+         epoch(ts) - epoch(lag(ts) OVER (ORDER BY ts)) AS ds
+  FROM events
+), m AS (SELECT median(ds) AS med FROM d WHERE ds IS NOT NULL)
+SELECT gap_start, gap_end, floor((ds)*1000000 + 0.5)/1000000 AS gap_seconds,
+       CAST(floor(ds / med) - 1 AS BIGINT) AS expected_points
+FROM d, m WHERE ds > 10 * med
+"""
+
+
+def q_infer_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 frequency inference: median inter-row delta
+    (reference load_file.py:2063-2074)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return infer_frequency_seconds(ev, "ts").select(_r6(F.col("freq_seconds"), "freq_seconds"))
+
+
+SQL_infer_freq = """
+SELECT floor((median(d))*1000000 + 0.5)/1000000 AS freq_seconds FROM (
+  SELECT epoch(ts) - epoch(lag(ts) OVER (ORDER BY ts)) AS d FROM events
+) WHERE d IS NOT NULL
+"""
+
+
+def q_continuity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 continuity statistics (reference load_file.py:2094-2111); gap
+    threshold = 10× the inferred median spacing (scale-factor-relative)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    med = float(infer_frequency_seconds(ev, "ts").collect()[0][0])
+    s = continuity_stats(ev, "ts", expected_freq=med, min_gap=9 * med)
+    return s.select(
+        "start_time",
+        "end_time",
+        "n_rows",
+        "n_gaps",
+        _r6(F.col("gap_seconds_total"), "gap_seconds_total"),
+        _r6(F.col("span_seconds"), "span_seconds"),
+        _r6(F.col("coverage_pct"), "coverage_pct"),
+    )
+
+
+SQL_continuity_stats = """
+WITH d AS (
+  SELECT ts, epoch(ts) - epoch(lag(ts) OVER (ORDER BY ts)) AS ds FROM events
+), m AS (SELECT median(ds) AS med FROM d WHERE ds IS NOT NULL
+), g AS (
+  SELECT count(*) AS n_gaps, COALESCE(SUM(ds), 0) AS gap_total
+  FROM d, m WHERE ds > 10 * med
+), b AS (
+  SELECT min(ts) AS start_time, max(ts) AS end_time, count(*) AS n_rows,
+         epoch(max(ts)) - epoch(min(ts)) AS span FROM events
+)
+SELECT b.start_time, b.end_time, b.n_rows, g.n_gaps,
+       floor((g.gap_total)*1000000 + 0.5)/1000000 AS gap_seconds_total,
+       floor((b.span)*1000000 + 0.5)/1000000 AS span_seconds,
+       floor((CASE WHEN b.span > 0 THEN (1.0 - g.gap_total / b.span) * 100.0 ELSE 100.0 END)*1000000 + 0.5)/1000000
+         AS coverage_pct
+FROM b, g
+"""
+
+
+def _hourly_mean(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return resample(ev, "ts", "1h", method="mean", value_cols=["value"])
+
+
+_SQL_HOURLY = """
+  SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * INTERVAL '1 second' AS ts,
+         CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) / COUNT(value) AS value
+  FROM events GROUP BY 1
+"""
+
+_SQL_GRID30 = """
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL '30 minutes')) AS ts
+  FROM (SELECT min(ts) AS lo, max(ts) AS hi FROM hourly)
+"""
+
+
+def q_reindex_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 grid reindex (reference load_file.py:2331-2333): hourly series onto
+    a 30-min grid — half-hour points are null."""
+    _prep(spark)
+    hourly = _hourly_mean(spark, sf_dir)
+    out = reindex_to_grid(hourly, "ts", "30min")
+    return out.select("ts", _r6(F.col("value"), "value_mean"))
+
+
+SQL_reindex_30min = f"""
+WITH hourly AS ({_SQL_HOURLY}),
+grid AS ({_SQL_GRID30})
+SELECT g.ts, floor((h.value)*1000000 + 0.5)/1000000 AS value_mean
+FROM grid g LEFT JOIN hourly h ON g.ts = h.ts
+"""
+
+
+def q_reindex_ffill_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 forward fill after reindex (reference load_file.py:2341-2345)."""
+    _prep(spark)
+    hourly = _hourly_mean(spark, sf_dir)
+    grid = reindex_to_grid(hourly, "ts", "30min")
+    out = ffill(grid, "ts", ["value"])
+    return out.select("ts", _r6(F.col("value"), "value_mean"))
+
+
+SQL_reindex_ffill_30min = f"""
+WITH hourly AS ({_SQL_HOURLY}),
+grid AS ({_SQL_GRID30}),
+j AS (SELECT g.ts, h.value FROM grid g LEFT JOIN hourly h ON g.ts = h.ts)
+SELECT ts,
+       floor((last_value(value IGNORE NULLS)
+             OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*1000000 + 0.5)/1000000
+         AS value_mean
+FROM j
+"""
+
+
+def q_bfill_limit1_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 backward fill with limit=1 — null-run-length composition."""
+    _prep(spark)
+    hourly = _hourly_mean(spark, sf_dir)
+    grid = reindex_to_grid(hourly, "ts", "30min")
+    out = bfill(grid, "ts", ["value"], limit=1)
+    return out.select("ts", _r6(F.col("value"), "value_mean"))
+
+
+SQL_bfill_limit1_30min = f"""
+WITH hourly AS ({_SQL_HOURLY}),
+grid AS ({_SQL_GRID30}),
+j AS (SELECT g.ts, h.value FROM grid g LEFT JOIN hourly h ON g.ts = h.ts),
+runs AS (
+  SELECT ts, value,
+         last_value(value IGNORE NULLS)
+           OVER (ORDER BY ts DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nxt,
+         count(value) OVER (ORDER BY ts DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM j
+), dist AS (
+  SELECT ts, value, nxt,
+         row_number() OVER (PARTITION BY run_id ORDER BY ts DESC) - 1 AS d
+  FROM runs
+)
+SELECT ts,
+       floor((CASE WHEN value IS NOT NULL THEN value
+                  WHEN d <= 1 THEN nxt END)*1000000 + 0.5)/1000000 AS value_mean
+FROM dist
+"""
+
+
+def q_interpolate_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 linear time interpolation (reference load_file.py:2346-2347)."""
+    _prep(spark)
+    hourly = _hourly_mean(spark, sf_dir)
+    grid = reindex_to_grid(hourly, "ts", "30min")
+    out = interpolate_time(grid, "ts", ["value"])
+    return out.select("ts", _r6(F.col("value"), "value_interp"))
+
+
+SQL_interpolate_30min = f"""
+WITH hourly AS ({_SQL_HOURLY}),
+grid AS ({_SQL_GRID30}),
+j AS (SELECT g.ts, h.value FROM grid g LEFT JOIN hourly h ON g.ts = h.ts),
+nb AS (
+  SELECT ts, value,
+    last_value(value IGNORE NULLS) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+    last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS)
+      OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+    last_value(value IGNORE NULLS) OVER (ORDER BY ts DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nv,
+    last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS)
+      OVER (ORDER BY ts DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nt
+  FROM j
+)
+SELECT ts,
+  floor((CASE WHEN value IS NOT NULL THEN value
+             WHEN nt IS NOT NULL AND pt IS NOT NULL AND nt != pt
+               THEN pv + (nv - pv) * (epoch(ts) - epoch(pt)) / (epoch(nt) - epoch(pt))
+             ELSE pv END)*1000000 + 0.5)/1000000 AS value_interp
+FROM nb
+"""
+
+
+def q_asof_nearest_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 nearest-timestamp as-of join (reference load_file.py:2207-2230):
+    hourly grid labels pick the nearest raw event value (ties → earlier)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    step = 3600
+    bounds = ev.agg(
+        F.timestamp_seconds(F.floor(F.min("ts").cast("double") / step) * step).alias("lo"),
+        F.timestamp_seconds(F.floor(F.max("ts").cast("double") / step) * step).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 3600 SECOND"))).alias("ts")
+    )
+    out = asof_nearest(grid, ev.select("ts", "value"), ts_col="ts", value_cols=["value"])
+    return out.select("ts", _r6(F.col("value"), "value_nearest"))
+
+
+SQL_asof_nearest_1h = """
+WITH b AS (
+  SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(min(ts))/3600)*3600 AS BIGINT) * INTERVAL '1 second' AS lo,
+         TIMESTAMP '1970-01-01' + CAST(floor(epoch(max(ts))/3600)*3600 AS BIGINT) * INTERVAL '1 second' AS hi
+  FROM events
+),
+grid AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL '1 hour')) AS ts FROM b)
+SELECT g.ts,
+       floor(((SELECT e.value FROM events e
+              ORDER BY abs(epoch(e.ts) - epoch(g.ts)) ASC, e.ts ASC LIMIT 1))*1000000 + 0.5)/1000000
+         AS value_nearest
+FROM grid g
+"""
+
+
+def q_breakpoint_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 custom-breakpoint resample + J1 nearest categorical
+    (reference load_file.py:2151-2239): weekly bins, labels = left edges."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    points = [datetime(2024, 1, d) for d in (1, 8, 15, 22, 29)]
+    out = resample_with_dates(
+        ev.select("ts", "value", "event_type"),
+        "ts",
+        points,
+        method="mean",
+        nearest_cols=["event_type"],
+    )
+    return out.select("ts", _r6(F.col("value"), "value_mean"), "event_type")
+
+
+SQL_breakpoint_resample = """
+WITH pts AS (
+  SELECT * FROM (VALUES
+    (0, TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08'),
+    (1, TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-15'),
+    (2, TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-22'),
+    (3, TIMESTAMP '2024-01-22', TIMESTAMP '2024-01-29')) AS t(bin_id, lo, hi)
+),
+binned AS (
+  SELECT p.lo AS ts, e.value
+  FROM events e JOIN pts p
+    ON (e.ts > p.lo AND e.ts <= p.hi) OR (p.bin_id = 0 AND e.ts = p.lo)
+),
+agg AS (
+  SELECT ts, CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) / COUNT(value) AS value_mean
+  FROM binned GROUP BY ts
+)
+SELECT a.ts, floor((a.value_mean)*1000000 + 0.5)/1000000 AS value_mean,
+       (SELECT e.event_type FROM events e
+        ORDER BY abs(epoch(e.ts) - epoch(a.ts)) ASC, e.ts ASC LIMIT 1) AS event_type
+FROM agg a
+"""
+
+
+def q_zscore_inliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 z-score outlier removal (reference ts_extensions.py:165-210):
+    rows kept after dropping |z| > 3 on value."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = remove_outliers_zscore(ev, ["value"], threshold=3.0)
+    return out.select("event_id", _r6(F.col("value"), "value"))
+
+
+SQL_zscore_inliers = """
+WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events)
+SELECT e.event_id, floor((e.value)*1000000 + 0.5)/1000000 AS value
+FROM events e, s
+WHERE s.sd IS NULL OR s.sd = 0 OR e.value IS NULL
+   OR abs((e.value - s.m) / s.sd) <= 3.0
+"""
+
+
+def q_coerce_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 errors='coerce' numeric coercion (reference ts_extensions.py:41-44)
+    via try_cast: extract the numeric k from the props string; event_type
+    (non-numeric) coerces to null."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", "[0-9]+", 0).try_cast("double").alias("k_value"),
+        F.col("event_type").try_cast("double").alias("event_type_coerced"),
+    )
+
+
+SQL_coerce_numeric = """
+SELECT event_id,
+       TRY_CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) AS k_value,
+       TRY_CAST(event_type AS DOUBLE) AS event_type_coerced
+FROM events
+"""
+
+
+def q_interval_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 interval gap/overlap classification at DataFrame scale
+    (reference ts_validator.py:113-189): per-user activity intervals,
+    consecutive-pair step classified gap/overlap/contiguous."""
+    _prep(spark)
+    from time_series_loader_spark.sources.validation import interval_issues_df
+
+    ev = _t(spark, sf_dir, "events")
+    intervals = ev.groupBy("user_id").agg(
+        F.min("ts").alias("start_time"), F.max("ts").alias("end_time")
+    )
+    out = interval_issues_df(intervals, key_col="user_id")
+    return out.select(
+        "left_key", "right_key", _r6(F.col("step_seconds"), "step_seconds"), "kind"
+    )
+
+
+SQL_interval_validation = """
+WITH iv AS (
+  SELECT user_id, min(ts) AS start_time, max(ts) AS end_time
+  FROM events GROUP BY user_id
+), stepped AS (
+  SELECT user_id AS left_key,
+         lead(user_id) OVER (ORDER BY start_time, user_id) AS right_key,
+         epoch(lead(start_time) OVER (ORDER BY start_time, user_id)) - epoch(end_time) AS step
+  FROM iv
+)
+SELECT left_key, right_key, floor((step)*1000000 + 0.5)/1000000 AS step_seconds,
+       CASE WHEN step > 0 THEN 'gap' WHEN step < 0 THEN 'overlap' ELSE 'contiguous' END AS kind
+FROM stepped WHERE right_key IS NOT NULL
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — beyond-reference relational agg
+    (grouping + 8 aggregates, SURVEY.md §2.4 'free in Spark')."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r6(_dsum("l_quantity"), "sum_qty"),
+            _r6(_dsum("l_extendedprice"), "sum_base_price"),
+            _r6(F.sum(disc.cast(_DEC)).cast("double"), "sum_disc_price"),
+            _r6(F.sum(charge.cast(_DEC)).cast("double"), "sum_charge"),
+            _r6(_davg("l_quantity"), "avg_qty"),
+            _r6(_davg("l_extendedprice"), "avg_price"),
+            _r6(_davg("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_tpch_q1 = """
+SELECT l_returnflag, l_linestatus,
+  floor((CAST(SUM(CAST(l_quantity AS DECIMAL(27,12))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_qty,
+  floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,12))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_base_price,
+  floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,12))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_disc_price,
+  floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,12))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_charge,
+  floor((CAST(SUM(CAST(l_quantity AS DECIMAL(27,12))) AS DOUBLE) / COUNT(l_quantity))*1000000 + 0.5)/1000000 AS avg_qty,
+  floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,12))) AS DOUBLE) / COUNT(l_extendedprice))*1000000 + 0.5)/1000000 AS avg_price,
+  floor((CAST(SUM(CAST(l_discount AS DECIMAL(27,12))) AS DOUBLE) / COUNT(l_discount))*1000000 + 0.5)/1000000 AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join chain with broadcast dimensions — beyond-reference
+    joins (SURVEY.md §2.3). Dimension tables are broadcast; only lineitem
+    shuffles (on the groupBy key)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_r6(F.sum(rev).cast("double"), "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+SQL_revenue_by_nation = """
+SELECT r_name, n_name,
+       floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,12))) AS DOUBLE))*1000000 + 0.5)/1000000 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via rank window — beyond-reference analytic
+    (SURVEY.md §2.5 'exposed for free')."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    spent = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("spent_dec"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("spent_dec").desc(), F.col("c_custkey").asc())
+    return (
+        spent.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("n_name", "c_custkey", _r6(F.col("spent_dec").cast("double"), "spent"), "rn")
+    )
+
+
+SQL_top3_customers_per_nation = """
+WITH spent AS (
+  SELECT n_name, c_custkey, SUM(CAST(o_totalprice AS DECIMAL(27,12))) AS spent_dec
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey
+)
+SELECT n_name, c_custkey, floor((CAST(spent_dec AS DOUBLE))*1000000 + 0.5)/1000000 AS spent, rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY spent_dec DESC, c_custkey ASC) AS rn
+  FROM spent
+) WHERE rn <= 3
+"""
+
+
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation — beyond-reference grouping sets
+    (SURVEY.md §2.4 'free in Spark')."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _r6(_dsum("l_quantity"), "sum_qty"))
+    )
+
+
+SQL_rollup_lineitem = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       floor((CAST(SUM(CAST(l_quantity AS DECIMAL(27,12))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "resample_1h_mean": q_resample_1h_mean,
+        "resample_15min_sum": q_resample_15min_sum,
+        "resample_first_last": q_resample_first_last,
+        "resample_skipna_false": q_resample_skipna_false,
+        "gaps": q_gaps,
+        "infer_freq": q_infer_freq,
+        "continuity_stats": q_continuity_stats,
+        "reindex_30min": q_reindex_30min,
+        "reindex_ffill_30min": q_reindex_ffill_30min,
+        "bfill_limit1_30min": q_bfill_limit1_30min,
+        "interpolate_30min": q_interpolate_30min,
+        "asof_nearest_1h": q_asof_nearest_1h,
+        "breakpoint_resample": q_breakpoint_resample,
+        "zscore_inliers": q_zscore_inliers,
+        "coerce_numeric": q_coerce_numeric,
+        "interval_validation": q_interval_validation,
+        "tpch_q1": q_tpch_q1,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top3_customers_per_nation": q_top3_customers_per_nation,
+        "rollup_lineitem": q_rollup_lineitem,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "resample_1h_mean": SQL_resample_1h_mean,
+        "resample_15min_sum": SQL_resample_15min_sum,
+        "resample_first_last": SQL_resample_first_last,
+        "resample_skipna_false": SQL_resample_skipna_false,
+        "gaps": SQL_gaps,
+        "infer_freq": SQL_infer_freq,
+        "continuity_stats": SQL_continuity_stats,
+        "reindex_30min": SQL_reindex_30min,
+        "reindex_ffill_30min": SQL_reindex_ffill_30min,
+        "bfill_limit1_30min": SQL_bfill_limit1_30min,
+        "interpolate_30min": SQL_interpolate_30min,
+        "asof_nearest_1h": SQL_asof_nearest_1h,
+        "breakpoint_resample": SQL_breakpoint_resample,
+        "zscore_inliers": SQL_zscore_inliers,
+        "coerce_numeric": SQL_coerce_numeric,
+        "interval_validation": SQL_interval_validation,
+        "tpch_q1": SQL_tpch_q1,
+        "revenue_by_nation": SQL_revenue_by_nation,
+        "top3_customers_per_nation": SQL_top3_customers_per_nation,
+        "rollup_lineitem": SQL_rollup_lineitem,
+    }

@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as a full action (plan → execute → count) after a
+warm-up of the input tables' file listing. Queries come straight from
+__spark_entry__.queries() so the bench always measures what correctness
+gates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from time_series_loader_spark.session import get_spark
+
+# Headline set: every distinct operator family, weighted toward the ones
+# whose plans differ (window vs groupBy vs join vs union-window).
+HEADLINE = [
+    "resample_1h_mean",
+    "resample_15min_sum",
+    "gaps",
+    "continuity_stats",
+    "reindex_ffill_30min",
+    "interpolate_30min",
+    "asof_nearest_1h",
+    "breakpoint_resample",
+    "zscore_inliers",
+    "tpch_q1",
+    "revenue_by_nation",
+    "top3_customers_per_nation",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("tsl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n not in HEADLINE
+    ]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

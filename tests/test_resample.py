@@ -1,0 +1,106 @@
+"""Resample operators vs pandas semantics on the FIXTURES.md shapes."""
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.operators.resample import (
+    bucket_start,
+    resample,
+    resample_with_dates,
+)
+
+
+@pytest.fixture()
+def hourly_df(spark):
+    # F3: hourly 2023-01-01 00:00 → 2023-01-02 00:00, value 0..24
+    rows = [
+        (datetime(2023, 1, 1) + timedelta(hours=i), float(i)) for i in range(25)
+    ]
+    return spark.createDataFrame(rows, "timestamp TIMESTAMP, value DOUBLE")
+
+
+def test_resample_2h_mean(spark, hourly_df):
+    out = resample(hourly_df, "timestamp", "2h", method="mean").collect()
+    pdf = pd.DataFrame(
+        {"value": [float(i) for i in range(25)]},
+        index=pd.date_range("2023-01-01", periods=25, freq="h"),
+    )
+    expected = pdf.resample("2h").mean()
+    assert len(out) == len(expected)
+    for row in out:
+        assert row["value"] == pytest.approx(expected.loc[row["timestamp"], "value"])
+
+
+@pytest.mark.parametrize("method", ["sum", "first", "last", "min", "max"])
+def test_resample_methods_match_pandas(spark, hourly_df, method):
+    out = {r["timestamp"]: r["value"] for r in resample(hourly_df, "timestamp", "4h", method=method).collect()}
+    pdf = pd.DataFrame(
+        {"value": [float(i) for i in range(25)]},
+        index=pd.date_range("2023-01-01", periods=25, freq="h"),
+    )
+    expected = getattr(pdf.resample("4h"), method)()
+    for ts, v in expected["value"].items():
+        assert out[ts.to_pydatetime()] == pytest.approx(v)
+
+
+def test_resample_invalid_method(spark, hourly_df):
+    with pytest.raises(ValueError, match="invalid resample method"):
+        resample(hourly_df, "timestamp", "1h", method="mode")
+
+
+def test_bucket_start_alignment(spark):
+    df = spark.createDataFrame(
+        [(datetime(2023, 1, 1, 10, 44, 59),)], "ts TIMESTAMP"
+    )
+    got = df.select(bucket_start("ts", 900).alias("b")).collect()[0]["b"]
+    assert got == datetime(2023, 1, 1, 10, 30)
+
+
+class TestBreakpointResample:
+    """F4: 4-hour bins over hourly data, pandas pd.cut semantics."""
+
+    @pytest.fixture()
+    def df(self, spark):
+        rows = []
+        for i in range(25):
+            ts = datetime(2023, 1, 1) + timedelta(hours=i)
+            val = None if 5 <= i < 10 else float(i)
+            cat = "A" if i % 2 == 0 else "B"
+            rows.append((ts, val, cat))
+        return spark.createDataFrame(rows, "timestamp TIMESTAMP, numeric DOUBLE, category STRING")
+
+    @pytest.fixture()
+    def points(self):
+        return [datetime(2023, 1, 1) + timedelta(hours=4 * i) for i in range(7)]
+
+    def test_mean_and_category_nearest(self, spark, df, points):
+        out = resample_with_dates(
+            df, "timestamp", points, method="mean", nearest_cols=["category"]
+        ).collect()
+        by_ts = {r["timestamp"]: r for r in out}
+        # bin0 = (lowest] → hours 0..4 → mean 2.0 (pandas include_lowest)
+        assert by_ts[points[0]]["numeric"] == pytest.approx(2.0)
+        # label timestamps pick nearest row: hour 0 → "A", hour 4 → "A" etc.
+        assert by_ts[points[0]]["category"] == "A"
+
+    def test_sum_first_last(self, spark, df, points):
+        for method, b0 in [("sum", 10.0), ("first", 0.0), ("last", 4.0)]:
+            out = resample_with_dates(df, "timestamp", points, method=method).collect()
+            by_ts = {r["timestamp"]: r for r in out}
+            assert by_ts[points[0]]["numeric"] == pytest.approx(b0), method
+
+    def test_skipna_matrix(self, spark, df, points):
+        # bin1 (04:00,08:00] covers hours 5..8 — all null → null either way;
+        # bin2 (08:00,12:00] covers hours 9..12 with one null (hour 9):
+        # skipna=True → mean(10,11,12), skipna=False → null (pandas semantics)
+        out_t = resample_with_dates(df, "timestamp", points, method="mean", skipna=True).collect()
+        out_f = resample_with_dates(df, "timestamp", points, method="mean", skipna=False).collect()
+        t = {r["timestamp"]: r["numeric"] for r in out_t}
+        f = {r["timestamp"]: r["numeric"] for r in out_f}
+        assert t[points[1]] is None and f[points[1]] is None
+        assert t[points[2]] == pytest.approx(11.0)
+        assert f[points[2]] is None
+        assert f[points[5]] is not None  # clean bin unaffected

@@ -1,0 +1,106 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Centralizes the configs every operator in this engine assumes:
+
+- **UTC session timezone** — deterministic timestamp semantics and parity
+  with the DuckDB oracle (DuckDB timestamps are UTC-naive).
+- **AQE on** (coalesce partitions + skew-join) — runtime re-planning is the
+  first line of defense against skewed keys at 100 TB.
+- **Arrow enabled** — every Pandas-UDF escape hatch transfers columnar.
+
+Tests/local runs use ``local[*]`` with shuffle partitions ≈ cores; on a real
+cluster callers pass ``master=None`` and size ``shuffle_partitions`` to the
+data (or leave AQE to coalesce).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Single source of truth for local data locations used by tests/bench.
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+LOCAL_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(
+    app_name: str = "time_series_loader_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master=None`` keeps whatever the environment provides (cluster mode);
+    tests pass ``local[N]`` explicitly or rely on the local default.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{LOCAL_CPUS}]"
+    if master:
+        builder = builder.master(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = LOCAL_CPUS
+
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Files: 128 MiB splits is the right default for parquet at scale.
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        # Keep driver results bounded; operators must not collect data paths.
+        "spark.driver.maxResultSize": "2g",
+        "spark.ui.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+# The driver's testdata stores timestamps as parquet TIMESTAMP(NANOS), which
+# Spark rejects by default. We read them via the legacy nanos-as-long conf
+# and convert to TimestampType by integer division to micros — the same
+# truncation DuckDB applies reading TIMESTAMP_NS.
+_NANO_TS_COLS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver parquet table, normalizing nano timestamps."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer DIV keeps full precision (double division would not)
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load the driver's parquet tables from ``sf_dir`` as lazy DataFrames."""
+    return {t: read_table(spark, sf_dir, t) for t in TABLES}
