@@ -634,6 +634,380 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators (dedup / text analysis / similarity /
+# multimodal) — beyond-reference, BASELINE.json north star
+# --------------------------------------------------------------------------
+
+_SQL_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy representative + duplicate count."""
+    _prep(spark)
+    from time_series_loader_spark.operators.dedup import dedup_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs, ["text"], "doc_id")
+
+
+SQL_dedup_exact = """
+SELECT md5(coalesce(text, ' ')) AS key_digest,
+       min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, char counts, mean token length."""
+    _prep(spark)
+    from time_series_loader_spark.operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_stats(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_chars", "n_tokens", _r6(F.col("mean_token_len"), "mean_token_len")
+    )
+
+
+SQL_token_stats = f"""
+SELECT doc_id, length(text) AS n_chars,
+       len({_SQL_TOKENS}) AS n_tokens,
+       floor((CAST(length(regexp_replace(lower(text), '\\s+', '', 'g')) AS DOUBLE)
+              / len({_SQL_TOKENS}))*1000000 + 0.5)/1000000 AS mean_token_len
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword/punct/digit ratios + composite score."""
+    _prep(spark)
+    from time_series_loader_spark.operators.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_features(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        _r6(F.col("stopword_ratio"), "stopword_ratio"),
+        _r6(F.col("punct_ratio"), "punct_ratio"),
+        _r6(F.col("digit_ratio"), "digit_ratio"),
+        _r6(F.col("quality_score"), "quality_score"),
+    )
+
+
+SQL_quality_score = f"""
+WITH f AS (
+  SELECT doc_id,
+    len({_SQL_TOKENS}) AS n_tokens,
+    CAST(len(list_filter({_SQL_TOKENS},
+      x -> x IN ('the','a','of','to','and','in','is','it','you','that'))) AS DOUBLE)
+      / len({_SQL_TOKENS}) AS stop_ratio,
+    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+      / length(text) AS punct_ratio,
+    CAST(length(lower(text)) - length(regexp_replace(lower(text), '[0-9]', '', 'g')) AS DOUBLE)
+      / length(text) AS digit_ratio,
+    least(CAST(len({_SQL_TOKENS}) AS DOUBLE) / 200.0, 1.0) AS length_score
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  floor((stop_ratio)*1000000 + 0.5)/1000000 AS stopword_ratio,
+  floor((punct_ratio)*1000000 + 0.5)/1000000 AS punct_ratio,
+  floor((digit_ratio)*1000000 + 0.5)/1000000 AS digit_ratio,
+  floor((greatest(least(
+      0.4 * length_score + 0.4 * least(stop_ratio * 5.0, 1.0)
+      + 0.2 * (1.0 - least(punct_ratio + digit_ratio, 1.0)), 1.0), 0.0))*1000000 + 0.5)/1000000
+    AS quality_score
+FROM f
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic marker-token language ID with deterministic tie-break."""
+    _prep(spark)
+    from time_series_loader_spark.operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs, "text", "doc_id")
+
+
+def _sql_langid() -> str:
+    from time_series_loader_spark.operators.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    counts = ",\n    ".join(
+        "len(list_filter(t, x -> x IN ({}))) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in STOPWORDS[lang]), lang
+        )
+        for lang in langs
+    )
+    # ties → lexicographically smallest lang (same as sorted-struct argmax)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} >= score_{other}" for other in langs[i + 1 :]]
+        cases.append(
+            "WHEN " + (" AND ".join(conds) if conds else "TRUE") + f" THEN '{lang}'"
+        )
+    greatest = "greatest({})".format(", ".join(f"score_{lang}" for lang in langs))
+    return f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+s AS (
+  SELECT doc_id,
+    {counts}
+  FROM tok
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+  CASE WHEN {greatest} = 0 THEN 'und' {' '.join(cases)} END AS lang_pred
+FROM s
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized text."""
+    _prep(spark)
+    from time_series_loader_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs, "text", "doc_id")
+
+
+SQL_fingerprint = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    _prep(spark)
+    from time_series_loader_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return out.select("id_a", "id_b", "n_common", _r6(F.col("jaccard"), "jaccard"))
+
+
+_SQL_SHINGLES = f"""
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' ') AS shingle
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+       LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 1, 1))) AS i)
+"""
+
+SQL_ngram_jaccard = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       floor((CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common))*1000000 + 0.5)/1000000 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (16 hashes, 4 bands, est ≥ 0.5)."""
+    _prep(spark)
+    from time_series_loader_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    return out.select("id_a", "id_b", _r6(F.col("est_jaccard"), "est_jaccard"))
+
+
+def _sql_minhash_lsh(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_cases = " ".join(
+        "WHEN {} THEN md5({})".format(
+            b,
+            " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    eqs = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band_id, CASE band_id {band_cases} END AS band_key
+  FROM sig, (SELECT UNNEST(range({bands})) AS band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band_id, band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       floor((CAST({eqs} AS DOUBLE) / {num_hashes})*1000000 + 0.5)/1000000 AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE CAST({eqs} AS DOUBLE) / {num_hashes} >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (md5-hex-digit bit family)."""
+    _prep(spark)
+    from time_series_loader_spark.operators.text import simhash16
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash16(docs, "text", "doc_id")
+
+
+def _sql_simhash() -> str:
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN strpos('0123456789abcdef', substr(h, {d}, 1)) - 1 >= 8 "
+        f"THEN 1 ELSE -1 END) AS s{d}"
+        for d in range(1, 17)
+    )
+    bits = ", ".join(f"CASE WHEN s{d} > 0 THEN '1' ELSE '0' END" for d in range(1, 17))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_SQL_TOKENS}) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, concat({bits}) AS simhash FROM s
+"""
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (32-bit signature, Hamming ≤ 1, block-key
+    joined). Rows-only check: the signature family is oracle-checked via
+    `simhash`; blocking exactness is asserted in tests. Hamming ≤ 1 keeps
+    the pair set sparse on this same-vocab corpus — long same-distribution
+    docs concentrate simhashes, so looser thresholds degenerate to a dense
+    quadratic pair set (a property of the data, not the operator)."""
+    _prep(spark)
+    from time_series_loader_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=1, n_bits=32)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5: queries = vec_id < 10 vs corpus ≥ 10.
+
+    Decimal-exact dot products → deterministic ranking across engines."""
+    _prep(spark)
+    from time_series_loader_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+    )
+    return out.select("query_id", "neighbor_id", _r6(F.col("cos"), "cos"), "rank")
+
+
+# dot products as ORDERED double folds (list_reduce ≡ Spark F.aggregate):
+# identical summation order → bit-identical doubles in both engines
+_SQL_DOT = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "CAST({a}[CAST(i AS BIGINT)] AS DOUBLE) * CAST({b}[CAST(i AS BIGINT)] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+SQL_cosine_topk = f"""
+WITH norms AS (
+  SELECT vec_id,
+         sqrt({_SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+           / (nq.nrm * nc.nrm) AS cos
+  FROM embeddings q
+  JOIN norms nq ON nq.vec_id = q.vec_id
+  CROSS JOIN embeddings c
+  JOIN norms nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < 10 AND c.vec_id >= 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, floor((cos)*1000000 + 0.5)/1000000 AS cos, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant: LSH-bucketed cosine top-5 (rows-only; recall vs the
+    brute-force baseline is asserted in tests)."""
+    _prep(spark)
+    from time_series_loader_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_lsh(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_planes=4,
+        dim=64,
+    )
+    return out.select("query_id", "neighbor_id", _r6(F.col("cos"), "cos"), "rank")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + typed metadata, features via
+    Arrow-batched mapInPandas (stub decode kernel — see
+    operators/multimodal.py)."""
+    _prep(spark)
+    from time_series_loader_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(attach_payload(docs, "text", "doc_id"))
+
+
+def _sql_multimodal() -> str:
+    def hexval(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(digest, {pos}, 1)) - 1)"
+
+    width = f"(16 * {hexval(1)} + {hexval(2)} + 1)"
+    height = f"(16 * {hexval(3)} + {hexval(4)} + 1)"
+    frames = f"((16 * {hexval(5)} + {hexval(6)}) % 16 + 1)"
+    return f"""
+WITH d AS (
+  -- duckdb's sha256 takes VARCHAR and hashes its utf-8 bytes == Spark's
+  -- sha2(encode(text,'utf-8'), 256)
+  SELECT doc_id, 'image' AS modality, octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS digest
+  FROM documents
+)
+SELECT doc_id, modality, n_bytes, digest,
+       CAST({width} AS INT) AS width,
+       CAST({height} AS INT) AS height,
+       CAST({frames} AS INT) AS n_frames
+FROM d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "resample_1h_mean": q_resample_1h_mean,
@@ -656,6 +1030,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top3_customers_per_nation": q_top3_customers_per_nation,
         "rollup_lineitem": q_rollup_lineitem,
+        # LLM-data-pipeline operators
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
+        "cosine_topk": q_cosine_topk,
+        "cosine_topk_lsh": q_cosine_topk_lsh,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -681,4 +1068,17 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": SQL_revenue_by_nation,
         "top3_customers_per_nation": SQL_top3_customers_per_nation,
         "rollup_lineitem": SQL_rollup_lineitem,
+        # LLM-data-pipeline operators (simhash_near_dup and cosine_topk_lsh
+        # are rows-only: blocked/ANN variants whose building blocks are
+        # oracle-checked via `simhash` / `cosine_topk`)
+        "dedup_exact": SQL_dedup_exact,
+        "token_stats": SQL_token_stats,
+        "quality_score": SQL_quality_score,
+        "langid": _sql_langid(),
+        "fingerprint": SQL_fingerprint,
+        "ngram_jaccard": SQL_ngram_jaccard,
+        "minhash_lsh": _sql_minhash_lsh(),
+        "simhash": _sql_simhash(),
+        "cosine_topk": SQL_cosine_topk,
+        "multimodal_features": _sql_multimodal(),
     }

@@ -37,6 +37,12 @@ HEADLINE = [
     "tpch_q1",
     "revenue_by_nation",
     "top3_customers_per_nation",
+    "dedup_exact",
+    "minhash_lsh",
+    "simhash",
+    "quality_score",
+    "cosine_topk",
+    "multimodal_features",
 ]
 
 
@@ -46,6 +52,14 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("tsl-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/session warmup so the first timed query isn't charged Spark
+    # startup + parquet footer reads (steady-state is what matters at scale)
+    from time_series_loader_spark.session import TABLES, read_table
+
+    spark.range(1).count()
+    for t in TABLES:
+        read_table(spark, sf_dir, t).limit(1).count()
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [

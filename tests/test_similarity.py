@@ -1,0 +1,109 @@
+"""Cosine similarity search: brute force vs numpy, LSH recall, near-dup."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from time_series_loader_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
+
+DIM = 16
+N = 60
+
+
+@pytest.fixture()
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((N, DIM)).astype(np.float32)
+    vecs[N - 1] = vecs[10] * 1.001 + 0.0001  # near-dup pair (10, 59)
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(N)], schema
+    )
+    return df, vecs
+
+
+def _numpy_topk(vecs, qids, cids, k):
+    out = {}
+    for q in qids:
+        cos = {
+            c: float(
+                vecs[q] @ vecs[c] / (np.linalg.norm(vecs[q]) * np.linalg.norm(vecs[c]))
+            )
+            for c in cids
+        }
+        ranked = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[q] = [c for c, _ in ranked]
+    return out
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    df, vecs = emb
+    q = df.where(F.col("vec_id") < 5)
+    c = df.where(F.col("vec_id") >= 5)
+    got = cosine_topk(q, c, "vec_id", "embedding", k=3).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    exp = _numpy_topk(vecs.astype(np.float64), range(5), range(5, N), 3)
+    for qid in range(5):
+        assert by_q[qid] == exp[qid], qid
+
+
+def test_lsh_recall_reasonable(spark, emb):
+    df, vecs = emb
+    q = df.where(F.col("vec_id") < 5)
+    c = df.where(F.col("vec_id") >= 5)
+    brute = cosine_topk(q, c, "vec_id", "embedding", k=3).collect()
+    ann = cosine_topk_lsh(q, c, "vec_id", "embedding", k=3, n_planes=2, dim=DIM).collect()
+    brute_set = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    ann_set = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    # ANN returns a subset of true cosines, and with few planes decent recall
+    recall = len(brute_set & ann_set) / len(brute_set)
+    assert recall >= 0.3
+    # every ANN hit must carry the exact cosine of the brute-force run
+    brute_cos = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in brute}
+    for r in ann:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute_cos:
+            assert r["cos"] == brute_cos[key]
+
+
+def test_embedding_near_dup(spark, emb):
+    df, _ = emb
+    pairs = embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.99).collect()
+    assert (10, 59) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+def test_multimodal_stub_features(spark):
+    from time_series_loader_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id BIGINT, text STRING")
+    out = extract_features(attach_payload(df, "text", "doc_id")).collect()[0]
+    import hashlib
+
+    d = hashlib.sha256(b"hello world").hexdigest()
+    assert out["digest"] == d
+    assert out["n_bytes"] == 11
+    assert out["width"] == int(d[0:2], 16) + 1
+    assert out["n_frames"] == int(d[4:6], 16) % 16 + 1
+
+
+def test_multimodal_real_decode_raises(spark):
+    from time_series_loader_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id BIGINT, text STRING")
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        extract_features(attach_payload(df, "text", "doc_id"), decode_stub=False).collect()

@@ -1,0 +1,119 @@
+"""Text-analysis + dedup operators on small synthetic corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+from time_series_loader_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_features,
+    simhash16,
+    token_stats,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "completely different text about spark engines"),
+    (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (5, "der hund ist nicht mit der katze und der maus"),  # German markers
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id BIGINT, text STRING")
+
+
+def test_token_stats(spark, docs):
+    out = {r["doc_id"]: r for r in token_stats(docs, "text", "doc_id").collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[1]["n_chars"] == len(DOCS[0][1])
+    # mean token length: chars-without-spaces / tokens
+    assert out[1]["mean_token_len"] == pytest.approx((len(DOCS[0][1]) - 8) / 9)
+
+
+def test_quality_and_langid(spark, docs):
+    q = {r["doc_id"]: r for r in quality_features(docs, "text", "doc_id").collect()}
+    assert 0.0 <= q[1]["quality_score"] <= 1.0
+    assert q[1]["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' twice
+    lang = {r["doc_id"]: r["lang_pred"] for r in language_id(docs, "text", "doc_id").collect()}
+    assert lang[1] == "en"
+    assert lang[5] == "de"
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b\tc"), (2, "A B C"), (3, "a b d")], "doc_id BIGINT, text STRING"
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df, "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup_exact(docs, ["text"], "doc_id").collect()
+    assert len(out) == 4  # docs 1 and 4 collapse
+    by_id = {r["doc_id"]: r["n_dups"] for r in out}
+    assert by_id[1] == 2  # representative is min(doc_id)
+    assert 4 not in by_id
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id BIGINT, text STRING")
+    out = df.select(word_shingles("text", 3).alias("sh")).collect()[0]["sh"]
+    assert out == []
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert found[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in found and 0.5 <= found[(1, 2)] < 1.0
+    assert all({a, b} != {1, 3} for a, b in found)
+
+
+def test_minhash_lsh_agrees_with_exact_on_dups(spark, docs):
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert found[(1, 4)] == 1.0
+    assert (1, 2) in found  # near-dup caught by banding
+
+
+def test_simhash_properties(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash16(docs, "text", "doc_id").collect()}
+    assert all(len(s) == 16 and set(s) <= {"0", "1"} for s in sigs.values())
+    assert sigs[1] == sigs[4]  # identical docs → identical simhash
+    pairs = simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in ids
+
+
+def test_simhash_blocking_is_exact_for_small_hamming(spark, docs):
+    """Block-key joining must find exactly the pairs a brute-force scan
+    finds (pigeonhole: k mismatches leave ≥1 of k+1 blocks identical)."""
+    from time_series_loader_spark.operators.text import hamming_bits, simhash_bits
+
+    sig = simhash_bits(docs, "text", "doc_id", n_bits=32)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming_bits(F.col("sh_a"), F.col("sh_b"), 32).alias("h"))
+        .where(F.col("h") <= 3)
+        .collect()
+    )
+    blocked = simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=3, n_bits=32
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in brute} == {
+        (r["id_a"], r["id_b"]) for r in blocked
+    }

@@ -1,0 +1,248 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine near-dup.
+
+Beyond-reference capability (BASELINE.json north star). Design notes for
+100 TB:
+
+- **exact**: one hash-groupBy on a digest of the dedup key columns — the
+  cheapest possible shuffle (digest + id only, not full rows).
+- **n-gram Jaccard (exact)**: explode distinct shingles → self-equi-join on
+  the shingle → per-pair intersection counts. Quadratic in docs *per
+  shingle bucket*; correct but only for candidate verification or small
+  corpora. The scale path is MinHash-LSH below.
+- **MinHash-LSH**: k min-wise hashes per doc computed with map-side partial
+  aggregation (explode shingles → k narrow min() aggs), then b bands →
+  explode(b) → self-join on (band_id, band_key). Only docs sharing a band
+  collide, so the join is linear-ish in practice. Estimated Jaccard =
+  fraction of equal minhashes.
+- Min-wise hash family: ``md5(i || ':' || shingle)`` compared as hex
+  STRINGS — min over a uniformly-distributed injective hex string is a
+  valid min-wise hash and is bit-identical in any engine (no 64-bit
+  integer conversion games).
+- **embedding near-dup**: cosine over DECIMAL-exact dot products (see
+  similarity.py) with a threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.operators.text import tokens
+
+
+def dedup_exact(
+    df: DataFrame, key_cols: Sequence[str], id_col: str
+) -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct key, with the
+    duplicate count. ``keep_representatives`` semantics of the 100 TB
+    pipeline: join the result back on ``id_col`` to filter the corpus."""
+    digest = F.md5(F.concat_ws("\x01", *[F.coalesce(F.col(c).cast("string"), F.lit(" ")) for c in key_cols]))
+    return (
+        df.select(digest.alias("key_digest"), F.col(id_col))
+        .groupBy("key_digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the whitespace-token stream."""
+    t = tokens(text)
+    # slide an n-window over tokens: positions 1 .. size-n+1 (1-based
+    # slice). Guard short docs: Spark's sequence(1, 0) counts DOWN, so an
+    # explicit empty array is required when size < n.
+    starts = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    sh = F.when(
+        F.size(t) >= n,
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh)
+
+
+def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) long table — distinct shingles per doc."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Returns (id_a, id_b, n_common, jaccard) with id_a < id_b and
+    jaccard ≥ threshold. Jaccard computed from exact integer counts
+    (|A∩B| / (|A| + |B| - |A∩B|)) — deterministic.
+    """
+    sh = shingle_table(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select("id_a", "id_b", "n_common", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """k min-wise hashes per doc: minhash_i = min(md5(i ':' shingle)).
+
+    One explode + one groupBy with k narrow min() aggregates — partial
+    aggregation happens map-side, so the shuffle carries k hex strings per
+    doc regardless of doc length.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs.
+
+    banding: ``bands`` bands of ``num_hashes/bands`` rows; docs sharing any
+    band key become candidates; estimated Jaccard = fraction of equal
+    minhashes; pairs below ``threshold`` dropped. Returns
+    (id_a, id_b, est_jaccard), id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).cache()
+
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_entries).alias("e")).select(
+        id_col, F.col("e.band_id").alias("band_id"), F.col("e.band_key").alias("band_key")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)]
+    )
+    eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    est = eq.cast("double") / float(num_hashes)
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bits: int = 32,
+) -> DataFrame:
+    """SimHash near-dup: pairs whose n-bit simhash differs in ≤ k bits.
+
+    Scale path: split the signature into k+1 contiguous blocks — a pair
+    within Hamming ≤ k must agree EXACTLY on at least one block
+    (pigeonhole: k mismatches can dirty at most k of the k+1 blocks) — and
+    self-join on the block key, never all-pairs. Wider signatures (32+)
+    keep blocks ≥ 8 bits so block buckets stay selective on large corpora.
+    """
+    from time_series_loader_spark.operators.text import hamming_bits, simhash_bits
+
+    n_blocks = max_hamming + 1
+    if n_blocks > n_bits:
+        raise ValueError("max_hamming must be < n_bits")
+    # contiguous block boundaries, as even as possible
+    bounds = [round(i * n_bits / n_blocks) for i in range(n_blocks + 1)]
+
+    sig = simhash_bits(df, text_col, id_col, n_bits)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.substring("simhash", bounds[i] + 1, bounds[i + 1] - bounds[i]).alias(
+                    "block"
+                ),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    # integer form of the signature: hamming = bit_count(a XOR b) — one JVM
+    # instruction pair per candidate instead of n substring compares
+    sig = sig.withColumn("sig_int", F.conv("simhash", 2, 10).cast("bigint"))
+    exploded = sig.select(F.col(id_col), F.col("sig_int"), F.explode(blocks).alias("e")).select(
+        id_col,
+        "sig_int",
+        F.col("e.block_id").alias("block_id"),
+        F.col("e.block").alias("block"),
+    )
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("sig_int").alias("int_a"), "block_id", "block"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("sig_int").alias("int_b"), "block_id", "block"
+    )
+    cand = (
+        a.join(b, ["block_id", "block"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "int_a", "int_b")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("int_a").bitwiseXOR(F.col("int_b")))
+    return cand.select("id_a", "id_b", dist.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

