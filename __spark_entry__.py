@@ -90,11 +90,15 @@ def q_resample_1h_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 frequency-bucket resample, mean (reference load_file.py:2127-2149)."""
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
-    out = resample(ev, "ts", "1h", method="mean", value_cols=["value"])
-    n = ev.groupBy(F.expr("timestamp_seconds(floor(unix_timestamp(ts)/3600)*3600)").alias("ts")).agg(
-        F.count("value").alias("n")
+    out = resample(
+        ev,
+        "ts",
+        "1h",
+        method="mean",
+        value_cols=["value"],
+        extra_aggs={"n": ("value", "count")},
     )
-    return out.join(n, "ts").select("ts", _r6(F.col("value"), "value_mean"), "n")
+    return out.select("ts", _r6(F.col("value"), "value_mean"), "n")
 
 
 SQL_resample_1h_mean = """
@@ -1008,6 +1012,215 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------------
+# streaming + additional relational coverage
+# --------------------------------------------------------------------------
+
+
+def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming variant of A1 (SURVEY.md §2.9): watermarked
+    tumbling-window resample over a file-source stream, drained with
+    Trigger.AvailableNow. Emitted set = windows closed by the final
+    watermark (max event time - 10 min) — exactly reproducible in SQL."""
+    _prep(spark)
+    from time_series_loader_spark.streaming.ingest import (
+        file_as_stream_dir,
+        run_available_now,
+        stream_parquet,
+        windowed_resample_stream,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = stream_parquet(spark, file_as_stream_dir(f"{sf_dir}/events.parquet"), raw_schema)
+    sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    res = windowed_resample_stream(sdf, "ts", "1 hour", "value", watermark="10 minutes")
+    out = run_available_now(res, spark)
+    return out.select(
+        "window_start", "window_end", "n", _r6(F.col("value_mean"), "value_mean")
+    )
+
+
+SQL_streaming_hourly = """
+WITH m AS (SELECT max(ts) AS mx FROM events),
+w AS (
+  SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * INTERVAL '1 second' AS window_start,
+         count(value) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) / COUNT(value) AS value_mean
+  FROM events GROUP BY 1
+)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end, n,
+       floor((value_mean)*1000000 + 0.5)/1000000 AS value_mean
+FROM w, m
+WHERE window_start + INTERVAL '1 hour' <= mx - INTERVAL '10 minutes'
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins (SURVEY.md §2.3 'free with Catalyst'):
+    per-segment counts of customers with vs without orders."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    without_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        with_orders.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+        .join(
+            without_orders.groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).alias("n_without_orders")
+            ),
+            "c_mktsegment",
+            "full",
+        )
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+SQL_semi_anti_join = """
+WITH w AS (
+  SELECT c_mktsegment, count(*) AS n_with_orders FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY 1
+), wo AS (
+  SELECT c_mktsegment, count(*) AS n_without_orders FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY 1
+)
+SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+       coalesce(n_with_orders, 0) AS n_with_orders,
+       coalesce(n_without_orders, 0) AS n_without_orders
+FROM w FULL JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+"""
+
+
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (SURVEY.md §2.6 beyond-reference): order counts by status ×
+    priority, explicit value list so the schema is static."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pris)
+        .count()
+        .na.fill(0)
+    )
+    renames = {p: f"p{p[0]}" for p in pris}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+SQL_pivot_status_priority = """
+SELECT o_orderstatus,
+  coalesce(count(*) FILTER (o_orderpriority = '1-URGENT'), 0) AS p1,
+  coalesce(count(*) FILTER (o_orderpriority = '2-HIGH'), 0) AS p2,
+  coalesce(count(*) FILTER (o_orderpriority = '3-MEDIUM'), 0) AS p3,
+  coalesce(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED'), 0) AS p4,
+  coalesce(count(*) FILTER (o_orderpriority = '5-LOW'), 0) AS p5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (SURVEY.md §2.4 beyond-reference)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_distinct_agg = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT set ops (SURVEY.md §2.6 beyond-reference):
+    parts that ship but were never ordered with discount > 0.05, etc."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    discounted = li.where(F.col("l_discount") > 0.05).select("l_partkey")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    only_discounted = discounted.distinct().exceptAll(returned.distinct())
+    both = discounted.intersect(returned)
+    return (
+        only_discounted.agg(F.count(F.lit(1)).alias("n_discount_not_returned"))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("n_both")))
+    )
+
+
+SQL_except_intersect = """
+SELECT
+  (SELECT count(*) FROM (
+     SELECT DISTINCT l_partkey FROM lineitem WHERE l_discount > 0.05
+     EXCEPT ALL
+     SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+  )) AS n_discount_not_returned,
+  (SELECT count(*) FROM (
+     SELECT l_partkey FROM lineitem WHERE l_discount > 0.05
+     INTERSECT
+     SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+  )) AS n_both
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (guide 'common OLAP pattern'): per-user sessions split
+    on >30 min inactivity via lag + cumulative sum — the keyed-window shape
+    that scales (partitioned by user, no global sort)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(
+        Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = ev.withColumn("session_id", sess_id).groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return sessions.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "n_events",
+    )
+
+
+SQL_sessionize = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "resample_1h_mean": q_resample_1h_mean,
@@ -1043,6 +1256,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "multimodal_features": q_multimodal_features,
+        # streaming + additional relational coverage
+        "streaming_hourly": q_streaming_hourly,
+        "semi_anti_join": q_semi_anti_join,
+        "pivot_status_priority": q_pivot_status_priority,
+        "distinct_agg": q_distinct_agg,
+        "except_intersect": q_except_intersect,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1081,4 +1301,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "cosine_topk": SQL_cosine_topk,
         "multimodal_features": _sql_multimodal(),
+        # streaming + additional relational coverage
+        "streaming_hourly": SQL_streaming_hourly,
+        "semi_anti_join": SQL_semi_anti_join,
+        "pivot_status_priority": SQL_pivot_status_priority,
+        "distinct_agg": SQL_distinct_agg,
+        "except_intersect": SQL_except_intersect,
+        "sessionize": SQL_sessionize,
     }

@@ -1,0 +1,110 @@
+"""Structured Streaming ingestion: incremental files, watermark semantics,
+late-data drops (SURVEY.md §2.9)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.streaming.ingest import (
+    run_available_now,
+    stream_csv_directory,
+    windowed_resample_stream,
+)
+
+SCHEMA = "ts TIMESTAMP, value DOUBLE"
+
+
+def _write(dirpath, name, rows, mtime):
+    import os
+
+    p = dirpath / name
+    lines = ["ts;value"] + [f"{ts};{v}" for ts, v in rows]
+    p.write_text("\n".join(lines) + "\n")
+    os.utime(p, (mtime, mtime))
+    return p
+
+
+def test_windowed_stream_with_late_data(spark, tmp_path):
+    # Three arrival batches (maxFilesPerTrigger=1):
+    #   A: hours 00..05            → watermark after A = 04:00
+    #   B: hours 06..08            → windows 00..03 EMITTED and evicted;
+    #                                 watermark after B = 07:00
+    #   C: late row 01:30 + 09:00  → 01:30 is older than the watermark AND
+    #                                 its window state is gone → DROPPED
+    _write(
+        tmp_path,
+        "a.csv",
+        [(f"2023-01-01 0{h}:00:00", float(h)) for h in range(6)],
+        mtime=1_700_000_000,
+    )
+    _write(
+        tmp_path,
+        "b.csv",
+        [("2023-01-01 06:00:00", 6.0), ("2023-01-01 07:00:00", 7.0),
+         ("2023-01-01 08:00:00", 8.0)],
+        mtime=1_700_000_100,
+    )
+    _write(
+        tmp_path,
+        "c.csv",
+        [("2023-01-01 01:30:00", 99.0), ("2023-01-01 09:00:00", 9.0)],
+        mtime=1_700_000_200,
+    )
+    sdf = stream_csv_directory(
+        spark, str(tmp_path), SCHEMA, delimiter=";", max_files_per_trigger=1
+    )
+    res = windowed_resample_stream(sdf, "ts", "1 hour", "value", watermark="1 hour")
+    out = run_available_now(res, spark)
+    rows = out.collect()
+    by_start = {}
+    for r in rows:
+        by_start.setdefault(r["window_start"], []).append(r)
+
+    # append mode: each window emitted exactly once
+    assert all(len(v) == 1 for v in by_start.values())
+    # final watermark = 09:00 - 1h = 08:00 → windows ending ≤ 08:00
+    assert set(by_start) == {datetime(2023, 1, 1, h) for h in range(8)}
+    # the late 01:30 row arrived after window [01:00, 02:00) was emitted
+    # and evicted → dropped, count stays 1 and mean untouched
+    w1 = by_start[datetime(2023, 1, 1, 1)][0]
+    assert w1["n"] == 1
+    assert w1["value_mean"] == pytest.approx(1.0)
+
+
+def test_stream_equals_batch_when_single_batch(spark, tmp_path):
+    _write(
+        tmp_path,
+        "a.csv",
+        [(f"2023-01-01 {h:02d}:{m:02d}:00", float(h * 60 + m)) for h in range(4) for m in (0, 30)],
+        mtime=1_700_000_000,
+    )
+    sdf = stream_csv_directory(spark, str(tmp_path), SCHEMA)
+    res = windowed_resample_stream(sdf, "ts", "1 hour", "value", watermark="0 seconds")
+    out = run_available_now(res, spark).collect()
+    # watermark = max ts (03:30) → windows ending ≤ 03:30: hours 0,1,2
+    assert len(out) == 3
+    by_start = {r["window_start"]: r for r in out}
+    assert by_start[datetime(2023, 1, 1, 0)]["n"] == 2
+    assert by_start[datetime(2023, 1, 1, 0)]["value_mean"] == pytest.approx(15.0)
+
+
+def test_permissive_bad_records(spark, tmp_path):
+    from time_series_loader_spark.sources.csv import load_csv_with_bad_records
+
+    p = tmp_path / "data.csv"
+    p.write_text(
+        "a;b;t\n"
+        "1;2.5;2023-01-01 10:00:00\n"
+        "oops;not_a_number;also_not_a_time\n"
+        "3;4.5;2023-01-01 11:00:00\n"
+    )
+    df = load_csv_with_bad_records(
+        spark, [str(p)], "a INT, b DOUBLE, t TIMESTAMP"
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert bad[0]["_corrupt_record"].startswith("oops")
+    assert {r["a"] for r in good} == {1, 3}

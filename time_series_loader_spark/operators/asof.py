@@ -52,37 +52,47 @@ def asof_nearest(
     )
     u = tagged_t.unionByName(tagged_d)
 
-    # Data rows sort before target rows at equal ts so "backward" includes
-    # exact matches (pd.merge_asof allow_exact_matches=True).
+    # ONE ascending sort serves both directions: the backward neighbor is
+    # last-non-null over (unbounded preceding, 0); the forward neighbor is
+    # first-non-null over (1, unbounded following) on the SAME ordering —
+    # Spark keeps a single Sort and evaluates both frames in one pass.
+    # Data rows sort before target rows at equal ts, so an exact-ts match
+    # lands on the backward side (d_prev == 0); the forward direction
+    # recovers exact matches from there (allow_exact_matches parity).
     order = [F.col(ts_col).asc(), F.col("_is_target").asc()]
-    w_back = (
-        Window.partitionBy(*gcols).orderBy(*order) if gcols else Window.orderBy(*order)
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    order_rev = [F.col(ts_col).desc(), F.col("_is_target").asc()]
-    w_fwd = (
-        Window.partitionBy(*gcols).orderBy(*order_rev) if gcols else Window.orderBy(*order_rev)
-    ).rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(*gcols).orderBy(*order) if gcols else Window.orderBy(*order)
+    w_back = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = w.rowsBetween(1, Window.unboundedFollowing)
 
     data_ts = F.when(F.col("_is_target") == 0, F.col(ts_col))
     cols = u.columns
-    prev_t = F.last(data_ts, ignorenulls=True).over(w_back)
-    next_t = F.last(data_ts, ignorenulls=True).over(w_fwd)
     enriched = u.select(
         *cols,
-        prev_t.alias("_prev_ts"),
-        next_t.alias("_next_ts"),
-        *[F.last(F.when(F.col("_is_target") == 0, F.col(c)), ignorenulls=True).over(w_back).alias(f"_prev_{c}") for c in value_cols],
-        *[F.last(F.when(F.col("_is_target") == 0, F.col(c)), ignorenulls=True).over(w_fwd).alias(f"_next_{c}") for c in value_cols],
+        F.last(data_ts, ignorenulls=True).over(w_back).alias("_prev_ts"),
+        F.first(data_ts, ignorenulls=True).over(w_fwd).alias("_next_ts"),
+        *[
+            F.last(F.when(F.col("_is_target") == 0, F.col(c)), ignorenulls=True)
+            .over(w_back)
+            .alias(f"_prev_{c}")
+            for c in value_cols
+        ],
+        *[
+            F.first(F.when(F.col("_is_target") == 0, F.col(c)), ignorenulls=True)
+            .over(w_fwd)
+            .alias(f"_next_{c}")
+            for c in value_cols
+        ],
     ).where(F.col("_is_target") == 1)
 
     t = F.col(ts_col).cast("double")
     d_prev = t - F.col("_prev_ts").cast("double")
     d_next = F.col("_next_ts").cast("double") - t
+    exact = F.col("_prev_ts").isNotNull() & (d_prev == 0)
 
     if direction == "backward":
         use_prev = F.col("_prev_ts").isNotNull()
     elif direction == "forward":
-        use_prev = F.lit(False)
+        use_prev = exact  # exact-ts match counts as the forward neighbor
     else:
         # nearest: prefer the earlier (prev) side on exact ties
         use_prev = F.col("_prev_ts").isNotNull() & (
@@ -103,8 +113,6 @@ def asof_nearest(
         next_v = F.when(next_ok, F.col(f"_next_{c}"))
         if direction == "backward":
             expr = prev_v
-        elif direction == "forward":
-            expr = next_v
         else:
             expr = F.when(use_prev & prev_ok, prev_v).otherwise(next_v)
         picked.append(expr.alias(c))

@@ -97,11 +97,16 @@ def resample(
     value_cols: Sequence[str] | None = None,
     group_cols: Sequence[str] = (),
     skipna: bool = True,
+    extra_aggs: dict[str, tuple[str, str]] | None = None,
 ) -> DataFrame:
     """A1: tumbling-window resample; returns bucket left edge as ``ts_col``.
 
     ``group_cols`` extends the reference's single-series model with a series
     key so the shuffle distributes at 100 TB (SURVEY.md §7 hard-part (d)).
+
+    ``extra_aggs``: {out_col: (src_col, method)} — additional aggregates
+    computed in the SAME groupBy pass (one scan, one shuffle) instead of a
+    second aggregation joined back.
     """
     step = freq_to_seconds(freq)
     dtypes = dict(df.dtypes)
@@ -111,6 +116,10 @@ def resample(
         ]
     bucket = bucket_start(ts_col, step).alias(ts_col)
     aggs = [_agg_expr(c, method, ts_col, skipna, dtypes.get(c, "double")) for c in value_cols]
+    for out, (src, m) in (extra_aggs or {}).items():
+        aggs.append(
+            _agg_expr(src, m, ts_col, skipna, dtypes.get(src, "double")).alias(out)
+        )
     return (
         df.groupBy(*group_cols, bucket)
         .agg(*aggs)

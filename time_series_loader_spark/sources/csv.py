@@ -95,6 +95,33 @@ def min_rows_ok(path: str, min_rows: int, delimiter: str, encoding: str) -> bool
         return n >= min_rows
 
 
+def load_csv_with_bad_records(
+    spark: SparkSession,
+    paths: Sequence[str],
+    schema: str,
+    delimiter: str = ";",
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Row-level bad-record capture — a capability the reference LACKS (it
+    rejects whole files on any parse problem, reference
+    ``load_file.py:1593-1622``). PERMISSIVE mode keeps good rows and lands
+    each unparseable line in ``corrupt_col`` for quarantine/reporting.
+
+    ``schema`` is a DDL string; a ``<corrupt_col> STRING`` field is
+    appended automatically.
+    """
+    full_schema = f"{schema}, {corrupt_col} STRING"
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full_schema)
+        .csv(list(paths))
+    )
+
+
 def load_csv_timeseries(
     spark: SparkSession,
     paths: Sequence[str],

@@ -1,0 +1,120 @@
+"""Structured Streaming ingestion — the streaming variant of the batch
+pipeline (SURVEY.md §2.9).
+
+The reference is strictly batch, but its data model — a directory of
+time-sliced files that grows over time — IS a file-source stream. The same
+logical pipeline runs incrementally:
+
+- ``readStream`` over the directory (schema from the batch reader / first
+  file, matching the §1.3 schema-freeze contract);
+- ``withWatermark(ts, max_allowed_gap)`` — the streaming analog of
+  ``TimeSeriesConfig.max_allowed_gap`` (reference ``ts_config.py:44``):
+  rows later than the watermark are dropped exactly like the reference
+  flags overlap violations (W6);
+- tumbling-window aggregation = the A1 resample (reference
+  ``load_file.py:2127-2149``) emitted per window close.
+
+``run_available_now`` drains whatever is currently in the directory and
+returns the emitted rows as a batch DataFrame — used for tests/oracles; a
+production deployment would use a continuous trigger + a real sink.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def file_as_stream_dir(path: str) -> str:
+    """Spark's file stream source requires a DIRECTORY; expose a single
+    file through a stable symlink directory (idempotent, per-file)."""
+    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"tsl_stream_src_{digest}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(path), link)
+    return d
+
+
+def stream_csv_directory(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    delimiter: str = ";",
+    header: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-source stream over a directory of CSV time slices."""
+    reader = (
+        spark.readStream.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.csv(path)
+
+
+def stream_parquet(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_resample_stream(
+    sdf: DataFrame,
+    ts_col: str,
+    window: str,
+    value_col: str,
+    watermark: str = "10 minutes",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming A1: watermarked tumbling-window count/mean.
+
+    Append mode emits a window only once the watermark passes its end —
+    late rows beyond the watermark are dropped (the reference's overlap
+    rejects, W6)."""
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(*group_cols, F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(value_col).alias("n"),
+            # decimal accumulation: state-merge order can't perturb the mean
+            F.sum(F.col(value_col).cast("decimal(27,12)")).alias("_sum_dec"),
+        )
+        .select(
+            *group_cols,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            (F.col("_sum_dec").cast("double") / F.col("n")).alias("value_mean"),
+        )
+    )
+
+
+def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into a memory sink and
+    return the emitted rows as a batch DataFrame.
+
+    AvailableNow processes all pending files, then runs the no-data batch
+    that advances the watermark and flushes closed windows — so the output
+    is exactly the set of windows whose end ≤ max(event_time) - delay.
+    """
+    name = f"tsl_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
