@@ -51,6 +51,9 @@ class LoadingConfig:
     ``dd/MM/yyyy HH:mm``.
     """
 
+    # Source format: csv (reference parity) | parquet | json — the latter
+    # two come free with Spark's readers and share the whole pipeline.
+    format: str = "csv"
     delimiter: str = ";"
     decimal: str = "."
     encoding: str = "utf-8"

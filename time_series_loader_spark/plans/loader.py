@@ -93,6 +93,20 @@ class TimeSeriesLoader:
     def from_files(cls, spark: SparkSession, files: Sequence[str], **kw) -> "TimeSeriesLoader":
         return cls(spark, files=files, **kw)
 
+    @staticmethod
+    def from_buffers(
+        spark: SparkSession,
+        buffers: Sequence[tuple[str, bytes]],
+        loading=None,
+        naming=None,
+        extractor=None,
+    ) -> DataFrame:
+        """S3: in-memory named CSV uploads (the Streamlit path) → one
+        DataFrame through the standard transforms."""
+        from time_series_loader_spark.sources.memory import load_buffers
+
+        return load_buffers(spark, buffers, loading, naming, extractor)
+
     # --- pipeline (reference load_file.py:1263-1323) ---------------------
 
     def initialize(self) -> DataFrame:
@@ -133,15 +147,18 @@ class TimeSeriesLoader:
                     + "; ".join(self.sequence_messages)
                 )
 
-        ok_paths, rejects = validate_headers(
-            paths, self.loading.delimiter, self.loading.encoding
-        )
-        for p, reason in rejects.items():
-            self.ledger.record(
-                ErrorSeverity.ERROR, "schema_congruence", reason, file=p
+        if getattr(self.loading, "format", "csv") == "csv":
+            ok_paths, rejects = validate_headers(
+                paths, self.loading.delimiter, self.loading.encoding
             )
-        if not ok_paths:
-            raise ValueError("no files conform to the first-file schema contract")
+            for p, reason in rejects.items():
+                self.ledger.record(
+                    ErrorSeverity.ERROR, "schema_congruence", reason, file=p
+                )
+            if not ok_paths:
+                raise ValueError("no files conform to the first-file schema contract")
+        else:
+            ok_paths = paths  # typed formats: Spark enforces schema merge
         self.valid_paths = ok_paths
 
         df = load_csv_timeseries(
@@ -266,6 +283,25 @@ class TimeSeriesLoader:
             cur = g["end"]
         segs.append((cur, end))
         return segs
+
+    # --- concat metadata (A7, reference load_file.py:1863-1878) ----------
+
+    def concat_metadata(self) -> dict:
+        """total_rows / total_files / time bounds. Divergence note: the
+        reference computes ``end_time`` with ``min`` (upstream bug,
+        ``load_file.py:1873-1875``); we use ``max``. Memory usage is not
+        meaningful for a distributed plan — input bytes reported instead."""
+        import os
+
+        df = self.get_dataframe()
+        timed = [m for m in self.metas if m.start_time is not None]
+        return {
+            "total_rows": df.count(),
+            "total_files": len(self.valid_paths),
+            "input_bytes": sum(os.path.getsize(p) for p in self.valid_paths),
+            "start_time": min((m.start_time for m in timed), default=None),
+            "end_time": max((m.end_time for m in timed), default=None),
+        }
 
     # --- summary (reference load_file.py:1215-1261) ----------------------
 

@@ -135,15 +135,23 @@ def load_csv_timeseries(
     Returns the composed DataFrame; nothing is materialized here.
     """
     naming = naming or ColumnNamingConfig()
-    reader = (
-        spark.read.option("header", str(loading.header).lower())
-        .option("sep", loading.delimiter)
-        .option("encoding", loading.encoding)
-        .option("mode", "PERMISSIVE")
-    )
-    # All columns read as string; typing is explicit below so that coercion
-    # semantics (null-on-failure) are ours, not the CSV inferrer's.
-    df = reader.csv(list(paths))
+    fmt = getattr(loading, "format", "csv")
+    if fmt == "csv":
+        reader = (
+            spark.read.option("header", str(loading.header).lower())
+            .option("sep", loading.delimiter)
+            .option("encoding", loading.encoding)
+            .option("mode", "PERMISSIVE")
+        )
+        # All columns read as string; typing is explicit below so coercion
+        # semantics (null-on-failure) are ours, not the CSV inferrer's.
+        df = reader.csv(list(paths))
+    elif fmt == "parquet":
+        df = spark.read.parquet(*paths)
+    elif fmt == "json":
+        df = spark.read.option("mode", "PERMISSIVE").json(list(paths))
+    else:
+        raise ValueError(f"unsupported format {fmt!r}; use csv|parquet|json")
 
     renamed = df.toDF(*[clean_column_name(c, naming) for c in df.columns])
 
@@ -153,15 +161,19 @@ def load_csv_timeseries(
         if ts_col
         else [c for c in renamed.columns if "time" in c.lower() or c.lower() in ("ts", "date")]
     )
+    dtypes = dict(renamed.dtypes)
     exprs = []
     for c in renamed.columns:
         if c in ts_candidates:
-            exprs.append(
-                parse_timestamp_multi(
-                    F.col(c), loading.time_format, loading.fallback_time_formats
-                ).alias(c)
-            )
-        elif loading.coerce_numeric:
+            if dtypes[c].startswith("timestamp"):
+                exprs.append(F.col(c))  # already typed (parquet)
+            else:
+                exprs.append(
+                    parse_timestamp_multi(
+                        F.col(c), loading.time_format, loading.fallback_time_formats
+                    ).alias(c)
+                )
+        elif loading.coerce_numeric and dtypes[c] == "string":
             col = F.col(c)
             if loading.decimal != ".":
                 col = F.replace(col, F.lit(loading.decimal), F.lit("."))
