@@ -33,7 +33,7 @@ from time_series_loader_spark.operators.interpolate import interpolate_time
 from time_series_loader_spark.operators.outliers import remove_outliers_zscore
 from time_series_loader_spark.operators.resample import resample, resample_with_dates
 
-_DEC = "decimal(27,12)"
+_DEC = "decimal(27,6)"
 
 
 def _prep(spark: SparkSession) -> None:
@@ -103,7 +103,7 @@ def q_resample_1h_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_resample_1h_mean = """
 SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * INTERVAL '1 second' AS ts,
-       floor((CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) / COUNT(value))*1000000 + 0.5)/1000000 AS value_mean,
+       floor((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value))*1000000 + 0.5)/1000000 AS value_mean,
        COUNT(value) AS n
 FROM events GROUP BY 1
 """
@@ -118,7 +118,7 @@ def q_resample_15min_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_resample_15min_sum = """
 SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/900)*900 AS BIGINT) * INTERVAL '1 second' AS ts,
-       floor((CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE))*1000000 + 0.5)/1000000 AS value_sum
+       floor((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS value_sum
 FROM events GROUP BY 1
 """
 
@@ -163,7 +163,7 @@ WITH nulled AS (
 )
 SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * INTERVAL '1 second' AS ts,
        floor((CASE WHEN COUNT(value) = COUNT(*)
-             THEN CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) / COUNT(value) END)*1000000 + 0.5)/1000000
+             THEN CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) END)*1000000 + 0.5)/1000000
          AS value_mean
 FROM nulled GROUP BY 1
 """
@@ -257,7 +257,7 @@ def _hourly_mean(spark, sf_dir):
 
 _SQL_HOURLY = """
   SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * INTERVAL '1 second' AS ts,
-         CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) / COUNT(value) AS value
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS value
   FROM events GROUP BY 1
 """
 
@@ -430,7 +430,7 @@ binned AS (
     ON (e.ts > p.lo AND e.ts <= p.hi) OR (p.bin_id = 0 AND e.ts = p.lo)
 ),
 agg AS (
-  SELECT ts, CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) / COUNT(value) AS value_mean
+  SELECT ts, CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS value_mean
   FROM binned GROUP BY ts
 )
 SELECT a.ts, floor((a.value_mean)*1000000 + 0.5)/1000000 AS value_mean,
@@ -536,13 +536,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_tpch_q1 = """
 SELECT l_returnflag, l_linestatus,
-  floor((CAST(SUM(CAST(l_quantity AS DECIMAL(27,12))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_qty,
-  floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,12))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_base_price,
-  floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,12))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_disc_price,
-  floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,12))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_charge,
-  floor((CAST(SUM(CAST(l_quantity AS DECIMAL(27,12))) AS DOUBLE) / COUNT(l_quantity))*1000000 + 0.5)/1000000 AS avg_qty,
-  floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,12))) AS DOUBLE) / COUNT(l_extendedprice))*1000000 + 0.5)/1000000 AS avg_price,
-  floor((CAST(SUM(CAST(l_discount AS DECIMAL(27,12))) AS DOUBLE) / COUNT(l_discount))*1000000 + 0.5)/1000000 AS avg_disc,
+  floor((CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_qty,
+  floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_base_price,
+  floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_disc_price,
+  floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_charge,
+  floor((CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_quantity))*1000000 + 0.5)/1000000 AS avg_qty,
+  floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_extendedprice))*1000000 + 0.5)/1000000 AS avg_price,
+  floor((CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_discount))*1000000 + 0.5)/1000000 AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -573,7 +573,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_revenue_by_nation = """
 SELECT r_name, n_name,
-       floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,12))) AS DOUBLE))*1000000 + 0.5)/1000000 AS revenue,
+       floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -607,7 +607,7 @@ def q_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_top3_customers_per_nation = """
 WITH spent AS (
-  SELECT n_name, c_custkey, SUM(CAST(o_totalprice AS DECIMAL(27,12))) AS spent_dec
+  SELECT n_name, c_custkey, SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS spent_dec
   FROM orders JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
   GROUP BY n_name, c_custkey
@@ -633,7 +633,7 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_rollup_lineitem = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       floor((CAST(SUM(CAST(l_quantity AS DECIMAL(27,12))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_qty
+       floor((CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -1046,7 +1046,7 @@ WITH m AS (SELECT max(ts) AS mx FROM events),
 w AS (
   SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * INTERVAL '1 second' AS window_start,
          count(value) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) / COUNT(value) AS value_mean
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS value_mean
   FROM events GROUP BY 1
 )
 SELECT window_start, window_start + INTERVAL '1 hour' AS window_end, n,
@@ -1221,6 +1221,158 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-like shipping priority: filter both sides of a 3-way join,
+    aggregate revenue, top-10. Catalyst pushes both date filters to the
+    scans; customer is broadcast."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+    return out.select(
+        "l_orderkey", "o_orderdate", "o_orderpriority", _r6(F.col("rev_dec").cast("double"), "revenue")
+    )
+
+
+SQL_tpch_q3_like = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       floor((CAST(rev_dec AS DOUBLE))*1000000 + 0.5)/1000000 AS revenue
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15'
+    AND l_shipdate > TIMESTAMP '1998-03-15'
+  GROUP BY 1, 2, 3
+  ORDER BY rev_dec DESC, l_orderkey ASC
+  LIMIT 10
+)
+"""
+
+
+def q_tpch_q5_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-like local-supplier volume: 6-way join where customer and
+    supplier share a nation; dims broadcast, one groupBy shuffle."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_r6(F.sum(rev).cast("double"), "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+SQL_tpch_q5_like = """
+SELECT r_name, n_name,
+       floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_tpch_q6_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-like forecast revenue: pure filter + aggregate — the
+    pushdown showcase (all three predicates reach the parquet scan)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    filtered = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC)
+    return filtered.agg(
+        _r6(F.sum(rev).cast("double"), "revenue"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+SQL_tpch_q6_like = """
+SELECT floor((CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (SURVEY.md §2.4 'free in Spark')."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r6(_dsum("o_totalprice"), "sum_price"),
+    )
+
+
+SQL_cube_orders = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface (SURVEY.md §2.5): quartiles + rank + lag
+    over customer balances within nation."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        _r6(F.col("c_acctbal"), "c_acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).alias("rnk"),
+        _r6(F.lag("c_acctbal").over(w), "prev_bal"),
+    )
+
+
+SQL_ntile_pct = """
+SELECT c_custkey, c_nationkey,
+       floor((c_acctbal)*1000000 + 0.5)/1000000 AS c_acctbal,
+       ntile(4) OVER w AS quartile,
+       rank() OVER w AS rnk,
+       floor((lag(c_acctbal) OVER w)*1000000 + 0.5)/1000000 AS prev_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "resample_1h_mean": q_resample_1h_mean,
@@ -1263,6 +1415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": q_distinct_agg,
         "except_intersect": q_except_intersect,
         "sessionize": q_sessionize,
+        "tpch_q3_like": q_tpch_q3_like,
+        "tpch_q5_like": q_tpch_q5_like,
+        "tpch_q6_like": q_tpch_q6_like,
+        "cube_orders": q_cube_orders,
+        "ntile_pct": q_ntile_pct,
     }
 
 
@@ -1308,4 +1465,9 @@ def oracle_sql() -> dict[str, str]:
         "distinct_agg": SQL_distinct_agg,
         "except_intersect": SQL_except_intersect,
         "sessionize": SQL_sessionize,
+        "tpch_q3_like": SQL_tpch_q3_like,
+        "tpch_q5_like": SQL_tpch_q5_like,
+        "tpch_q6_like": SQL_tpch_q6_like,
+        "cube_orders": SQL_cube_orders,
+        "ntile_pct": SQL_ntile_pct,
     }

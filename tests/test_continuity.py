@@ -66,3 +66,45 @@ def test_grouped_gaps(spark):
     df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, v DOUBLE")
     gaps = find_gaps(df, "ts", expected_freq=3600, group_cols=["k"]).collect()
     assert len(gaps) == 1 and gaps[0]["k"] == "b"
+
+
+def test_distributed_prev_matches_single_window(spark):
+    """Unkeyed diff must equal the naive global-window lag on irregular data."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from time_series_loader_spark.operators.continuity import with_time_diff
+
+    random.seed(11)
+    rows = sorted(
+        (datetime(2023, 1, 1) + timedelta(seconds=random.randint(0, 10_000_000)),)
+        for _ in range(500)
+    )
+    df = spark.createDataFrame(rows, "ts TIMESTAMP")
+    naive = (
+        df.withColumn(
+            "d",
+            F.col("ts").cast("double") - F.lag("ts").over(Window.orderBy("ts")).cast("double"),
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    dist = (
+        with_time_diff(df, "ts", num_buckets=7).orderBy("ts").collect()
+    )
+    assert [r["d"] for r in naive] == [r["diff_seconds"] for r in dist]
+
+
+def test_distributed_prev_degenerate_cases(spark):
+    from time_series_loader_spark.operators.continuity import with_time_diff
+
+    # all-equal timestamps → span 0 → falls back to single window
+    df = spark.createDataFrame([(datetime(2023, 1, 1),)] * 3, "ts TIMESTAMP")
+    out = with_time_diff(df, "ts").collect()
+    assert sorted(r["diff_seconds"] for r in out if r["diff_seconds"] is not None) == [0.0, 0.0]
+
+    # single row
+    df1 = spark.createDataFrame([(datetime(2023, 1, 1),)], "ts TIMESTAMP")
+    assert with_time_diff(df1, "ts").collect()[0]["diff_seconds"] is None

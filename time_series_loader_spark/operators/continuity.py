@@ -43,32 +43,103 @@ def _w(group_cols: Sequence[str], ts_col: str) -> Window:
     return w
 
 
+def _with_prev_ts(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: Sequence[str],
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Add ``_prev_ts`` = the previous row's timestamp in global time order.
+
+    Keyed input: plain lag window partitioned by the series key.
+
+    Unkeyed input (the reference's one-global-timeline model) does NOT
+    funnel through one partition: rows are bucketed by a DETERMINISTIC
+    value-based time range (pure function of ts — no sampling, so repeated
+    subtree evaluations agree), lag runs per bucket, and the per-bucket
+    boundary rows take their predecessor from a broadcast (bucket →
+    previous bucket's max ts) table built by a cheap map-side aggregate.
+    Cost: two extra lightweight agg scans; benefit: the sort is
+    hash-distributed over ``num_buckets`` partitions instead of one.
+    """
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(ts_col)
+        return df.withColumn("_prev_ts", F.lag(ts_col).over(w))
+
+    spark = df.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism
+    b = df.agg(
+        F.min(ts_col).cast("double").alias("lo"), F.max(ts_col).cast("double").alias("hi")
+    ).collect()[0]
+    if b["lo"] is None or b["hi"] is None or b["hi"] <= b["lo"] or n <= 1:
+        w = Window.orderBy(ts_col)
+        return df.withColumn("_prev_ts", F.lag(ts_col).over(w))
+    span = b["hi"] - b["lo"]
+    pid = F.least(
+        F.lit(n - 1),
+        F.floor((F.col(ts_col).cast("double") - F.lit(b["lo"])) / F.lit(span / n)),
+    ).alias("_pid")
+
+    bucketed = df.withColumn("_pid", pid)
+    # bounds from the PRE-window frame: a map-side-combined agg over
+    # (pid, ts) — computing it from the windowed frame would force the
+    # expensive sort to evaluate twice
+    bounds = bucketed.groupBy("_pid").agg(F.max(ts_col).alias("_pmax"))
+    w_b = Window.orderBy("_pid")  # n rows — trivially single-partition
+    boundary = bounds.select("_pid", F.lag("_pmax").over(w_b).alias("_boundary_prev"))
+
+    w_local = Window.partitionBy("_pid").orderBy(ts_col)
+    windowed = bucketed.withColumn("_local_prev", F.lag(ts_col).over(w_local))
+    return (
+        windowed.join(F.broadcast(boundary), "_pid", "left")
+        .withColumn("_prev_ts", F.coalesce("_local_prev", "_boundary_prev"))
+        .drop("_pid", "_local_prev", "_boundary_prev")
+    )
+
+
 def with_time_diff(
     df: DataFrame,
     ts_col: str,
     group_cols: Sequence[str] = (),
     diff_col: str = "diff_seconds",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """W1: per-row delta to the previous row, in (fractional) seconds."""
-    w = _w(group_cols, ts_col)
-    prev = F.lag(ts_col).over(w)
+    out = _with_prev_ts(df, ts_col, group_cols, num_buckets)
     # Subsecond-exact: cast both to double epoch before differencing.
-    delta = F.col(ts_col).cast("double") - prev.cast("double")
-    return df.withColumn(diff_col, delta)
+    delta = F.col(ts_col).cast("double") - F.col("_prev_ts").cast("double")
+    return out.withColumn(diff_col, delta).drop("_prev_ts")
 
 
 def infer_frequency_seconds(
-    df: DataFrame, ts_col: str, group_cols: Sequence[str] = ()
+    df: DataFrame,
+    ts_col: str,
+    group_cols: Sequence[str] = (),
+    exact: bool = True,
 ) -> DataFrame:
     """W3: median inter-row delta in seconds, as a 1-row (or per-group) DF.
 
     The reference falls back to the median of ``np.diff`` when
     ``pd.infer_freq`` fails (``load_file.py:2063-2074``); real-world spacing
-    is rarely perfectly regular so the median IS the inference. Exact
-    ``percentile`` (not approx) — the diff column is one double per row.
+    is rarely perfectly regular so the median IS the inference.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (buffers every distinct
+    diff — right up to ~millions of rows, and required for oracle parity).
+    At larger scale pass ``exact=False``: ``percentile_approx`` with a
+    10k-centroid sketch — bounded memory, mergeable, ~4 significant digits.
     """
-    diffs = with_time_diff(df, ts_col, group_cols).where(F.col("diff_seconds").isNotNull())
-    agg = F.percentile(F.col("diff_seconds"), F.lit(0.5)).alias("freq_seconds")
+    # project before the window: the diff shuffle should carry timestamps
+    # only, not the full row
+    slim = df.select(*group_cols, ts_col)
+    diffs = with_time_diff(slim, ts_col, group_cols).where(
+        F.col("diff_seconds").isNotNull()
+    )
+    if exact:
+        agg = F.percentile(F.col("diff_seconds"), F.lit(0.5)).alias("freq_seconds")
+    else:
+        agg = F.percentile_approx(
+            F.col("diff_seconds"), F.lit(0.5), F.lit(10000)
+        ).alias("freq_seconds")
     if group_cols:
         return diffs.groupBy(*group_cols).agg(agg)
     return diffs.agg(agg)
@@ -89,15 +160,15 @@ def find_gaps(
     """
     expected_s = _freq_float(expected_freq)
     min_gap_s = _freq_float(min_gap) if min_gap else 0.0
-    w = _w(group_cols, ts_col)
-    prev_ts = F.lag(ts_col).over(w)
-    delta = F.col(ts_col).cast("double") - prev_ts.cast("double")
+    # ts-only projection: the window shuffle carries 8 bytes/row, not rows
+    prev = _with_prev_ts(df.select(*group_cols, ts_col), ts_col, group_cols)
+    delta = F.col(ts_col).cast("double") - F.col("_prev_ts").cast("double")
     return (
-        df.select(*group_cols, F.col(ts_col), prev_ts.alias("_prev"), delta.alias("_d"))
+        prev.select(*group_cols, F.col(ts_col), F.col("_prev_ts"), delta.alias("_d"))
         .where(F.col("_d") > expected_s + min_gap_s)
         .select(
             *group_cols,
-            F.col("_prev").alias("gap_start"),
+            F.col("_prev_ts").alias("gap_start"),
             F.col(ts_col).alias("gap_end"),
             F.col("_d").alias("gap_seconds"),
             (F.floor(F.col("_d") / expected_s) - 1).cast("bigint").alias("expected_points"),

@@ -99,4 +99,5 @@ def reindex_to_grid(
         )
     else:
         grid = grid_over_span(df, ts_col, freq, segments)
-    return grid.join(df, on=ts_col, how="left").orderBy(ts_col)
+    # no trailing orderBy: downstream fills re-sort in their windows anyway
+    return grid.join(df, on=ts_col, how="left")

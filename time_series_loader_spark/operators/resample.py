@@ -53,7 +53,7 @@ def bucket_start(ts: Column | str, step_seconds: int, origin_epoch: int = 0) -> 
 # and commutative, so results are bit-identical regardless of partitioning
 # or merge order — required for reproducible pipelines (and oracle parity).
 # 15 integer digits of headroom; overflow → null (caller's signal to widen).
-_DEC = "decimal(27,12)"
+_DEC = "decimal(27,6)"
 
 
 def _agg_expr(col: str, method: str, ts_col: str, skipna: bool, dtype: str = "double") -> Column:
@@ -120,11 +120,10 @@ def resample(
         aggs.append(
             _agg_expr(src, m, ts_col, skipna, dtypes.get(src, "double")).alias(out)
         )
-    return (
-        df.groupBy(*group_cols, bucket)
-        .agg(*aggs)
-        .orderBy(*group_cols, ts_col)
-    )
+    # NOTE: no trailing orderBy — a total sort is a range exchange that any
+    # downstream join/window/agg immediately destroys. Callers that need
+    # sorted output (display, file write) order explicitly.
+    return df.groupBy(*group_cols, bucket).agg(*aggs)
 
 
 def resample_with_dates(
@@ -184,4 +183,4 @@ def resample_with_dates(
             labels, df.select(ts_col, *nearest_cols), ts_col=ts_col, value_cols=list(nearest_cols)
         )
         out = out.join(nearest, on=ts_col, how="left")
-    return out.orderBy(ts_col)
+    return out

@@ -270,7 +270,9 @@ class TimeSeriesLoader:
             out = bfill(out, ts, value_cols, limit=limit)
         elif method_fill in ("interpolate", "time"):
             out = interpolate_time(out, ts, value_cols, limit=limit)
-        return out
+        # user-facing result is time-ordered (operators themselves skip the
+        # sort so composed plans don't pay redundant range exchanges)
+        return out.orderBy(ts)
 
     def _segments_excluding(self, gaps: list[dict]) -> list[tuple[datetime, datetime]]:
         """Continuous segments between large gaps (reference 2309-2329)."""

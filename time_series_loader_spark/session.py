@@ -57,6 +57,9 @@ def get_spark(
         shuffle_partitions = LOCAL_CPUS
 
     conf = {
+        # local mode: driver JVM IS the executor — size it for the machine
+        # (only effective at JVM launch; harmless if session already exists)
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",

@@ -88,7 +88,7 @@ def windowed_resample_stream(
         .agg(
             F.count(value_col).alias("n"),
             # decimal accumulation: state-merge order can't perturb the mean
-            F.sum(F.col(value_col).cast("decimal(27,12)")).alias("_sum_dec"),
+            F.sum(F.col(value_col).cast("decimal(27,6)")).alias("_sum_dec"),
         )
         .select(
             *group_cols,

@@ -1,0 +1,129 @@
+"""Single-node pandas baseline for the flagship pipeline.
+
+The reference publishes no numbers (BASELINE.md), so this implements the
+reference's own execution style — eager pandas, full in-memory frame — for
+the flagship pipeline (hourly mean resample → 30-min reindex → ffill →
+continuity/gap analysis) and times it against the Spark engine on the same
+parquet at the same scale factor.
+
+Usage: python tools/baseline_pandas.py [sf_dir] [replicate]
+Prints one JSON line {"pandas_sec": ..., "spark_sec": ..., "speedup": ...}.
+
+``replicate`` tiles the events table N times with shifted timelines (a
+deterministic volume amplifier — same distribution, N× rows) to measure
+where the Spark engine's constant job overhead crosses pandas' per-row
+cost. The reference's execution model (eager single-process pandas) is the
+baseline being compared.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+
+def pandas_flagship(sf_dir: str, replicate: int = 1) -> tuple[int, float]:
+    t0 = time.time()
+    df = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    if replicate > 1:
+        span = df["ts"].max() - df["ts"].min() + pd.Timedelta(seconds=1)
+        parts = [df]
+        for k in range(1, replicate):
+            shifted = df.copy()
+            shifted["ts"] = shifted["ts"] + span * k
+            parts.append(shifted)
+        df = pd.concat(parts, ignore_index=True)
+    df = df.sort_values("ts").set_index("ts")
+    hourly = df["value"].resample("1h").mean()
+    grid = hourly.reindex(
+        pd.date_range(hourly.index.min(), hourly.index.max(), freq="30min")
+    )
+    filled = grid.ffill()
+    # continuity analysis over the RAW event timeline (same work as Spark)
+    diffs = df.index.to_series().diff().dt.total_seconds()
+    med = diffs.median()
+    gaps = diffs[diffs > 10 * med]
+    n = len(filled) + len(gaps)
+    return n, time.time() - t0
+
+
+def spark_flagship(sf_dir: str, replicate: int = 1) -> tuple[int, float]:
+    from pyspark.sql import functions as F
+
+    from time_series_loader_spark.operators.continuity import find_gaps, infer_frequency_seconds
+    from time_series_loader_spark.operators.fill import ffill
+    from time_series_loader_spark.operators.grid import reindex_to_grid
+    from time_series_loader_spark.operators.resample import resample
+    from time_series_loader_spark.session import get_spark, read_table
+
+    spark = get_spark("baseline-compare")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1).count()  # JVM warmup outside the timed section
+    read_table(spark, sf_dir, "events").limit(1).count()
+
+    t0 = time.time()
+    ev = read_table(spark, sf_dir, "events").select("ts", "value")
+    if replicate > 1:
+        bounds = ev.agg(
+            (F.max("ts").cast("double") - F.min("ts").cast("double") + 1).alias("span")
+        ).collect()[0]
+        span = float(bounds["span"])
+        ev = ev.crossJoin(spark.range(replicate).withColumnRenamed("id", "_k")).select(
+            F.timestamp_seconds(F.col("ts").cast("double") + F.col("_k") * span).alias("ts"),
+            "value",
+        )
+        # pandas holds the replicated frame in RAM; give Spark the same
+        # footing instead of re-deriving the input for every action
+        ev = ev.cache()
+        ev.count()
+    hourly = resample(ev, "ts", "1h", method="mean", value_cols=["value"])
+    grid = reindex_to_grid(hourly, "ts", "30min")
+    filled = ffill(grid, "ts", ["value"])
+    n_filled = filled.count()
+    # ONE diff pass shared by median + gap detection (pandas holds the diff
+    # series in RAM the same way); approx median = bounded-memory sketch
+    from time_series_loader_spark.operators.continuity import with_time_diff
+
+    diffs = (
+        with_time_diff(ev.select("ts"), "ts")
+        .where(F.col("diff_seconds").isNotNull())
+        .cache()
+    )
+    med = float(
+        diffs.agg(
+            F.percentile_approx("diff_seconds", F.lit(0.5), F.lit(10000))
+        ).collect()[0][0]
+    )
+    n_gaps = diffs.where(F.col("diff_seconds") > 10 * med).count()
+    diffs.unpersist()
+    return n_filled + n_gaps, time.time() - t0
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    n_p, t_p = pandas_flagship(sf_dir, replicate)
+    n_s, t_s = spark_flagship(sf_dir, replicate)
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "replicate": replicate,
+                "pandas_sec": round(t_p, 3),
+                "spark_sec": round(t_s, 3),
+                "speedup": round(t_p / t_s, 2) if t_s else None,
+                "pandas_rows": n_p,
+                "spark_rows": n_s,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
