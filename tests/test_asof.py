@@ -58,3 +58,46 @@ def test_tie_prefers_earlier(spark):
     targets = spark.createDataFrame([(datetime(2023, 1, 1, 1, 0),)], "ts TIMESTAMP")
     out = asof_nearest(targets, data, "ts", ["value"]).collect()
     assert out[0]["value"] == 1.0
+
+
+def test_row_level_match_with_null_values(spark):
+    """merge_asof semantics: the nearest ROW's value is returned even when
+    that value is null (not the nearest non-null value)."""
+    data = spark.createDataFrame(
+        [(datetime(2023, 1, 1, 0), 1.0), (datetime(2023, 1, 1, 2), None),
+         (datetime(2023, 1, 1, 4), 4.0)],
+        "ts TIMESTAMP, value DOUBLE",
+    )
+    targets = spark.createDataFrame(
+        [(datetime(2023, 1, 1, 2, 10),)], "ts TIMESTAMP"
+    )
+    out = asof_nearest(targets, data, "ts", ["value"], direction="backward").collect()
+    assert out[0]["value"] is None  # nearest row at 02:00 has null value
+
+
+def test_distributed_buckets_match_merge_asof(spark):
+    """Bucketed unkeyed path must equal pd.merge_asof across bucket
+    boundaries (targets in buckets with no data rows)."""
+    data_rows = [(datetime(2023, 1, 1) + timedelta(minutes=m), float(m)) for m in (0, 5, 250, 255)]
+    target_ts = [datetime(2023, 1, 1) + timedelta(minutes=m) for m in (1, 60, 120, 200, 251, 300)]
+    data = spark.createDataFrame(data_rows, "ts TIMESTAMP, value DOUBLE")
+    targets = spark.createDataFrame([(t,) for t in target_ts], "ts TIMESTAMP")
+    for direction in ("nearest", "backward", "forward"):
+        got = {
+            r["ts"]: r["value"]
+            for r in asof_nearest(
+                targets, data, "ts", ["value"], direction=direction, num_buckets=6
+            ).collect()
+        }
+        exp = pd.merge_asof(
+            pd.DataFrame({"ts": pd.to_datetime(target_ts)}),
+            pd.DataFrame(data_rows, columns=["ts", "value"]),
+            on="ts",
+            direction=direction,
+        )
+        for _, row in exp.iterrows():
+            g = got[row["ts"].to_pydatetime()]
+            if pd.isna(row["value"]):
+                assert g is None, direction
+            else:
+                assert g == row["value"], direction

@@ -77,3 +77,46 @@ def test_grouped_fill_partitions_independently(spark):
     out = ffill(df, "ts", ["v"], group_cols=["k"]).collect()
     for r in out:
         assert r["v"] == (100.0 if r["k"] == "a" else 200.0)
+
+
+@pytest.mark.parametrize("limit", [None, 1, 2, 3])
+@pytest.mark.parametrize("backward", [False, True])
+def test_distributed_fill_matches_pandas_many_buckets(spark, limit, backward):
+    """Force many small time buckets so cross-bucket carries are exercised."""
+    values = [None, 1.0, None, None, None, None, 5.0, None, 2.0] + [None] * 8 + [7.0, None, None]
+    rows = [
+        (datetime(2023, 1, 1) + timedelta(hours=i), v) for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, v DOUBLE")
+    fn = bfill if backward else ffill
+    got = [
+        r["v"]
+        for r in fn(df, "ts", ["v"], limit=limit, num_buckets=5).orderBy("ts").collect()
+    ]
+    s = _pandas_series_from(values)
+    exp = (s.bfill(limit=limit) if backward else s.ffill(limit=limit)).tolist()
+    for g, e in zip(got, exp):
+        assert (g is None and np.isnan(e)) or g == pytest.approx(e), (got, exp)
+
+
+def _pandas_series_from(values):
+    idx = pd.date_range("2023-01-01", periods=len(values), freq="h")
+    return pd.Series([np.nan if v is None else v for v in values], index=idx)
+
+
+@pytest.mark.parametrize("limit", [None, 1, 2])
+def test_distributed_interpolate_matches_pandas_many_buckets(spark, limit):
+    values = [None, 1.0, None, None, None, None, 5.0, None, 2.0] + [None] * 8 + [7.0, None, None]
+    rows = [
+        (datetime(2023, 1, 1) + timedelta(hours=i), v) for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, v DOUBLE")
+    got = [
+        r["v"]
+        for r in interpolate_time(df, "ts", ["v"], limit=limit, num_buckets=5)
+        .orderBy("ts")
+        .collect()
+    ]
+    exp = _pandas_series_from(values).interpolate(method="time", limit=limit).tolist()
+    for g, e in zip(got, exp):
+        assert (g is None and np.isnan(e)) or g == pytest.approx(e), (got, exp)

@@ -8,23 +8,71 @@ Spark lacks a native as-of join. This is the union-of-timelines composition
 (SURVEY.md §2.3 option (a)):
 
 1. union the target timestamps (tagged) with the data timestamps;
-2. one ordered window pass computes, at every position, the previous and
-   next data value + timestamp (``last ignorenulls`` forward / backward);
-3. each target row picks whichever neighbor is nearer (ties → earlier row,
-   matching a stable scan).
+2. ONE ascending sort; at every position the previous data ROW comes from
+   ``last(ignorenulls)`` over the preceding frame and the next data ROW
+   from ``first(ignorenulls)`` over the following frame — both frames share
+   the sort, so Spark runs a single Window operator. Rows travel as one
+   struct, so the match is ROW-level (pd.merge_asof semantics: the nearest
+   row's value is returned even when that value is null);
+3. each target picks whichever neighbor is nearer (ties → earlier row).
 
-Cost: one sort-shuffle over targets+data — O((n+m) log p) distributed, vs
-the reference's O(n·m) loop. Keyed by ``group_cols`` when a series key
-exists; direction='backward'/'forward' variants come free by picking only
-that neighbor.
+Cost: one sort over targets+data — O((n+m) log p) distributed vs the
+reference's O(n·m) loop. Keyed input partitions by the series key; UNKEYED
+input is bucketed by deterministic time ranges with tiny prefix-scanned
+carry tables for the bucket-boundary neighbors (same scheme as fill.py) —
+no single-partition funnel.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from time_series_loader_spark.functions.bucketing import time_bucket_column, time_span
+
+
+def _pick(
+    enriched: DataFrame,
+    ts_col: str,
+    value_cols: Sequence[str],
+    gcols: Sequence[str],
+    direction: str,
+    tolerance_seconds: float | None,
+) -> DataFrame:
+    t = F.col(ts_col).cast("double")
+    prev_ts = F.col("_prev").getField("_ts")
+    next_ts = F.col("_next").getField("_ts")
+    d_prev = t - prev_ts.cast("double")
+    d_next = next_ts.cast("double") - t
+    exact = prev_ts.isNotNull() & (d_prev == 0)
+
+    if direction == "backward":
+        use_prev = prev_ts.isNotNull()
+    elif direction == "forward":
+        use_prev = exact  # exact-ts match counts as the forward neighbor
+    else:
+        use_prev = prev_ts.isNotNull() & (next_ts.isNull() | (d_prev <= d_next))
+
+    if tolerance_seconds is not None:
+        tol = F.lit(float(tolerance_seconds))
+        prev_ok = prev_ts.isNotNull() & (d_prev <= tol)
+        next_ok = next_ts.isNotNull() & (d_next <= tol)
+    else:
+        prev_ok = prev_ts.isNotNull()
+        next_ok = next_ts.isNotNull()
+
+    picked = []
+    for c in value_cols:
+        prev_v = F.when(prev_ok, F.col("_prev").getField(c))
+        next_v = F.when(next_ok, F.col("_next").getField(c))
+        if direction == "backward":
+            expr = prev_v
+        else:
+            expr = F.when(use_prev & prev_ok, prev_v).otherwise(next_v)
+        picked.append(expr.alias(c))
+    return enriched.select(*gcols, ts_col, *picked)
 
 
 def asof_nearest(
@@ -35,86 +83,119 @@ def asof_nearest(
     group_cols: Sequence[str] = (),
     direction: str = "nearest",
     tolerance_seconds: float | None = None,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Join ``value_cols`` from ``data`` onto ``targets`` by nearest ts.
 
-    ``direction``: 'nearest' | 'backward' (last value at/before target) |
-    'forward' (first value at/after target) — pd.merge_asof parity.
+    ``direction``: 'nearest' | 'backward' (last row at/before target) |
+    'forward' (first row at/after target) — pd.merge_asof parity.
     """
     if direction not in ("nearest", "backward", "forward"):
         raise ValueError(f"direction must be nearest|backward|forward, got {direction!r}")
     gcols = list(group_cols)
+    dtypes = dict(data.dtypes)
     tagged_t = targets.select(
-        *gcols, ts_col, F.lit(1).alias("_is_target"), *[F.lit(None).alias(c) for c in value_cols]
+        *gcols,
+        ts_col,
+        F.lit(1).alias("_is_target"),
+        *[F.lit(None).cast(dtypes[c]).alias(c) for c in value_cols],
     )
-    tagged_d = data.select(
-        *gcols, ts_col, F.lit(0).alias("_is_target"), *value_cols
-    )
+    tagged_d = data.select(*gcols, ts_col, F.lit(0).alias("_is_target"), *value_cols)
     u = tagged_t.unionByName(tagged_d)
 
-    # ONE ascending sort serves both directions: the backward neighbor is
-    # last-non-null over (unbounded preceding, 0); the forward neighbor is
-    # first-non-null over (1, unbounded following) on the SAME ordering —
-    # Spark keeps a single Sort and evaluates both frames in one pass.
-    # Data rows sort before target rows at equal ts, so an exact-ts match
-    # lands on the backward side (d_prev == 0); the forward direction
-    # recovers exact matches from there (allow_exact_matches parity).
+    # the data ROW as one struct: non-null exactly for data rows, so
+    # last/first(ignorenulls) find the neighboring data row as a whole
+    row_struct = F.when(
+        F.col("_is_target") == 0,
+        F.struct(F.col(ts_col).alias("_ts"), *[F.col(c) for c in value_cols]),
+    )
     order = [F.col(ts_col).asc(), F.col("_is_target").asc()]
-    w = Window.partitionBy(*gcols).orderBy(*order) if gcols else Window.orderBy(*order)
-    w_back = w.rowsBetween(Window.unboundedPreceding, 0)
-    w_fwd = w.rowsBetween(1, Window.unboundedFollowing)
 
+    if gcols:
+        w = Window.partitionBy(*gcols).orderBy(*order)
+        enriched = u.select(
+            *u.columns,
+            F.last(row_struct, ignorenulls=True)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("_prev"),
+            F.first(row_struct, ignorenulls=True)
+            .over(w.rowsBetween(1, Window.unboundedFollowing))
+            .alias("_next"),
+        ).where(F.col("_is_target") == 1)
+        return _pick(enriched, ts_col, value_cols, gcols, direction, tolerance_seconds)
+
+    # unkeyed: deterministic time buckets + boundary carries
+    spark = u.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism
+    lo, hi = time_span(u, ts_col)
+    if lo is None or hi is None or hi <= lo or n <= 1:
+        w = Window.orderBy(*order)
+        enriched = u.select(
+            *u.columns,
+            F.last(row_struct, ignorenulls=True)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("_prev"),
+            F.first(row_struct, ignorenulls=True)
+            .over(w.rowsBetween(1, Window.unboundedFollowing))
+            .alias("_next"),
+        ).where(F.col("_is_target") == 1)
+        return _pick(enriched, ts_col, value_cols, (), direction, tolerance_seconds)
+
+    span = hi - lo
+    bucketed = u.withColumn("_pid", time_bucket_column(ts_col, lo, span, n))
+    w = Window.partitionBy("_pid").orderBy(*order)
+
+    # one agg scan: per bucket, the last and first DATA row (by ts, data
+    # rows only) — the cross-bucket neighbor carries
     data_ts = F.when(F.col("_is_target") == 0, F.col(ts_col))
-    cols = u.columns
-    enriched = u.select(
-        *cols,
-        F.last(data_ts, ignorenulls=True).over(w_back).alias("_prev_ts"),
-        F.first(data_ts, ignorenulls=True).over(w_fwd).alias("_next_ts"),
-        *[
-            F.last(F.when(F.col("_is_target") == 0, F.col(c)), ignorenulls=True)
-            .over(w_back)
-            .alias(f"_prev_{c}")
-            for c in value_cols
-        ],
-        *[
-            F.first(F.when(F.col("_is_target") == 0, F.col(c)), ignorenulls=True)
-            .over(w_fwd)
-            .alias(f"_next_{c}")
-            for c in value_cols
-        ],
-    ).where(F.col("_is_target") == 1)
+    stats = bucketed.groupBy("_pid").agg(
+        F.max_by(row_struct, data_ts).alias("_last_data"),
+        F.min_by(row_struct, data_ts).alias("_first_data"),
+    )
+    stats_rows = sorted(stats.collect(), key=lambda r: r["_pid"])
 
-    t = F.col(ts_col).cast("double")
-    d_prev = t - F.col("_prev_ts").cast("double")
-    d_next = F.col("_next_ts").cast("double") - t
-    exact = F.col("_prev_ts").isNotNull() & (d_prev == 0)
+    prev_carry, nxt_carry = [], []
+    cur = None
+    for r in stats_rows:
+        prev_carry.append((r["_pid"], cur))
+        if r["_last_data"] is not None:
+            cur = r["_last_data"]
+    cur = None
+    for r in reversed(stats_rows):
+        nxt_carry.append((r["_pid"], cur))
+        if r["_first_data"] is not None:
+            cur = r["_first_data"]
 
-    if direction == "backward":
-        use_prev = F.col("_prev_ts").isNotNull()
-    elif direction == "forward":
-        use_prev = exact  # exact-ts match counts as the forward neighbor
-    else:
-        # nearest: prefer the earlier (prev) side on exact ties
-        use_prev = F.col("_prev_ts").isNotNull() & (
-            F.col("_next_ts").isNull() | (d_prev <= d_next)
+    struct_ddl = "STRUCT<_ts: TIMESTAMP, " + ", ".join(
+        f"{c}: {dict(data.dtypes)[c]}" for c in value_cols
+    ) + ">"
+    pc = spark.createDataFrame(
+        [(pid, tuple(s) if s is not None else None) for pid, s in prev_carry],
+        f"_pid INT, _pcarry {struct_ddl}",
+    )
+    nc = spark.createDataFrame(
+        [(pid, tuple(s) if s is not None else None) for pid, s in nxt_carry],
+        f"_pid INT, _ncarry {struct_ddl}",
+    )
+
+    enriched = (
+        bucketed.join(F.broadcast(pc), "_pid", "left")
+        .join(F.broadcast(nc), "_pid", "left")
+        .select(
+            *u.columns,
+            F.coalesce(
+                F.last(row_struct, ignorenulls=True).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.col("_pcarry"),
+            ).alias("_prev"),
+            F.coalesce(
+                F.first(row_struct, ignorenulls=True).over(
+                    w.rowsBetween(1, Window.unboundedFollowing)
+                ),
+                F.col("_ncarry"),
+            ).alias("_next"),
         )
-
-    if tolerance_seconds is not None:
-        tol = F.lit(float(tolerance_seconds))
-        prev_ok = F.col("_prev_ts").isNotNull() & (d_prev <= tol)
-        next_ok = F.col("_next_ts").isNotNull() & (d_next <= tol)
-    else:
-        prev_ok = F.col("_prev_ts").isNotNull()
-        next_ok = F.col("_next_ts").isNotNull()
-
-    picked = []
-    for c in value_cols:
-        prev_v = F.when(prev_ok, F.col(f"_prev_{c}"))
-        next_v = F.when(next_ok, F.col(f"_next_{c}"))
-        if direction == "backward":
-            expr = prev_v
-        else:
-            expr = F.when(use_prev & prev_ok, prev_v).otherwise(next_v)
-        picked.append(expr.alias(c))
-
-    return enriched.select(*gcols, ts_col, *picked)
+        .where(F.col("_is_target") == 1)
+    )
+    return _pick(enriched, ts_col, value_cols, (), direction, tolerance_seconds)
