@@ -1373,6 +1373,124 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
 """
 
 
+def q_streaming_gap_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    incremental gap detection — state carries the last event time per key;
+    gaps emit the moment the successor arrives. Append emission with O(1)
+    state/key; oracle = the batch lag-based gap set."""
+    _prep(spark)
+    from time_series_loader_spark.streaming.ingest import (
+        file_as_stream_dir,
+        run_available_now,
+        stream_parquet,
+    )
+    from time_series_loader_spark.streaming.stateful import streaming_gap_detector
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = stream_parquet(spark, file_as_stream_dir(f"{sf_dir}/events.parquet"), raw_schema)
+    sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    gaps = streaming_gap_detector(sdf, gap_seconds=14400.0)
+    out = run_available_now(gaps, spark)
+    return out.select(
+        "user_id", "gap_start", "gap_end", _r6(F.col("gap_seconds"), "gap_seconds")
+    )
+
+
+SQL_streaming_gap_detector = """
+WITH d AS (
+  SELECT user_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap_start,
+         ts AS gap_end,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS ds
+  FROM events
+)
+SELECT user_id, gap_start, gap_end,
+       floor((ds)*1000000 + 0.5)/1000000 AS gap_seconds
+FROM d WHERE ds > 14400
+"""
+
+
+_CSV_FIXTURE_FILES = {
+    "S1 - Data - 01-01-2024 00_00_00 - 01-01-2024 23_59_59.csv": [
+        ("10", "01/01/2024 02:00", "a"),
+        ("11", "01/01/2024 00:00", "b"),
+        ("12", "01/01/2024 01:00", "c"),
+    ],
+    "S1 - Data - 01-02-2024 00_00_00 - 01-02-2024 23_59_59.csv": [
+        ("20", "02/01/2024 00:00", "d"),
+        ("x!", "02/01/2024 01:00", "e"),  # coercion → null
+    ],
+    "S1 - Data - 01-03-2024 00_00_00 - 01-03-2024 23_59_59.csv": [
+        ("30", "03/01/2024 05:00", "f"),
+    ],
+}
+
+
+def _csv_fixture_dir() -> str:
+    """Deterministic on-disk CSV fixture (idempotent) for the end-to-end
+    source-pipeline query: F5-style timestamp-named files, ';' delimiter,
+    dd/MM/yyyy HH:mm timestamps, a non-numeric cell, plus decoys."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "tsl_csv_fixture_v1")
+    os.makedirs(d, exist_ok=True)
+    for name, rows in _CSV_FIXTURE_FILES.items():
+        p = os.path.join(d, name)
+        if not os.path.exists(p):
+            with open(p, "w", encoding="utf-8") as f:
+                f.write("value;Time;note\n")
+                for r in rows:
+                    f.write(";".join(r) + "\n")
+    # decoys the discovery layer must reject
+    open(os.path.join(d, "notes.txt"), "w").write("not a csv")
+    open(os.path.join(d, "empty.csv"), "w").close()
+    return d
+
+
+def q_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end source pipeline (S1+S4+S6+P1+P6+P9+O1+O3, reference
+    §3.1): discover timestamp-named CSVs (rejecting decoys), extract
+    filename metadata, validate the sequence, load with coercion + lineage,
+    sort by time. Oracle: DuckDB read_csv over the same fixture."""
+    _prep(spark)
+    from time_series_loader_spark.config import LoadingConfig
+    from time_series_loader_spark.plans.loader import TimeSeriesLoader
+    from time_series_loader_spark.sources.metadata import TimeMetadataExtractor
+
+    d = _csv_fixture_dir()
+    loader = TimeSeriesLoader.from_directory(
+        spark,
+        d,
+        loading=LoadingConfig(timestamp_column="Time"),
+        extractor=TimeMetadataExtractor(),
+    )
+    df = loader.initialize()
+    return df.select(
+        _r6(F.col("value"), "value"),
+        F.col("Time").alias("ts"),
+        F.element_at(F.split(F.col("source_file"), "/"), -1).alias("fname"),
+        F.col("file_start_time"),
+        F.col("file_end_time"),
+    )
+
+
+SQL_csv_pipeline = """
+SELECT TRY_CAST(value AS DOUBLE) AS value,
+       strptime(Time, '%d/%m/%Y %H:%M') AS ts,
+       parse_filename(filename) AS fname,
+       strptime(regexp_extract(parse_filename(filename),
+         '(\\d{2}-\\d{2}-\\d{4} \\d{2}_\\d{2}_\\d{2}) - (\\d{2}-\\d{2}-\\d{4} \\d{2}_\\d{2}_\\d{2})', 1),
+         '%m-%d-%Y %H_%M_%S') AS file_start_time,
+       strptime(regexp_extract(parse_filename(filename),
+         '(\\d{2}-\\d{2}-\\d{4} \\d{2}_\\d{2}_\\d{2}) - (\\d{2}-\\d{2}-\\d{4} \\d{2}_\\d{2}_\\d{2})', 2),
+         '%m-%d-%Y %H_%M_%S') AS file_end_time
+FROM read_csv('/tmp/tsl_csv_fixture_v1/S1*.csv', delim=';', header=true,
+              types={'value': 'VARCHAR', 'Time': 'VARCHAR', 'note': 'VARCHAR'},
+              filename=true)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "resample_1h_mean": q_resample_1h_mean,
@@ -1420,6 +1538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_like": q_tpch_q6_like,
         "cube_orders": q_cube_orders,
         "ntile_pct": q_ntile_pct,
+        "csv_pipeline": q_csv_pipeline,
+        "streaming_gap_detector": q_streaming_gap_detector,
     }
 
 
@@ -1470,4 +1590,6 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6_like": SQL_tpch_q6_like,
         "cube_orders": SQL_cube_orders,
         "ntile_pct": SQL_ntile_pct,
+        "csv_pipeline": SQL_csv_pipeline,
+        "streaming_gap_detector": SQL_streaming_gap_detector,
     }

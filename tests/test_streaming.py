@@ -108,3 +108,38 @@ def test_permissive_bad_records(spark, tmp_path):
     assert len(good) == 2 and len(bad) == 1
     assert bad[0]["_corrupt_record"].startswith("oops")
     assert {r["a"] for r in good} == {1, 3}
+
+
+def test_stateful_gap_detector_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state (last ts per user) must persist across
+    micro-batches so a gap spanning two files is still detected."""
+    from time_series_loader_spark.streaming.ingest import run_available_now
+    from time_series_loader_spark.streaming.stateful import streaming_gap_detector
+
+    _write(
+        tmp_path,
+        "a.csv",
+        [("2023-01-01 00:00:00", 1.0), ("2023-01-01 00:10:00", 1.0)],
+        mtime=1_700_000_000,
+    )
+    # second file: user continues 3h later → the gap crosses the batch line
+    _write(
+        tmp_path,
+        "b.csv",
+        [("2023-01-01 03:10:00", 1.0), ("2023-01-01 03:20:00", 1.0)],
+        mtime=1_700_000_100,
+    )
+    sdf = stream_csv_directory(
+        spark, str(tmp_path), "ts TIMESTAMP, value DOUBLE", max_files_per_trigger=1
+    )
+    from pyspark.sql import functions as F
+
+    sdf = sdf.withColumn("user_id", F.lit(7).cast("bigint"))
+    gaps = streaming_gap_detector(sdf, gap_seconds=3600.0)
+    out = run_available_now(gaps, spark).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["user_id"] == 7
+    assert g["gap_start"] == datetime(2023, 1, 1, 0, 10)
+    assert g["gap_end"] == datetime(2023, 1, 1, 3, 10)
+    assert g["gap_seconds"] == pytest.approx(3 * 3600.0)

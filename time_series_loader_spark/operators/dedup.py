@@ -47,24 +47,38 @@ def dedup_exact(
     )
 
 
+def _shingles_of(t: Column, n: int) -> Column:
+    """Distinct word n-grams of a token ARRAY column.
+
+    Linear construction: zip n shifted views of the array
+    (``slice(t, i, m)`` for i = 1..n) with string concatenation — O(tokens)
+    work per row. The naive form (``transform(sequence(...), i ->
+    concat_ws(slice(t, i, n)))``) re-evaluates the tokenization expression
+    inside the lambda for every shingle, going quadratic per doc.
+    """
+    m = F.size(t) - (n - 1)
+    acc = F.slice(t, n, m)
+    for i in range(n - 1, 0, -1):
+        part = F.slice(t, i, m)
+        acc = F.zip_with(part, acc, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(m >= 1, F.array_distinct(acc)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the whitespace-token stream."""
-    t = tokens(text)
-    # slide an n-window over tokens: positions 1 .. size-n+1 (1-based
-    # slice). Guard short docs: Spark's sequence(1, 0) counts DOWN, so an
-    # explicit empty array is required when size < n.
-    starts = F.sequence(F.lit(1), F.size(t) - (n - 1))
-    sh = F.when(
-        F.size(t) >= n,
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(sh)
+    return _shingles_of(tokens(text), n)
 
 
 def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) long table — distinct shingles per doc."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    """(id, shingle) long table — distinct shingles per doc.
+
+    Two-step projection so the tokenization materializes once per row
+    (Catalyst's CollapseProject keeps the multi-referenced alias)."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return toks.select(
+        F.col(id_col), F.explode(_shingles_of(F.col("_toks"), n)).alias("shingle")
     )
 
 
