@@ -198,3 +198,17 @@ def test_custom_validation_strategy():
 
     with pytest.raises(ValueError, match="CUSTOM strategy requires"):
         is_valid_sequence([], TimeSeriesConfig(strategy=ValidationStrategy.CUSTOM))
+
+
+def test_lenient_parse_udf(spark):
+    from time_series_loader_spark.functions.timeparse import lenient_parse_udf
+
+    df = spark.createDataFrame(
+        [("01/02/2023",), ("2023-06-07 10:30:00",), ("garbage",), (None,)],
+        "s STRING",
+    )
+    out = df.select(lenient_parse_udf("DMY")(F.col("s")).alias("t")).collect()
+    assert out[0]["t"] == datetime(2023, 2, 1)   # dayfirst
+    assert out[1]["t"] == datetime(2023, 6, 7, 10, 30)
+    assert out[2]["t"] is None
+    assert out[3]["t"] is None

@@ -56,3 +56,32 @@ def parse_timestamp_multi(
     # Bare try_to_timestamp last: accepts ISO-ish strings nothing else caught.
     parsed.append(F.try_to_timestamp(c))
     return F.coalesce(*parsed)
+
+
+def lenient_parse_udf(date_order: str = "DMY"):
+    """OPT-IN compat shim for the reference's row-wise ``dateparser``
+    fallback (reference ``load_file.py:1932-1955`` — flagged slow there
+    too, TODO at ``:1933``).
+
+    Arrow-batched pandas UDF wrapping ``pd.to_datetime`` with dayfirst /
+    yearfirst derived from the reference's DATE_ORDER settings
+    (``load_file.py:1984-1989``). ~100× faster than row-at-a-time parsing
+    but still the slow path — the ``coalesce(try_to_timestamp...)`` family
+    above stays JVM-side and should be preferred (documented divergence,
+    SURVEY.md §7 hard-part (e)).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import TimestampType
+
+    dayfirst = date_order.upper() == "DMY"
+    yearfirst = date_order.upper() == "YMD"
+
+    # no type hints: pd is module-local, so string annotations can't resolve
+    # during PySpark's hint inference — the legacy SCALAR form works
+    def _parse(s):
+        return pd.to_datetime(
+            s, errors="coerce", dayfirst=dayfirst, yearfirst=yearfirst, format="mixed"
+        )
+
+    return pandas_udf(_parse, TimestampType())
