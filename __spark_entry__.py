@@ -975,6 +975,25 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", _r6(F.col("cos"), "cos"), "rank")
 
 
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN variant: coarse k-means cells + n_probe search (rows-only;
+    recall vs the brute-force oracle baseline is asserted in tests)."""
+    _prep(spark)
+    from time_series_loader_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_ivf(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_cells=8,
+        n_probe=3,
+    )
+    return out.select("query_id", "neighbor_id", _r6(F.col("cos"), "cos"), "rank")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload + typed metadata, features via
     Arrow-batched mapInPandas (stub decode kernel — see
@@ -1525,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "cosine_topk_ivf": q_cosine_topk_ivf,
         "multimodal_features": q_multimodal_features,
         # streaming + additional relational coverage
         "streaming_hourly": q_streaming_hourly,

@@ -107,3 +107,25 @@ def test_multimodal_real_decode_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id BIGINT, text STRING")
     with pytest.raises(Exception, match="NotImplementedError|real decode"):
         extract_features(attach_payload(df, "text", "doc_id"), decode_stub=False).collect()
+
+
+def test_ivf_recall_and_exactness_of_scores(spark, emb):
+    from time_series_loader_spark.operators.similarity import cosine_topk_ivf
+
+    df, _ = emb
+    q = df.where(F.col("vec_id") < 5)
+    c = df.where(F.col("vec_id") >= 5)
+    brute = cosine_topk(q, c, "vec_id", "embedding", k=3).collect()
+    ivf = cosine_topk_ivf(
+        q, c, "vec_id", "embedding", k=3, n_cells=4, n_probe=2
+    ).collect()
+    brute_set = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(brute_set & ivf_set) / len(brute_set)
+    assert recall >= 0.5  # 2 of 4 cells probed
+    # scores of overlapping hits must be the exact cosines
+    brute_cos = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in brute}
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute_cos:
+            assert r["cos"] == brute_cos[key]

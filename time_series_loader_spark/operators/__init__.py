@@ -9,8 +9,46 @@ from time_series_loader_spark.operators.fill import ffill, bfill
 from time_series_loader_spark.operators.interpolate import interpolate_time
 from time_series_loader_spark.operators.asof import asof_nearest
 from time_series_loader_spark.operators.outliers import remove_outliers_zscore
+from time_series_loader_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from time_series_loader_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_features,
+    simhash_bits,
+    token_stats,
+)
+from time_series_loader_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
+from time_series_loader_spark.operators.multimodal import attach_payload, extract_features
+from time_series_loader_spark.operators.relational import salted_join, top_k
 
 __all__ = [
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_near_dup_pairs",
+    "fingerprint",
+    "language_id",
+    "quality_features",
+    "simhash_bits",
+    "token_stats",
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "cosine_topk_lsh",
+    "embedding_near_dup_pairs",
+    "attach_payload",
+    "extract_features",
+    "salted_join",
+    "top_k",
     "resample",
     "resample_with_dates",
     "infer_frequency_seconds",

@@ -135,6 +135,101 @@ def cosine_topk_lsh(
     )
 
 
+def _nearest_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """Ids of the ``n_probe`` nearest centroids (squared-L2), as an array.
+
+    Distance comparison uses ``|c|² - 2·v·c`` (the ``|v|²`` term is common
+    to all cells); argmin via array_sort over (dist, id) structs — all
+    JVM-side expressions over literal centroid arrays.
+    """
+    entries = []
+    for j, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in c]).cast("array<float>")
+        c2 = float(sum(x * x for x in c))
+        d = F.lit(c2) - 2.0 * dot_exact(vec, lit_c)
+        entries.append(F.struct(d.alias("d"), F.lit(j).alias("cell")))
+    ranked = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s.getField("cell"))
+
+
+def kmeans_cells(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic coarse k-means for IVF: init = vectors of the
+    ``n_cells`` smallest ids, then Lloyd iterations with element-wise means
+    via posexplode + groupBy (k×dim collect per iteration — tiny)."""
+    init = (
+        corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col).alias("_v"),
+            _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("_cell"),
+        )
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new = {c: dict() for c in range(len(centroids))}
+        for r in means:
+            new[r["_cell"]][r["_pos"]] = r["_m"]
+        centroids = [
+            [new[c][p] for p in sorted(new[c])] if new.get(c) else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k: coarse k-means cells over the corpus; each query
+    scores only the candidates in its ``n_probe`` nearest cells.
+
+    Scale shape: centroid fitting touches the corpus ``iters`` times with
+    map-side aggregation only; search joins the (broadcast) exploded query
+    probes to the cell-keyed corpus — ~``n_probe/n_cells`` of the corpus is
+    scored per query. Recall tunes with n_cells/n_probe; benchmark against
+    ``cosine_topk`` (the exact baseline).
+    """
+    centroids = kmeans_cells(corpus, id_col, vec_col, n_cells, iters)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("_cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("_cell"),
+    )
+    scored = F.broadcast(q).join(c, "_cell").select(
+        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
