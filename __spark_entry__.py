@@ -892,16 +892,56 @@ SELECT doc_id, concat({bits}) AS simhash FROM s
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (32-bit signature, Hamming ≤ 1, block-key
-    joined). Rows-only check: the signature family is oracle-checked via
-    `simhash`; blocking exactness is asserted in tests. Hamming ≤ 1 keeps
-    the pair set sparse on this same-vocab corpus — long same-distribution
-    docs concentrate simhashes, so looser thresholds degenerate to a dense
-    quadratic pair set (a property of the data, not the operator)."""
+    joined). Hamming ≤ 1 keeps the pair set sparse on this same-vocab
+    corpus — long same-distribution docs concentrate simhashes, so looser
+    thresholds degenerate to a dense quadratic pair set (a property of the
+    data, not the operator). Fully SQL-expressible → exact oracle."""
     _prep(spark)
     from time_series_loader_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=1, n_bits=32)
+
+
+def _sql_simhash_near_dup(n_bits: int = 32, max_hamming: int = 1) -> str:
+    n_blocks = max_hamming + 1
+    bounds = [round(i * n_bits / n_blocks) for i in range(n_blocks + 1)]
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN strpos('0123456789abcdef', substr(h, {d}, 1)) - 1 >= 8 "
+        f"THEN 1 ELSE -1 END) AS s{d}"
+        for d in range(1, n_bits + 1)
+    )
+    # signature as an integer: bit d (MSB-first) contributes 2^(n_bits-d)
+    sig_int = " + ".join(
+        f"CASE WHEN s{d} > 0 THEN {1 << (n_bits - d)} ELSE 0 END"
+        for d in range(1, n_bits + 1)
+    )
+    # contiguous blocks as integer slices: (sig >> shift) & mask
+    block_rows = []
+    for i in range(n_blocks):
+        width = bounds[i + 1] - bounds[i]
+        shift = n_bits - bounds[i + 1]
+        mask = (1 << width) - 1
+        block_rows.append(
+            f"SELECT doc_id, sig, {i} AS block_id, (sig // {1 << shift}) % {mask + 1} AS block FROM sig"
+        )
+    blocks_union = "\nUNION ALL\n".join(block_rows)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_SQL_TOKENS}) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig_int} AS sig FROM s),
+blocks AS ({blocks_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM blocks a JOIN blocks b USING (block_id, block)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+"""
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -973,6 +1013,53 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
     )
     return out.select("query_id", "neighbor_id", _r6(F.col("cos"), "cos"), "rank")
+
+
+def _sql_cosine_topk_lsh(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """Oracle for the LSH ANN variant: identical hyperplane literals, the
+    same float32 casts, and ordered-fold dot products — bucket assignment
+    and scores are bit-identical to the Spark plan."""
+    from time_series_loader_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+
+    def plane_dot(vec: str, p: list[float]) -> str:
+        lits = ", ".join(repr(float(x)) for x in p)
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), i -> "
+            f"CAST({vec}[CAST(i AS BIGINT)] AS DOUBLE) * "
+            f"CAST((CAST([{lits}] AS FLOAT[]))[CAST(i AS BIGINT)] AS DOUBLE)), "
+            f"(x, y) -> x + y)"
+        )
+
+    bucket = " || ".join(
+        f"(CASE WHEN {plane_dot('embedding', p)} > 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt({_SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_SQL_DOT.format(a='q.embedding', b='c.embedding')} / (nq.nrm * nc.nrm) AS cos
+  FROM b q JOIN b c ON q.bucket = c.bucket
+  JOIN norms nq ON nq.vec_id = q.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < 10 AND c.vec_id >= 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, floor((cos)*1000000 + 0.5)/1000000 AS cos, rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1585,18 +1672,20 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": SQL_revenue_by_nation,
         "top3_customers_per_nation": SQL_top3_customers_per_nation,
         "rollup_lineitem": SQL_rollup_lineitem,
-        # LLM-data-pipeline operators (simhash_near_dup and cosine_topk_lsh
-        # are rows-only: blocked/ANN variants whose building blocks are
-        # oracle-checked via `simhash` / `cosine_topk`)
+        # LLM-data-pipeline operators (cosine_topk_lsh/ivf are rows-only:
+        # ANN variants whose recall is characterized against the
+        # oracle-checked `cosine_topk` baseline in tests)
         "dedup_exact": SQL_dedup_exact,
         "token_stats": SQL_token_stats,
         "quality_score": SQL_quality_score,
         "langid": _sql_langid(),
         "fingerprint": SQL_fingerprint,
         "ngram_jaccard": SQL_ngram_jaccard,
+        "simhash_near_dup": _sql_simhash_near_dup(),
         "minhash_lsh": _sql_minhash_lsh(),
         "simhash": _sql_simhash(),
         "cosine_topk": SQL_cosine_topk,
+        "cosine_topk_lsh": _sql_cosine_topk_lsh(),
         "multimodal_features": _sql_multimodal(),
         # streaming + additional relational coverage
         "streaming_hourly": SQL_streaming_hourly,
