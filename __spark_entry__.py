@@ -1327,6 +1327,113 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_resample_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 with a series key (SURVEY.md §7 hard-part (d)): per-user daily
+    resample — the keyed shape whose shuffle distributes at 100 TB."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = resample(
+        ev,
+        "ts",
+        "1D",
+        method="mean",
+        value_cols=["value"],
+        group_cols=["user_id"],
+        extra_aggs={"n": ("value", "count")},
+    )
+    return out.select("user_id", "ts", _r6(F.col("value"), "value_mean"), "n")
+
+
+SQL_resample_by_user = """
+SELECT user_id,
+       TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) * INTERVAL '1 second' AS ts,
+       floor((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value))*1000000 + 0.5)/1000000 AS value_mean,
+       COUNT(value) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_gaps_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 with a series key: per-user gap enumeration (keyed lag window —
+    hash-partitioned, no global funnel)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    g = find_gaps(ev, "ts", expected_freq=14400, min_gap=14400, group_cols=["user_id"])
+    return g.select(
+        "user_id",
+        "gap_start",
+        "gap_end",
+        _r6(F.col("gap_seconds"), "gap_seconds"),
+        "expected_points",
+    )
+
+
+SQL_gaps_by_user = """
+WITH d AS (
+  SELECT user_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap_start,
+         ts AS gap_end,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS ds
+  FROM events
+)
+SELECT user_id, gap_start, gap_end,
+       floor((ds)*1000000 + 0.5)/1000000 AS gap_seconds,
+       CAST(floor(ds / 14400) - 1 AS BIGINT) AS expected_points
+FROM d WHERE ds > 28800
+"""
+
+
+def q_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (§2.6 beyond-reference): wide per-type hourly counts
+    back to long (metric, value) pairs."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+    )
+    return wide.unpivot(
+        ["user_id"], ["clicks", "purchases", "errors"], "metric", "n"
+    )
+
+
+SQL_unpivot_events = """
+WITH wide AS (
+  SELECT user_id,
+         count(*) FILTER (event_type = 'click') AS clicks,
+         count(*) FILTER (event_type = 'purchase') AS purchases,
+         count(*) FILTER (event_type = 'error') AS errors
+  FROM events GROUP BY user_id
+)
+SELECT user_id, 'clicks' AS metric, clicks AS n FROM wide
+UNION ALL SELECT user_id, 'purchases', purchases FROM wide
+UNION ALL SELECT user_id, 'errors', errors FROM wide
+"""
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles per group (§2.4 beyond-reference):
+    Spark `percentile` ≡ DuckDB `quantile_cont` (linear interpolation)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r6(F.percentile("l_extendedprice", F.lit(0.25)), "p25"),
+        _r6(F.percentile("l_extendedprice", F.lit(0.5)), "p50"),
+        _r6(F.percentile("l_extendedprice", F.lit(0.75)), "p75"),
+        _r6(F.percentile("l_extendedprice", F.lit(0.99)), "p99"),
+    )
+
+
+SQL_quantiles = """
+SELECT l_returnflag,
+  floor((quantile_cont(l_extendedprice, 0.25))*1000000 + 0.5)/1000000 AS p25,
+  floor((quantile_cont(l_extendedprice, 0.5))*1000000 + 0.5)/1000000 AS p50,
+  floor((quantile_cont(l_extendedprice, 0.75))*1000000 + 0.5)/1000000 AS p75,
+  floor((quantile_cont(l_extendedprice, 0.99))*1000000 + 0.5)/1000000 AS p99
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-like shipping priority: filter both sides of a 3-way join,
     aggregate revenue, top-10. Catalyst pushes both date filters to the
@@ -1640,6 +1747,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": q_distinct_agg,
         "except_intersect": q_except_intersect,
         "sessionize": q_sessionize,
+        "resample_by_user": q_resample_by_user,
+        "gaps_by_user": q_gaps_by_user,
+        "unpivot_events": q_unpivot_events,
+        "quantiles": q_quantiles,
         "tpch_q3_like": q_tpch_q3_like,
         "tpch_q5_like": q_tpch_q5_like,
         "tpch_q6_like": q_tpch_q6_like,
@@ -1694,6 +1805,10 @@ def oracle_sql() -> dict[str, str]:
         "distinct_agg": SQL_distinct_agg,
         "except_intersect": SQL_except_intersect,
         "sessionize": SQL_sessionize,
+        "resample_by_user": SQL_resample_by_user,
+        "gaps_by_user": SQL_gaps_by_user,
+        "unpivot_events": SQL_unpivot_events,
+        "quantiles": SQL_quantiles,
         "tpch_q3_like": SQL_tpch_q3_like,
         "tpch_q5_like": SQL_tpch_q5_like,
         "tpch_q6_like": SQL_tpch_q6_like,

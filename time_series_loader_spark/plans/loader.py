@@ -198,11 +198,14 @@ class TimeSeriesLoader:
         time_column: Optional[str] = None,
         expected_frequency: Optional[str | int] = None,
         min_gap_size: str | int = 0,
+        exact: bool = True,
     ) -> dict:
+        """``exact=False`` switches frequency inference to the bounded-
+        memory percentile sketch — pass it when the series is huge."""
         df = self.get_dataframe()
         ts = self._ts_col(time_column)
         if expected_frequency is None:
-            freq_s = infer_frequency_seconds(df, ts).collect()[0][0]
+            freq_s = infer_frequency_seconds(df, ts, exact=exact).collect()[0][0]
         else:
             from time_series_loader_spark.functions.frequency import freq_to_seconds
 
