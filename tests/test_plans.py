@@ -1,0 +1,59 @@
+"""Physical-plan regression guards.
+
+Correctness tests can't see a lost filter pushdown or a broadcast that
+became a sort-merge join — these assert the plan shapes SCALING.md claims.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(entry.q_tpch_q6_like(spark, SF))
+    assert "PushedFilters: [" in plan
+    # the shipdate range predicate must be in the scan, not a post-filter
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_column_pruning(spark):
+    plan = _plan(entry.q_tpch_q6_like(spark, SF))
+    read_schema = plan.split("ReadSchema:")[1][:400]
+    assert "l_extendedprice" in read_schema
+    assert "l_partkey" not in read_schema  # unused columns pruned
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _plan(entry.q_revenue_by_nation(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer/nation/region
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_single_sort_single_window(spark):
+    plan = _plan(entry.q_asof_nearest_1h(spark, SF))
+    # one Window operator evaluates both neighbor frames over one Sort of
+    # the unioned timeline (per bucket)
+    window_sorts = [
+        l for l in plan.split("\n") if l.strip().startswith("+- Sort") or "- Sort [" in l
+    ]
+    assert len([l for l in plan.split("\n") if "Window [" in l]) <= 2
+    assert len(window_sorts) <= 3  # bucket window sort + tiny bounds sorts
+
+
+def test_resample_partial_aggregation(spark):
+    plan = _plan(entry.q_resample_1h_mean(spark, SF))
+    assert "partial_sum" in plan or "partial" in plan.lower()
+    assert plan.count("Exchange") <= 2  # one agg shuffle (+AQE reuse)
+
+
+def test_grouped_window_partitions_by_key(spark):
+    plan = _plan(entry.q_sessionize(spark, SF))
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
