@@ -37,7 +37,16 @@ _DEC = "decimal(27,6)"
 
 
 def _prep(spark: SparkSession) -> None:
+    # deterministic timestamps + right-sized shuffles regardless of the
+    # calling session's defaults (all runtime-settable confs)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
