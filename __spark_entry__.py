@@ -1391,6 +1391,70 @@ FROM d WHERE ds > 28800
 """
 
 
+def q_rolling_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window stats per series key: last-5-rows mean/min/max over
+    each user's event stream (beyond-reference TS surface)."""
+    _prep(spark)
+    from time_series_loader_spark.operators.rolling import rolling_stats
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = rolling_stats(ev, "ts", "value", window=5, group_cols=["user_id"])
+    return out.select(
+        "user_id",
+        "ts",
+        _r6(F.col("value"), "value"),
+        _r6(F.col("value_roll_mean"), "roll_mean"),
+        _r6(F.col("value_roll_min"), "roll_min"),
+        _r6(F.col("value_roll_max"), "roll_max"),
+        F.col("value_roll_n").alias("roll_n"),
+    )
+
+
+SQL_rolling_by_user = """
+SELECT user_id, ts,
+  floor((value)*1000000 + 0.5)/1000000 AS value,
+  floor((CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) / COUNT(value) OVER w)*1000000 + 0.5)/1000000 AS roll_mean,
+  floor((MIN(value) OVER w)*1000000 + 0.5)/1000000 AS roll_min,
+  floor((MAX(value) OVER w)*1000000 + 0.5)/1000000 AS roll_max,
+  COUNT(value) OVER w AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (SURVEY.md §7 step 8): top-3 terms per doc by smooth-idf
+    score, ties → lexicographically smaller term."""
+    _prep(spark)
+    from time_series_loader_spark.operators.text import tfidf
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf(docs, "text", "doc_id", top_k=3)
+    return out.select("doc_id", "term", "tf", _r6(F.col("tfidf"), "tfidf"))
+
+
+SQL_tfidf_top3 = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_SQL_TOKENS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term, tf,
+         tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN docfreq ON tf.term = docfreq.term, n
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, floor((tfidf)*1000000 + 0.5)/1000000 AS tfidf
+FROM ranked WHERE rn <= 3
+"""
+
+
 def q_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT / melt (§2.6 beyond-reference): wide per-type hourly counts
     back to long (metric, value) pairs."""
@@ -1759,6 +1823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_by_user": q_resample_by_user,
         "gaps_by_user": q_gaps_by_user,
         "unpivot_events": q_unpivot_events,
+        "rolling_by_user": q_rolling_by_user,
+        "tfidf_top3": q_tfidf_top3,
         "quantiles": q_quantiles,
         "tpch_q3_like": q_tpch_q3_like,
         "tpch_q5_like": q_tpch_q5_like,
@@ -1817,6 +1883,8 @@ def oracle_sql() -> dict[str, str]:
         "resample_by_user": SQL_resample_by_user,
         "gaps_by_user": SQL_gaps_by_user,
         "unpivot_events": SQL_unpivot_events,
+        "rolling_by_user": SQL_rolling_by_user,
+        "tfidf_top3": SQL_tfidf_top3,
         "quantiles": SQL_quantiles,
         "tpch_q3_like": SQL_tpch_q3_like,
         "tpch_q5_like": SQL_tpch_q5_like,

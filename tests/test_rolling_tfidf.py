@@ -1,0 +1,83 @@
+"""Rolling-window stats vs pandas; TF-IDF sanity."""
+
+import math
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.operators.rolling import rolling_stats
+from time_series_loader_spark.operators.text import tfidf
+
+VALUES = [3.0, 1.0, None, 4.0, 1.0, 5.0, 9.0, 2.0]
+
+
+@pytest.fixture()
+def ts_df(spark):
+    rows = [
+        (datetime(2023, 1, 1) + timedelta(minutes=10 * i), v)
+        for i, v in enumerate(VALUES)
+    ]
+    return spark.createDataFrame(rows, "ts TIMESTAMP, v DOUBLE")
+
+
+def _pd_series():
+    idx = pd.date_range("2023-01-01", periods=len(VALUES), freq="10min")
+    return pd.Series([np.nan if v is None else v for v in VALUES], index=idx)
+
+
+def test_row_window_matches_pandas(spark, ts_df):
+    out = rolling_stats(ts_df, "ts", "v", window=3).orderBy("ts").collect()
+    exp = _pd_series().rolling(3, min_periods=1)
+    for got, m, mn, mx in zip(out, exp.mean(), exp.min(), exp.max()):
+        assert got["v_roll_mean"] == pytest.approx(m)
+        assert got["v_roll_min"] == pytest.approx(mn)
+        assert got["v_roll_max"] == pytest.approx(mx)
+
+
+def test_time_window_matches_pandas(spark, ts_df):
+    out = rolling_stats(ts_df, "ts", "v", window="30min").orderBy("ts").collect()
+    # pandas rolling('30min') is left-open (excludes t-30min exactly);
+    # rangeBetween is closed — use 29min pandas window +10min steps? No:
+    # at 10-min steps a closed 30-min window = 4 rows; pandas '30min'
+    # spans (t-30, t] = 3 rows. Compare against an explicit closed window.
+    s = _pd_series()
+    for got in out:
+        t = pd.Timestamp(got["ts"])
+        win = s[(s.index >= t - pd.Timedelta("30min")) & (s.index <= t)]
+        if win.notna().any():
+            assert got["v_roll_mean"] == pytest.approx(win.mean())
+        else:
+            assert got["v_roll_mean"] is None
+
+
+def test_grouped_rolling_independent(spark):
+    rows = []
+    for k in ("a", "b"):
+        for i in range(4):
+            rows.append((k, datetime(2023, 1, 1) + timedelta(hours=i), float(i if k == "a" else 10 * i)))
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, v DOUBLE")
+    out = rolling_stats(df, "ts", "v", window=2, group_cols=["k"]).collect()
+    for r in out:
+        assert r["v_roll_max"] <= (3.0 if r["k"] == "a" else 30.0)
+        assert r["v_roll_n"] <= 2
+
+
+def test_tfidf_manual(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {(r["doc_id"], r["term"]): r for r in tfidf(docs, "text", "doc_id").collect()}
+    n = 3
+    idf = lambda df_: math.log((n + 1) / (df_ + 1)) + 1
+    assert out[(1, "apple")]["tf"] == 2
+    assert out[(1, "apple")]["tfidf"] == pytest.approx(2 * idf(1))
+    assert out[(2, "banana")]["tfidf"] == pytest.approx(1 * idf(2))
+    # rarest term scores highest for its doc
+    top = tfidf(docs, "text", "doc_id", top_k=1).collect()
+    top_by_doc = {r["doc_id"]: r["term"] for r in top}
+    assert top_by_doc[1] == "apple"
+    assert top_by_doc[3] == "durian"

@@ -123,6 +123,44 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def tfidf(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int | None = None,
+) -> DataFrame:
+    """TF-IDF per (doc, term) over the whitespace-token stream.
+
+    tf = raw term count in the doc; idf = ln((N+1)/(df+1)) + 1 (smooth,
+    sklearn-style); score = tf · idf. Optionally keep only each doc's
+    ``top_k`` terms (ties → lexicographically smaller term).
+
+    Scale shape: explode → one (doc,term) groupBy with map-side combine →
+    term-level df aggregate (small — vocabulary-sized) broadcast back. The
+    N scalar is computed once.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(docfreq), "term").select(
+        id_col, "term", "tf", (F.col("tf") * idf).alias("tfidf")
+    )
+    if top_k is not None:
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("tfidf").desc(), F.col("term").asc()
+        )
+        scored = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= top_k)
+            .drop("_rn")
+        )
+    return scored
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
 
