@@ -57,3 +57,39 @@ def test_grouped_window_partitions_by_key(spark):
     plan = _plan(entry.q_sessionize(spark, SF))
     assert "hashpartitioning(user_id" in plan
     assert "SinglePartition" not in plan
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    """Date-partitioned layout: a date filter must become a PartitionFilter
+    (directory pruning), not a data filter."""
+    from datetime import datetime, timedelta
+
+    from time_series_loader_spark.sources.sink import (
+        read_time_partitioned,
+        write_time_partitioned,
+    )
+
+    rows = [
+        (datetime(2024, 1, 1 + d, h), float(d * 24 + h))
+        for d in range(3)
+        for h in range(4)
+    ]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, value DOUBLE")
+    path = str(tmp_path / "events_parted")
+    write_time_partitioned(df, path, "ts", granularity="day")
+
+    back = read_time_partitioned(spark, path)
+    filtered = back.where(F.col("p_date") == "2024-01-02")
+    assert filtered.count() == 4
+    plan = _plan(filtered)
+    pf = plan.split("PartitionFilters:")[1][:200]
+    assert "p_date" in pf
+
+    # dynamic overwrite: rewriting one day leaves the others intact
+    day2 = spark.createDataFrame(
+        [(datetime(2024, 1, 2, 12), 999.0)], "ts TIMESTAMP, value DOUBLE"
+    )
+    write_time_partitioned(day2, path, "ts", granularity="day")
+    again = read_time_partitioned(spark, path)
+    assert again.where(F.col("p_date") == "2024-01-01").count() == 4  # untouched
+    assert again.where(F.col("p_date") == "2024-01-02").count() == 1  # replaced
