@@ -1734,6 +1734,14 @@ def _csv_fixture_dir() -> str:
     return d
 
 
+# materialize at import: the oracle SQL reads these files directly, and the
+# driver may run the oracle before the Spark query
+try:
+    _csv_fixture_dir()
+except OSError:  # read-only /tmp etc. — the query itself will retry/raise
+    pass
+
+
 def q_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end source pipeline (S1+S4+S6+P1+P6+P9+O1+O3, reference
     §3.1): discover timestamp-named CSVs (rejecting decoys), extract
