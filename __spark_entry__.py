@@ -1296,18 +1296,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     on >30 min inactivity via lag + cumulative sum — the keyed-window shape
     that scales (partitioned by user, no global sort)."""
     _prep(spark)
+    from time_series_loader_spark.operators.sessionize import sessionize
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    sess_id = F.sum(new_sess).over(
-        Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
-    )
-    sessions = ev.withColumn("session_id", sess_id).groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
+    sessions = sessionize(ev, "ts", ["user_id"], gap=1800)
     return sessions.select(
         "user_id",
         "session_id",

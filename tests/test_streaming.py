@@ -143,3 +143,24 @@ def test_stateful_gap_detector_across_batches(spark, tmp_path):
     assert g["gap_start"] == datetime(2023, 1, 1, 0, 10)
     assert g["gap_end"] == datetime(2023, 1, 1, 3, 10)
     assert g["gap_seconds"] == pytest.approx(3 * 3600.0)
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    """Stream-static join: enrich a stream with a broadcast dimension table
+    (the standard streaming enrichment shape — no state, map-side)."""
+    from pyspark.sql import functions as F
+
+    from time_series_loader_spark.streaming.ingest import run_available_now
+
+    _write(
+        tmp_path,
+        "a.csv",
+        [("2023-01-01 00:00:00", 1.0), ("2023-01-01 01:00:00", 2.0)],
+        mtime=1_700_000_000,
+    )
+    sdf = stream_csv_directory(spark, str(tmp_path), SCHEMA)
+    sdf = sdf.withColumn("k", F.col("value").cast("int"))
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k INT, name STRING")
+    enriched = sdf.join(F.broadcast(dim), "k", "left").select("ts", "value", "name")
+    out = {r["value"]: r["name"] for r in run_available_now(enriched, spark).collect()}
+    assert out == {1.0: "one", 2.0: "two"}
