@@ -80,6 +80,15 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert all({a, b} != {1, 3} for a, b in found)
 
 
+def test_ngram_jaccard_prefix_variant_identical(spark, docs):
+    from time_series_loader_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    base = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).collect()
+    pref = ngram_jaccard_pairs_prefix(docs, "text", "doc_id", n=3, threshold=0.3).collect()
+    key = lambda r: (r["id_a"], r["id_b"], r["n_common"], round(r["jaccard"], 9))
+    assert sorted(map(key, base)) == sorted(map(key, pref))
+
+
 def test_minhash_lsh_agrees_with_exact_on_dups(spark, docs):
     pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
     found = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}

@@ -75,6 +75,44 @@ def _pick(
     return enriched.select(*gcols, ts_col, *picked)
 
 
+def nearest_at_points(
+    data: DataFrame,
+    ts_col: str,
+    points: Sequence,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Nearest-row values at a SMALL driver-side list of target timestamps.
+
+    One ``min_by(struct(values), struct(abs_diff, ts))`` aggregate per
+    point — a single map-side-partial aggregation pass over the data, NO
+    join, no sort, no extra shuffle (vs routing a handful of grid labels
+    through the general distributed as-of composition). Tie-break matches
+    :func:`asof_nearest`: smaller ``abs(ts - target)`` wins, then earlier
+    ``ts``. Intended for ≤ a few hundred points (one aggregate expression
+    each); beyond that use :func:`asof_nearest`.
+    """
+    t = F.col(ts_col).cast("double")
+    aggs = []
+    for i, p in enumerate(points):
+        # epoch via a Spark literal cast so the session timezone applies
+        # (python datetime.timestamp() would use the system tz instead)
+        d = F.abs(t - F.lit(p).cast("timestamp").cast("double"))
+        key = F.struct(d.alias("d"), F.col(ts_col).alias("t"))
+        aggs.append(
+            F.min_by(F.struct(*[F.col(c) for c in value_cols]), key).alias(f"_n{i}")
+        )
+    row = data.where(F.col(ts_col).isNotNull()).agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("timestamp").alias(ts_col), F.col(f"_n{i}").alias("_v")
+            )
+            for i, p in enumerate(points)
+        ]
+    )
+    return row.select(F.inline(pairs)).select(ts_col, "_v.*")
+
+
 def asof_nearest(
     targets: DataFrame,
     data: DataFrame,

@@ -71,14 +71,60 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return _shingles_of(tokens(text), n)
 
 
-def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) long table — distinct shingles per doc.
+def shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sorted distinct shingle array, size) per doc with text.
 
-    Two-step projection so the tokenization materializes once per row
-    (Catalyst's CollapseProject keeps the multi-referenced alias)."""
-    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-    return toks.select(
-        F.col(id_col), F.explode(_shingles_of(F.col("_toks"), n)).alias("shingle")
+    Computed as a per-ROW Arrow kernel (``mapInPandas``) — zero shuffle.
+    The expression alternative (tokens → n× zip_with concat →
+    array_distinct → array_sort) is pure-JVM but every step is an
+    interpreted higher-order function over ~tokens elements; the Python
+    set-build measured ~10× faster at 5k docs × 50 tokens and the gap
+    widens with doc length. Same token rule as :func:`tokens`
+    (lower, trim, split on Java ``\\s+``).
+    """
+    import re
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("_arr", ArrayType(StringType())),
+            StructField("_sz", IntegerType()),
+        ]
+    )
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, arrs, szs = [], [], []
+            for i, s in zip(pdf[id_col], pdf[text_col]):
+                if s is None:
+                    continue
+                toks = ws.split(s.strip().lower())
+                sh = sorted({" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)})
+                ids.append(i)
+                arrs.append(sh)
+                szs.append(len(sh))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "_arr": arrs,
+                    "_sz": pd.Series(szs, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
+def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) long table — distinct shingles per doc (Arrow kernel
+    + explode; see :func:`shingle_arrays`)."""
+    return shingle_arrays(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("_arr").alias("shingle")
     )
 
 
@@ -94,6 +140,11 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, n_common, jaccard) with id_a < id_b and
     jaccard ≥ threshold. Jaccard computed from exact integer counts
     (|A∩B| / (|A| + |B| - |A∩B|)) — deterministic.
+
+    Join shape: inverted-index self-join on the shingle → per-pair count.
+    Right default when shingle document-frequencies are flat (every shared
+    shingle is a near-certain candidate anyway). For Zipfian corpora where
+    prefixes prune hard, use :func:`ngram_jaccard_pairs_prefix`.
     """
     sh = shingle_table(df, text_col, id_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -111,6 +162,63 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")
+        .select("id_a", "id_b", "n_common", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard via PPJoin-style prefix filtering.
+
+    Identical output to :func:`ngram_jaccard_pairs` (exact, no recall
+    loss), different join shape: with shingle sets canonically sorted, two
+    sets with J ≥ t must share an element within each set's first
+    ``|S| - ceil(t·|S|) + 1`` shingles, and must satisfy
+    ``t·|A| ≤ |B| ≤ |A|/t`` (length filter). The inverted index covers
+    PREFIXES only and survivors are verified with one ``array_intersect``
+    per DISTINCT candidate pair. Wins when shingle document-frequencies
+    are Zipfian (real corpora): rare-first prefixes make candidates
+    near-linear. On flat-frequency corpora the prune doesn't bite and the
+    plain inverted-index join is faster.
+    """
+    t = float(threshold)
+    arrays = shingle_arrays(df, text_col, id_col, n).where(F.col("_sz") >= 1)
+    prefix_len = (F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz")) + 1).cast("int")
+    prefix = arrays.select(
+        F.col(id_col),
+        F.col("_sz"),
+        F.explode(F.slice("_arr", 1, prefix_len)).alias("shingle"),
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.lit(t) * F.col("_sza") <= F.col("_szb"))
+            & (F.lit(t) * F.col("_szb") <= F.col("_sza"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = arrays.select(
+        F.col(id_col).alias("id_a"), F.col("_arr").alias("_aa"), F.col("_sz").alias("sz_a")
+    )
+    vb = arrays.select(
+        F.col(id_col).alias("id_b"), F.col("_arr").alias("_ab"), F.col("_sz").alias("sz_b")
+    )
+    n_common = F.size(F.array_intersect("_aa", "_ab"))
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", n_common.alias("n_common"), "sz_a", "sz_b")
         .select("id_a", "id_b", "n_common", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

@@ -175,12 +175,21 @@ def resample_with_dates(
     if nearest_cols:
         # J1: non-numeric columns take the value at the globally nearest
         # timestamp to the bin label (reference load_file.py:2207-2230 —
-        # nearest over the WHOLE frame, not within the bin).
-        from time_series_loader_spark.operators.asof import asof_nearest
+        # nearest over the WHOLE frame, not within the bin). Labels are a
+        # driver-side list, so for sane bin counts this is ONE map-side
+        # min_by aggregate over the data; the general distributed as-of
+        # only pays off past a few hundred labels.
+        from time_series_loader_spark.operators.asof import asof_nearest, nearest_at_points
 
-        labels = bins.select(F.col("bin_lo").alias(ts_col))
-        nearest = asof_nearest(
-            labels, df.select(ts_col, *nearest_cols), ts_col=ts_col, value_cols=list(nearest_cols)
-        )
+        label_points = points[:-1]
+        if len(label_points) <= 128:
+            nearest = nearest_at_points(
+                df.select(ts_col, *nearest_cols), ts_col, label_points, list(nearest_cols)
+            )
+        else:
+            labels = bins.select(F.col("bin_lo").alias(ts_col))
+            nearest = asof_nearest(
+                labels, df.select(ts_col, *nearest_cols), ts_col=ts_col, value_cols=list(nearest_cols)
+            )
         out = out.join(nearest, on=ts_col, how="left")
     return out

@@ -179,32 +179,48 @@ def simhash_bits(
     Bit d (d = 1..n) uses the d-th hex digit of md5(token): contribution
     +1 if the digit ≥ 8 (its top bit), else -1; summed over all token
     occurrences; final bit = 1 iff the sum > 0. Output is an n-char
-    '0'/'1' string. Everything is integer/string ops → engine-independent.
+    '0'/'1' string. Pure integer ops on md5 bytes → engine-independent
+    (the SQL oracle rebuilds the same digit rule from md5 hex).
 
-    Scale shape: explode(tokens) → n narrow int columns → one groupBy
-    with map-side partial sums. No Python, no wide shuffle.
+    Scale shape: a per-ROW Arrow kernel (``mapInPandas``: hashlib md5 +
+    numpy bit unpack per batch) — ZERO shuffle, embarrassingly parallel.
+    The expression alternative (explode tokens → 32 substring tests →
+    32-column partial-sum groupBy) measured ~10× slower: 32 expr evals ×
+    tokens beats codegen, and the explode triples the shuffled volume.
     """
     if not 1 <= n_bits <= 32:
         raise ValueError("n_bits must be in [1, 32] (md5 has 32 hex digits)")
-    tok = F.explode(tokens(text_col)).alias("tok")
-    base = df.select(F.col(id_col), tok).select(
-        id_col, F.md5(F.col("tok")).alias("h")
-    )
-    contribs = [
-        F.when(
-            F.instr(F.lit("0123456789abcdef"), F.substring("h", d, 1)) - 1 >= 8, 1
-        )
-        .otherwise(-1)
-        .alias(f"b{d}")
-        for d in range(1, n_bits + 1)
-    ]
-    summed = base.select(id_col, *contribs).groupBy(id_col).agg(
-        *[F.sum(f"b{d}").alias(f"s{d}") for d in range(1, n_bits + 1)]
-    )
-    bits = F.concat(
-        *[F.when(F.col(f"s{d}") > 0, "1").otherwise("0") for d in range(1, n_bits + 1)]
-    )
-    return summed.select(id_col, bits.alias("simhash"))
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType([df.schema[id_col], StructField("simhash", StringType())])
+    # Java \s (what F.split uses), NOT python \s (which adds unicode spaces)
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, s in zip(pdf[id_col], pdf[text_col]):
+                if s is None:
+                    continue  # tokens(null) explodes to no rows upstream-style
+                toks = ws.split(s.strip().lower())
+                digests = b"".join(
+                    hashlib.md5(t.encode("utf-8")).digest() for t in toks
+                )
+                M = np.frombuffer(digests, dtype=np.uint8).reshape(len(toks), 16)
+                # hex digit d's "≥ 8" test == top bit of its nibble == bit 4(d-1)
+                # of the MSB-first unpacked digest
+                bits = np.unpackbits(M, axis=1)[:, 0 : 4 * n_bits : 4]
+                sums = (2 * bits.astype(np.int32) - 1).sum(axis=0)
+                ids.append(i)
+                sigs.append("".join("1" if v > 0 else "0" for v in sums))
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype=pdf[id_col].dtype), "simhash": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
 
 
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
