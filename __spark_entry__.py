@@ -1171,6 +1171,67 @@ WHERE window_start + INTERVAL '1 hour' <= mx - INTERVAL '10 minutes'
 """
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (``F.session_window`` + watermark), the
+    streaming counterpart of `sessionize`: per-user sessions split on
+    >30 min inactivity, emitted once the final watermark
+    (max event time - 10 min) passes the session close (last event +
+    gap)."""
+    _prep(spark)
+    from time_series_loader_spark.streaming.ingest import (
+        file_as_stream_dir,
+        run_available_now,
+        session_window_stream,
+        stream_parquet,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = stream_parquet(spark, file_as_stream_dir(f"{sf_dir}/events.parquet"), raw_schema)
+    sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    res = session_window_stream(
+        sdf, "ts", ["user_id"], gap="30 minutes", watermark="10 minutes", value_col="value"
+    )
+    out = run_available_now(res, spark)
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        _r6(F.col("value_sum"), "value_sum"),
+    )
+
+
+SQL_streaming_sessionize = """
+WITH m AS (SELECT max(ts) AS mx FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '1800 seconds'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+),
+sess AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL '1800 seconds' AS session_end,
+         count(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS value_sum
+  FROM g GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events,
+       floor((value_sum)*1000000 + 0.5)/1000000 AS value_sum
+FROM sess, m
+WHERE session_end <= m.mx - INTERVAL '600 seconds'
+"""
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI + LEFT ANTI joins (SURVEY.md §2.3 'free with Catalyst'):
     per-segment counts of customers with vs without orders."""
@@ -1815,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         # streaming + additional relational coverage
         "streaming_hourly": q_streaming_hourly,
+        "streaming_sessionize": q_streaming_sessionize,
         "semi_anti_join": q_semi_anti_join,
         "pivot_status_priority": q_pivot_status_priority,
         "distinct_agg": q_distinct_agg,
@@ -1875,6 +1937,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _sql_multimodal(),
         # streaming + additional relational coverage
         "streaming_hourly": SQL_streaming_hourly,
+        "streaming_sessionize": SQL_streaming_sessionize,
         "semi_anti_join": SQL_semi_anti_join,
         "pivot_status_priority": SQL_pivot_status_priority,
         "distinct_agg": SQL_distinct_agg,

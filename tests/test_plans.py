@@ -93,3 +93,35 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     again = read_time_partitioned(spark, path)
     assert again.where(F.col("p_date") == "2024-01-01").count() == 4  # untouched
     assert again.where(F.col("p_date") == "2024-01-02").count() == 1  # replaced
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed identically on the join key must join with NO
+    shuffle exchange on either side (write-time clustering is reused)."""
+    from time_series_loader_spark.sources.sink import colocated_join, write_bucketed
+
+    facts = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dims = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    write_bucketed(facts, "t_facts_b", ["k"], 4, sort_cols=["k"], path=str(tmp_path / "f"))
+    write_bucketed(dims, "t_dims_b", ["k"], 4, sort_cols=["k"], path=str(tmp_path / "d"))
+    try:
+        # disable auto-broadcast so the test exercises the SMJ path a big-big
+        # join would take; bucketing must remove BOTH exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(spark, "t_facts_b", "t_dims_b", ["k"])
+        assert joined.count() == 100
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # groupBy on the bucket key also reuses the clustering: no exchange
+        agg = spark.table("t_facts_b").groupBy("k").agg(F.sum("v").alias("s"))
+        agg.count()
+        assert "Exchange" not in _plan(agg)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_facts_b")
+        spark.sql("DROP TABLE IF EXISTS t_dims_b")

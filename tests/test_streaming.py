@@ -164,3 +164,62 @@ def test_stream_static_dimension_join(spark, tmp_path):
     enriched = sdf.join(F.broadcast(dim), "k", "left").select("ts", "value", "name")
     out = {r["value"]: r["name"] for r in run_available_now(enriched, spark).collect()}
     assert out == {1.0: "one", 2.0: "two"}
+
+
+def test_session_window_stream(spark, tmp_path):
+    """Streaming sessionize: sessions split on >gap inactivity; a session
+    is emitted only once the watermark passes its close (last event +
+    gap); the still-open tail session is NOT emitted."""
+    from time_series_loader_spark.streaming.ingest import session_window_stream
+
+    _write(
+        tmp_path,
+        "a.csv",
+        [
+            ("2023-01-01 00:00:00", 1.0),
+            ("2023-01-01 00:10:00", 2.0),   # same session (10 min < 30 min gap)
+            ("2023-01-01 02:00:00", 3.0),   # new session after 110-min silence
+            ("2023-01-01 02:05:00", 4.0),
+            ("2023-01-01 09:00:00", 5.0),   # tail session, still open at drain
+        ],
+        mtime=1_700_000_000,
+    )
+    sdf = stream_csv_directory(spark, str(tmp_path), SCHEMA)
+    sdf = sdf.withColumn("user", F.lit("u1"))
+    res = session_window_stream(
+        sdf, "ts", ["user"], gap="30 minutes", watermark="10 minutes", value_col="value"
+    )
+    out = run_available_now(res, spark).collect()
+    # final watermark = 09:00 - 10 min = 08:50 → sessions closing 00:40 and
+    # 02:35 are emitted; the 09:00 session (close 09:30) is still open
+    sess = sorted((r["session_start"], r["session_end"], r["n_events"], r["value_sum"]) for r in out)
+    assert sess == [
+        (datetime(2023, 1, 1, 0, 0), datetime(2023, 1, 1, 0, 40), 2, 3.0),
+        (datetime(2023, 1, 1, 2, 0), datetime(2023, 1, 1, 2, 35), 2, 7.0),
+    ]
+
+
+def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
+    """Streaming dedup: a replayed (key, ts) row in a later batch is
+    dropped; distinct timestamps for the same key survive."""
+    from time_series_loader_spark.streaming.ingest import dedup_stream
+
+    _write(
+        tmp_path,
+        "a.csv",
+        [("2023-01-01 00:00:00", 1.0), ("2023-01-01 01:00:00", 2.0)],
+        mtime=1_700_000_000,
+    )
+    _write(
+        tmp_path,
+        "b.csv",  # replay of the 00:00 row + one genuinely new row
+        [("2023-01-01 00:00:00", 1.0), ("2023-01-01 02:00:00", 3.0)],
+        mtime=1_700_000_100,
+    )
+    sdf = stream_csv_directory(
+        spark, str(tmp_path), SCHEMA, delimiter=";", max_files_per_trigger=1
+    )
+    sdf = sdf.withColumn("k", F.lit("series1"))
+    out = run_available_now(dedup_stream(sdf, ["k"], "ts", watermark="10 minutes"), spark)
+    vals = sorted(r["value"] for r in out.collect())
+    assert vals == [1.0, 2.0, 3.0]

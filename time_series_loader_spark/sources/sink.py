@@ -44,3 +44,44 @@ def read_time_partitioned(spark, path: str) -> DataFrame:
     """Read a partitioned layout; time filters on ``p_date``/``p_hour``
     prune directories at planning time (PartitionFilters in the scan)."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a BUCKETED parquet table (hash-clustered by
+    ``bucket_cols`` into ``num_buckets`` files per partition).
+
+    The 100 TB join strategy for repeated joins on the same key: two
+    tables bucketed identically join with NO shuffle exchange on either
+    side (Spark trusts the write-time hash clustering), and with
+    ``sort_cols`` = join key the sort-merge join can skip its sorts too.
+    One shuffle at write time buys every subsequent join/groupBy on the
+    key. Bucketing metadata lives in the session catalog (saveAsTable —
+    plain ``.parquet(path)`` writes can't carry it).
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def colocated_join(
+    spark, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed catalog tables on their bucket key.
+
+    With matching bucket specs the physical plan contains no shuffle
+    Exchange (guarded in tests/test_plans.py) — each task joins bucket i
+    of both sides; at 1000 executors this is the only join shape whose
+    network cost is ZERO regardless of fact-table size.
+    """
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)

@@ -100,6 +100,65 @@ def windowed_resample_stream(
     )
 
 
+def session_window_stream(
+    sdf: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Streaming sessionization: ``F.session_window`` with a watermark —
+    the streaming counterpart of ``operators/sessionize.py`` (same split
+    rule: a new session starts after > ``gap`` of inactivity).
+
+    Append mode emits a session only once the watermark passes its close
+    (last event + gap). State per open session, merged as events arrive —
+    O(open sessions), bounded by the watermark.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("decimal(27,6)")).alias("_sum_dec"))
+    out = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(*aggs)
+    )
+    cols = [
+        *key_cols,
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    ]
+    if value_col is not None:
+        cols.append(F.col("_sum_dec").cast("double").alias("value_sum"))
+    return out.select(*cols)
+
+
+def dedup_stream(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming exact dedup: drop re-arrivals of an already-seen key.
+
+    ``within_watermark=False`` → ``dropDuplicates`` keyed on
+    ``key_cols`` + event time (the event-time key column is what lets the
+    watermark expire state): duplicates of the same (key, ts) are dropped
+    exactly; state = one entry per live (key, ts).
+    ``within_watermark=True`` → ``dropDuplicatesWithinWatermark``:
+    duplicates are only guaranteed dropped when they arrive within the
+    watermark delay of the first occurrence — the unbounded-corpus shape
+    (state expires, memory stays flat at 100 TB/day ingest).
+    """
+    wm = sdf.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(list(key_cols))
+    return wm.dropDuplicates([*key_cols, ts_col])
+
+
 def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink and
     return the emitted rows as a batch DataFrame.
