@@ -1071,6 +1071,64 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH bucket blocking + exact
+    cosine verify). The synthetic embeddings have no true near-dups (max
+    pairwise cosine ≈ 0.51), so the demo threshold is 0.45 with 2 planes —
+    the SQL oracle replicates bucket assignment and the ordered-fold
+    cosine bit-for-bit, so blocking recall is part of what's checked."""
+    _prep(spark)
+    from time_series_loader_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, n_planes=2, dim=64
+    )
+    return out.select("id_a", "id_b", _r6(F.col("cos"), "cos"))
+
+
+def _sql_embedding_near_dup(
+    threshold: float = 0.45, n_planes: int = 2, dim: int = 64, seed: int = 42
+) -> str:
+    """Oracle: identical hyperplane literals / float32 casts / ordered-fold
+    dot products as the Spark plan (same scheme as the LSH top-k oracle)."""
+    from time_series_loader_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+
+    def plane_dot(vec: str, p: list[float]) -> str:
+        lits = ", ".join(repr(float(x)) for x in p)
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), i -> "
+            f"CAST({vec}[CAST(i AS BIGINT)] AS DOUBLE) * "
+            f"CAST((CAST([{lits}] AS FLOAT[]))[CAST(i AS BIGINT)] AS DOUBLE)), "
+            f"(x, y) -> x + y)"
+        )
+
+    bucket = " || ".join(
+        f"(CASE WHEN {plane_dot('embedding', p)} > 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt({_SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+         {_SQL_DOT.format(a='a.embedding', b='c.embedding')} / (na.nrm * nc.nrm) AS cos
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+)
+SELECT id_a, id_b, floor((cos)*1000000 + 0.5)/1000000 AS cos
+FROM pairs WHERE cos >= {threshold}
+"""
+
+
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN variant: coarse k-means cells + n_probe search (rows-only;
     recall vs the brute-force oracle baseline is asserted in tests)."""
@@ -1872,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk_ivf": q_cosine_topk_ivf,
         "multimodal_features": q_multimodal_features,
         # streaming + additional relational coverage
@@ -1934,6 +1993,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "cosine_topk": SQL_cosine_topk,
         "cosine_topk_lsh": _sql_cosine_topk_lsh(),
+        "embedding_near_dup": _sql_embedding_near_dup(),
         "multimodal_features": _sql_multimodal(),
         # streaming + additional relational coverage
         "streaming_hourly": SQL_streaming_hourly,

@@ -285,6 +285,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via LSH buckets + exact cosine.
 
@@ -292,28 +293,54 @@ def embedding_near_dup_pairs(
     id_a < id_b. High-cosine pairs almost surely share all sign bits, so
     bucket-blocking loses little recall at dedup thresholds (≥0.9).
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
+    import pandas as pd
+
     t = df.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
         norm_exact(F.col(vec_col)).alias("_n"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
-    a = t.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "_bucket"
-    )
-    b = t.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"), "_bucket"
-    )
+
+    # Phase 1 — candidates per bucket via ONE local matmul (applyInPandas):
+    # vectors cross the shuffle once per DOC (keyed by bucket), never once
+    # per pair; the self-join alternative ships both arrays per candidate
+    # pair (O(pairs·dim) network) and measured ~3× slower even at sf0.1.
+    # The margin keeps every pair whose exact fold-cos could reach the
+    # threshold (|matmul − fold| ≪ 1e-9 at these dims); phase 2 decides.
+    margin = 1e-6
+    id_field = df.schema[id_col]
+    cand_schema = f"id_a {id_field.dataType.simpleString()}, id_b {id_field.dataType.simpleString()}"
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(pdf[id_col].dtype)
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"].to_numpy()[order]])
+        nrm = pdf["_n"].to_numpy()[order]
+        cos = (V @ V.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(m, k=1)
+        keep = cos[iu, ju] >= threshold - margin
+        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]]})
+
+    cand = t.groupBy("_bucket").applyInPandas(bucket_pairs, cand_schema)
+
+    # Phase 2 — exact ordered-fold verification of the (few) survivors,
+    # bit-identical to the brute-force definition / SQL oracle.
+    va = t.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    vb = t.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     return (
-        a.join(b, "_bucket")
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
             (dot_exact(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
-        .distinct()
     )
