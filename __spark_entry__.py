@@ -1229,6 +1229,93 @@ WHERE window_start + INTERVAL '1 hour' <= mx - INTERVAL '10 minutes'
 """
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM-corpus filtering pipeline: quality scoring + language
+    ID + exact dedup composed as one lazy plan — keep English docs with
+    quality ≥ 0.45 that are their duplicate-group representative. The
+    canonical pretraining-data shape: all three stages share one scan of
+    the documents table (two groupBy-free projections + one digest
+    groupBy)."""
+    _prep(spark)
+    from time_series_loader_spark.operators.dedup import dedup_exact
+    from time_series_loader_spark.operators.text import language_id, quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(docs, "text", "doc_id")
+    lang = language_id(docs, "text", "doc_id").select("doc_id", "lang_pred")
+    reps = dedup_exact(docs, ["text"], "doc_id").select("doc_id", "n_dups")
+    return (
+        q.join(lang, "doc_id")
+        .join(reps, "doc_id")  # inner join keeps only representatives
+        .where((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.45))
+        .select(
+            "doc_id",
+            "lang_pred",
+            "n_tokens",
+            _r6(F.col("quality_score"), "quality_score"),
+            "n_dups",
+        )
+    )
+
+
+def _sql_corpus_filter() -> str:
+    from time_series_loader_spark.operators.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    counts = ",\n    ".join(
+        "len(list_filter(t, x -> x IN ({}))) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in STOPWORDS[lang]), lang
+        )
+        for lang in langs
+    )
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} >= score_{other}" for other in langs[i + 1 :]]
+        cases.append(
+            "WHEN " + (" AND ".join(conds) if conds else "TRUE") + f" THEN '{lang}'"
+        )
+    greatest = "greatest({})".format(", ".join(f"score_{lang}" for lang in langs))
+    return f"""
+WITH tok AS (SELECT doc_id, text, {_SQL_TOKENS} AS t FROM documents),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN {greatest} = 0 THEN 'und' {' '.join(cases)} END AS lang_pred
+  FROM (SELECT doc_id, {counts} FROM tok)
+),
+q AS (
+  SELECT doc_id,
+    len(t) AS n_tokens,
+    CAST(len(list_filter(t,
+      x -> x IN ('the','a','of','to','and','in','is','it','you','that'))) AS DOUBLE)
+      / len(t) AS stop_ratio,
+    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+      / length(text) AS punct_ratio,
+    CAST(length(lower(text)) - length(regexp_replace(lower(text), '[0-9]', '', 'g')) AS DOUBLE)
+      / length(text) AS digit_ratio,
+    least(CAST(len(t) AS DOUBLE) / 200.0, 1.0) AS length_score
+  FROM tok
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+    greatest(least(
+      0.4 * length_score + 0.4 * least(stop_ratio * 5.0, 1.0)
+      + 0.2 * (1.0 - least(punct_ratio + digit_ratio, 1.0)), 1.0), 0.0) AS quality_score
+  FROM q
+),
+reps AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+  FROM documents GROUP BY coalesce(text, ' ')
+)
+SELECT s.doc_id, l.lang_pred, s.n_tokens,
+       floor((s.quality_score)*1000000 + 0.5)/1000000 AS quality_score,
+       r.n_dups
+FROM scored s
+JOIN lang l ON l.doc_id = s.doc_id
+JOIN reps r ON r.doc_id = s.doc_id
+WHERE l.lang_pred = 'en' AND s.quality_score >= 0.45
+"""
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization (``F.session_window`` + watermark), the
     streaming counterpart of `sessionize`: per-user sessions split on
@@ -1936,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming + additional relational coverage
         "streaming_hourly": q_streaming_hourly,
         "streaming_sessionize": q_streaming_sessionize,
+        "corpus_filter": q_corpus_filter,
         "semi_anti_join": q_semi_anti_join,
         "pivot_status_priority": q_pivot_status_priority,
         "distinct_agg": q_distinct_agg,
@@ -1998,6 +2086,7 @@ def oracle_sql() -> dict[str, str]:
         # streaming + additional relational coverage
         "streaming_hourly": SQL_streaming_hourly,
         "streaming_sessionize": SQL_streaming_sessionize,
+        "corpus_filter": _sql_corpus_filter(),
         "semi_anti_join": SQL_semi_anti_join,
         "pivot_status_priority": SQL_pivot_status_priority,
         "distinct_agg": SQL_distinct_agg,
