@@ -1130,22 +1130,86 @@ FROM pairs WHERE cos >= {threshold}
 
 
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN variant: coarse k-means cells + n_probe search (rows-only;
-    recall vs the brute-force oracle baseline is asserted in tests)."""
+    """IVF ANN search against the PINNED coarse quantizer
+    (operators/ivf_pinned.py): nearest-cell assignment via the exact
+    ordered fold (``fold_assign=True``) so cell choice, candidates, and
+    scores are bit-identical to the DuckDB oracle generated from the same
+    centroid literals. The live k-means fit path (``cosine_topk_ivf``) is
+    recall-tested in tests/test_similarity.py."""
     _prep(spark)
-    from time_series_loader_spark.operators.similarity import cosine_topk_ivf
+    from time_series_loader_spark.operators.ivf_pinned import IVF_CENTROIDS
+    from time_series_loader_spark.operators.similarity import ivf_search
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = cosine_topk_ivf(
+    out = ivf_search(
         emb.where(F.col("vec_id") < 10),
         emb.where(F.col("vec_id") >= 10),
         id_col="vec_id",
         vec_col="embedding",
+        centroids=IVF_CENTROIDS,
         k=5,
-        n_cells=8,
         n_probe=3,
+        fold_assign=True,
     )
     return out.select("query_id", "neighbor_id", _r6(F.col("cos"), "cos"), "rank")
+
+
+def _sql_cosine_topk_ivf(n_probe: int = 3, k: int = 5) -> str:
+    """Oracle for the pinned-quantizer IVF search: the same centroid
+    literals, distances as ``|c|² − 2·v·c`` with |c|² prefolded in Python
+    (``fold_sq_norms``) and v·c as an ordered ``list_reduce`` fold — every
+    float op matches the Spark kernel bit-for-bit, so cell assignment,
+    probe sets, and cosines are identical."""
+    from time_series_loader_spark.operators.ivf_pinned import IVF_CENTROIDS
+    from time_series_loader_spark.operators.similarity import fold_sq_norms
+
+    c2 = fold_sq_norms(IVF_CENTROIDS)
+    rows = ",\n         ".join(
+        f"({j}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]), {c2[j]!r})"
+        for j, c in enumerate(IVF_CENTROIDS)
+    )
+    cdot = (
+        "list_reduce(list_transform(range(1, 65), i -> "
+        "CAST(e.embedding[CAST(i AS BIGINT)] AS DOUBLE) * c.cvec[CAST(i AS BIGINT)]), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+WITH cents(cell, cvec, c2) AS (
+  VALUES {rows}
+),
+cell_rank AS (
+  SELECT e.vec_id, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY c.c2 - 2 * {cdot}, c.cell) AS r
+  FROM embeddings e CROSS JOIN cents c
+),
+corpus_cells AS (
+  SELECT vec_id, cell FROM cell_rank WHERE r = 1 AND vec_id >= 10
+),
+probe_cells AS (
+  SELECT vec_id, cell FROM cell_rank WHERE r <= {n_probe} AND vec_id < 10
+),
+norms AS (
+  SELECT vec_id, sqrt({_SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_SQL_DOT.format(a='qe.embedding', b='ce.embedding')} / (nq.nrm * nc.nrm) AS cos
+  FROM probe_cells q JOIN corpus_cells c ON q.cell = c.cell
+  JOIN embeddings qe ON qe.vec_id = q.vec_id
+  JOIN embeddings ce ON ce.vec_id = c.vec_id
+  JOIN norms nq ON nq.vec_id = q.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, floor((cos)*1000000 + 0.5)/1000000 AS cos, rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2081,6 +2145,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "cosine_topk": SQL_cosine_topk,
         "cosine_topk_lsh": _sql_cosine_topk_lsh(),
+        "cosine_topk_ivf": _sql_cosine_topk_ivf(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "multimodal_features": _sql_multimodal(),
         # streaming + additional relational coverage

@@ -149,7 +149,16 @@ def cosine_topk_lsh(
     )
 
 
-def _nearest_cells_udf(centroids: list[list[float]], n_probe: int):
+def fold_sq_norms(centroids: list[list[float]]) -> list[float]:
+    """Squared norms of centroids via the sequential left fold (index
+    order), matching DuckDB ``list_reduce`` bit-for-bit."""
+    return [
+        float(np.cumsum(np.asarray(c, dtype=np.float64) ** 2)[-1])
+        for c in centroids
+    ]
+
+
+def _nearest_cells_udf(centroids: list[list[float]], n_probe: int, fold: bool = False):
     """Arrow-batched nearest-centroid assignment: one numpy matmul per batch.
 
     Distances ranked by ``|c|² - 2·v·c`` (the ``|v|²`` term is common to all
@@ -158,15 +167,27 @@ def _nearest_cells_udf(centroids: list[list[float]], n_probe: int):
     expression-tree alternative (k×dim literal multiply-adds per row) blows
     up Catalyst analysis/codegen time — measured ~10× slower than this
     vectorized kernel even at k=8, dim=64.
+
+    ``fold=True`` computes every dot product as a sequential left fold
+    (``np.cumsum`` in index order ≡ DuckDB ``list_reduce`` ≡ Spark
+    ``F.aggregate``) instead of a matmul, so cell assignment is
+    bit-identical to a SQL oracle built from the same centroid literals.
+    Slightly slower (k passes instead of one GEMM); use for oracle-checked
+    searches with pinned centroids.
     """
     import pandas as pd
 
     C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
-    c2 = (C * C).sum(axis=1)  # (k,)
+    c2 = np.asarray(fold_sq_norms(centroids)) if fold else (C * C).sum(axis=1)
 
     def nearest(vecs):
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (n, dim)
-        d = c2[None, :] - 2.0 * (V @ C.T)  # (n, k)
+        if fold:
+            d = np.empty((len(V), len(C)), dtype=np.float64)
+            for j in range(len(C)):
+                d[:, j] = c2[j] - 2.0 * np.cumsum(V * C[j][None, :], axis=1)[:, -1]
+        else:
+            d = c2[None, :] - 2.0 * (V @ C.T)  # (n, k)
         order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(order.astype(np.int32)))
 
@@ -249,8 +270,32 @@ def cosine_topk_ivf(
     ``cosine_topk`` (the exact baseline).
     """
     centroids = kmeans_cells(corpus, id_col, vec_col, n_cells, iters)
-    assign1 = _nearest_cells_udf(centroids, 1)
-    assignp = _nearest_cells_udf(centroids, n_probe)
+    return ivf_search(queries, corpus, id_col, vec_col, centroids, k, n_probe)
+
+
+def ivf_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    fold_assign: bool = False,
+) -> DataFrame:
+    """IVF search given a FIXED centroid table (the quantizer is an input,
+    as in a trained FAISS index): corpus docs keyed by nearest cell, each
+    query scores only its ``n_probe`` nearest cells' candidates.
+
+    Separating search from fitting makes the hot path deterministic and
+    oracle-checkable — pin the centroids (literals shared with a SQL
+    oracle, ``fold_assign=True`` for bit-identical assignment) and the
+    result is exactly reproducible; re-fit offline and re-pin to refresh
+    the quantizer, which is also the right 100 TB shape (fit once on a
+    sample, search many).
+    """
+    assign1 = _nearest_cells_udf(centroids, 1, fold=fold_assign)
+    assignp = _nearest_cells_udf(centroids, n_probe, fold=fold_assign)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
