@@ -81,6 +81,48 @@ def test_embedding_near_dup(spark, emb):
     assert (10, 59) in {(r["id_a"], r["id_b"]) for r in pairs}
 
 
+def test_near_dup_skewed_bucket_resplit(spark):
+    """A corpus engineered into ONE bucket must still complete with a tiny
+    bucket cap and tile size, and keep every true near-dup pair: the cap
+    re-splits the hot bucket Spark-side (extra sign bits agree for
+    near-identical vectors, so no dup pair is lost), and the blocked
+    matmul bounds tile memory even for the unsplittable identical-vector
+    clump."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(DIM)
+    # 40 near-copies of one vector (one degenerate clump, all near-dups)
+    # plus 20 noise vectors scattered around it
+    rows = []
+    for i in range(40):
+        v = base + rng.standard_normal(DIM) * 1e-4
+        rows.append((i, [float(x) for x in v.astype(np.float32)]))
+    for i in range(40, 60):
+        v = base + rng.standard_normal(DIM) * 0.5
+        rows.append((i, [float(x) for x in v.astype(np.float32)]))
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    ref = embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.999, n_planes=1, dim=DIM
+    ).collect()
+    capped = embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.999, n_planes=1, dim=DIM,
+        max_bucket=8, block=4,
+    ).collect()
+    ref_set = {(r["id_a"], r["id_b"]) for r in ref}
+    capped_set = {(r["id_a"], r["id_b"]) for r in capped}
+    clump = {(a, b) for a in range(40) for b in range(40) if a < b}
+    # every true near-dup pair survives the re-split; nothing new appears
+    assert clump <= capped_set
+    assert capped_set <= ref_set
+    # exact cosines match between the two runs on shared pairs
+    ref_cos = {(r["id_a"], r["id_b"]): r["cos"] for r in ref}
+    for r in capped:
+        assert r["cos"] == ref_cos[(r["id_a"], r["id_b"])]
+
+
 def test_multimodal_stub_features(spark):
     from time_series_loader_spark.operators.multimodal import (
         attach_payload,

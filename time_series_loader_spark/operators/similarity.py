@@ -328,15 +328,33 @@ def embedding_near_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 16,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket: int = 65536,
+    block: int = 2048,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via LSH buckets + exact cosine.
 
     Pairs sharing an LSH bucket with cosine ≥ threshold; (id_a, id_b, cos),
     id_a < id_b. High-cosine pairs almost surely share all sign bits, so
-    bucket-blocking loses little recall at dedup thresholds (≥0.9).
+    bucket-blocking loses little recall at dedup thresholds (≥0.9) — which
+    is why ``n_planes`` defaults high (16 → ~65k buckets); lower it only
+    for exploratory sub-0.9 thresholds on small corpora.
+
+    Skew defenses (a hot bucket must not become one giant task):
+
+    - **bucket-size cap** (``max_bucket``): buckets larger than the cap get
+      ``ceil(log2(m / max_bucket))`` extra sign bits (a second
+      deterministic plane set, seed+1) appended to their key — ONE count
+      aggregate + broadcast join, no driver iteration — so an oversized
+      bucket re-splits into ~m/max_bucket tasks. Identical/high-cosine
+      vectors agree on the extra bits too, so true near-dups stay
+      together; the recall tradeoff is the same as raising n_planes.
+    - **blocked matmul** (``block``): within a task the cosine matrix is
+      materialized in ``block×block`` tiles, never m×m — per-task memory
+      is O(m·dim + block²) even if a degenerate bucket (all-identical
+      vectors, unsplittable by any plane) blows through the cap.
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
@@ -350,12 +368,42 @@ def embedding_near_dup_pairs(
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
 
-    # Phase 1 — candidates per bucket via ONE local matmul (applyInPandas):
-    # vectors cross the shuffle once per DOC (keyed by bucket), never once
-    # per pair; the self-join alternative ships both arrays per candidate
-    # pair (O(pairs·dim) network) and measured ~3× slower even at sf0.1.
-    # The margin keeps every pair whose exact fold-cos could reach the
-    # threshold (|matmul − fold| ≪ 1e-9 at these dims); phase 2 decides.
+    # Re-split oversized buckets: rows in a bucket of size m > max_bucket
+    # append the first ceil(log2(m/max_bucket)) bits of a second plane
+    # set. CASE WHEN evaluates lazily per row, so the extra plane dots are
+    # only computed for rows already inside an oversized bucket.
+    extra_planes = hyperplanes(dim, 16, seed + 1)
+    oversized = (
+        t.groupBy("_bucket")
+        .agg(F.count("*").alias("_m"))
+        .where(F.col("_m") > max_bucket)
+    )
+    n_extra = F.least(
+        F.ceil(F.log2(F.col("_m") / F.lit(max_bucket))).cast("int"),
+        F.lit(len(extra_planes)),
+    )
+    t = t.join(F.broadcast(oversized), "_bucket", "left").select(
+        F.col(id_col),
+        "_v",
+        "_n",
+        F.when(
+            F.col("_m").isNotNull(),
+            F.concat(
+                F.col("_bucket"),
+                F.substring(lsh_bucket(F.col("_v"), extra_planes), 1, n_extra),
+            ),
+        )
+        .otherwise(F.col("_bucket"))
+        .alias("_bucket"),
+    )
+
+    # Phase 1 — candidates per bucket via local matmul tiles
+    # (applyInPandas): vectors cross the shuffle once per DOC (keyed by
+    # bucket), never once per pair; the self-join alternative ships both
+    # arrays per candidate pair (O(pairs·dim) network) and measured ~3×
+    # slower even at sf0.1. The margin keeps every pair whose exact
+    # fold-cos could reach the threshold (|matmul − fold| ≪ 1e-9 at these
+    # dims); phase 2 decides.
     margin = 1e-6
     id_field = df.schema[id_col]
     cand_schema = f"id_a {id_field.dataType.simpleString()}, id_b {id_field.dataType.simpleString()}"
@@ -368,10 +416,21 @@ def embedding_near_dup_pairs(
         ids = pdf[id_col].to_numpy()[order]
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"].to_numpy()[order]])
         nrm = pdf["_n"].to_numpy()[order]
-        cos = (V @ V.T) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(m, k=1)
-        keep = cos[iu, ju] >= threshold - margin
-        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]]})
+        out_a, out_b = [], []
+        for i0 in range(0, m, block):
+            i1 = min(i0 + block, m)
+            for j0 in range(i0, m, block):
+                j1 = min(j0 + block, m)
+                cos = (V[i0:i1] @ V[j0:j1].T) / np.outer(nrm[i0:i1], nrm[j0:j1])
+                keep = cos >= threshold - margin
+                if i0 == j0:
+                    keep &= np.triu(np.ones_like(keep), k=1).astype(bool)
+                ii, jj = np.nonzero(keep)
+                out_a.append(ids[i0 + ii])
+                out_b.append(ids[j0 + jj])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
 
     cand = t.groupBy("_bucket").applyInPandas(bucket_pairs, cand_schema)
 
