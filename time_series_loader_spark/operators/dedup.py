@@ -134,8 +134,9 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 100_000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 indexed shingle.
 
     Returns (id_a, id_b, n_common, jaccard) with id_a < id_b and
     jaccard ≥ threshold. Jaccard computed from exact integer counts
@@ -145,22 +146,67 @@ def ngram_jaccard_pairs(
     Right default when shingle document-frequencies are flat (every shared
     shingle is a near-certain candidate anyway). For Zipfian corpora where
     prefixes prune hard, use :func:`ngram_jaccard_pairs_prefix`.
+
+    ``max_df`` is the stop-shingle cutoff that keeps the self-join from
+    detonating on hot shingles (a shingle in m docs contributes m²/2
+    candidate rows): shingles whose document frequency exceeds it are
+    dropped from the inverted index, so the join fans out at most
+    max_df² per shingle. Reported ``n_common``/``jaccard`` stay EXACT —
+    each doc's (few) hot shingles ride along as a small sorted array and
+    the per-pair hot intersection is added back to the cold count. The
+    one loss mode: a pair whose EVERY common shingle is hotter than
+    max_df is never generated (standard trade; such pairs share only
+    boilerplate). ``None`` disables the cutoff entirely.
     """
     sh = shingle_table(df, text_col, id_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+
+    if max_df is None:
+        idx = sh
+        hot_common = F.lit(0).cast("long")
+        join_hot = lambda d: d  # noqa: E731
+    else:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        # hot shingles are few (df > cutoff bounds their count by
+        # total_postings/max_df) but their postings are NOT — keep both
+        # sides distributed: anti-join prunes the index, and each doc's
+        # own hot shingles collapse to one small sorted array
+        idx = sh.join(hot, "shingle", "left_anti")
+        hot_per_doc = (
+            sh.join(hot, "shingle")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_set("shingle")).alias("_hot"))
+        )
+        empty = F.array().cast("array<string>")
+        ha = hot_per_doc.select(F.col(id_col).alias("id_a"), F.col("_hot").alias("_hot_a"))
+        hb = hot_per_doc.select(F.col(id_col).alias("id_b"), F.col("_hot").alias("_hot_b"))
+        hot_common = F.size(
+            F.array_intersect(
+                F.coalesce(F.col("_hot_a"), empty), F.coalesce(F.col("_hot_b"), empty)
+            )
+        ).cast("long")
+        join_hot = lambda d: d.join(ha, "id_a", "left").join(hb, "id_b", "left")  # noqa: E731
+
+    a = idx.select(F.col(id_col).alias("id_a"), "shingle")
+    b = idx.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(F.count(F.lit(1)).alias("_n_cold"))
     )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
     return (
-        inter.join(sz_a, "id_a")
+        join_hot(inter)
+        .withColumn("n_common", (F.col("_n_cold") + hot_common).cast("long"))
+        .join(sz_a, "id_a")
         .join(sz_b, "id_b")
         .select("id_a", "id_b", "n_common", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
@@ -213,7 +259,9 @@ def ngram_jaccard_pairs_prefix(
     vb = arrays.select(
         F.col(id_col).alias("id_b"), F.col("_arr").alias("_ab"), F.col("_sz").alias("sz_b")
     )
-    n_common = F.size(F.array_intersect("_aa", "_ab"))
+    # cast matches the count()-based path's BIGINT (driver hashing is
+    # type-sensitive — see the DuckDB HUGEINT lesson on sessionize)
+    n_common = F.size(F.array_intersect("_aa", "_ab")).cast("long")
     jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
     return (
         cand.join(va, "id_a")
