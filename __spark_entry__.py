@@ -1249,6 +1249,38 @@ FROM d
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode round-trip: deterministic BMP/WAV containers
+    built from doc_id (operators/multimodal.py make_bmp/make_wav), then
+    header-parsed back by the pure-Python decode kernel. The oracle
+    predicts every decoded field and byte length from doc_id arithmetic —
+    a wrong parser (or builder) cannot hash-match."""
+    _prep(spark)
+    from time_series_loader_spark.operators.multimodal import (
+        decode_features,
+        synthesize_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_features(synthesize_payloads(docs, "doc_id"))
+
+
+SQL_multimodal_decode = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+       CASE WHEN doc_id % 2 = 0
+            THEN 54 + (((24 * ((doc_id % 64) + 1) + 31) // 32) * 4) * ((doc_id % 37) + 2)
+            ELSE 44 + ((doc_id % 100) + 1) * (((doc_id // 2) % 2) + 1) * 2
+       END AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 64) + 1 ELSE 0 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 37) + 2 ELSE 0 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 + (doc_id % 4) * 4000 END AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE ((doc_id // 2) % 2) + 1 END AS INT) AS n_channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE (doc_id % 100) + 1 END AS INT) AS n_frames
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # streaming + additional relational coverage
 # --------------------------------------------------------------------------
@@ -2084,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk_ivf": q_cosine_topk_ivf,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
         # streaming + additional relational coverage
         "streaming_hourly": q_streaming_hourly,
         "streaming_sessionize": q_streaming_sessionize,
@@ -2148,6 +2181,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_ivf": _sql_cosine_topk_ivf(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "multimodal_features": _sql_multimodal(),
+        "multimodal_decode": SQL_multimodal_decode,
         # streaming + additional relational coverage
         "streaming_hourly": SQL_streaming_hourly,
         "streaming_sessionize": SQL_streaming_sessionize,

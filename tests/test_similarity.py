@@ -140,7 +140,7 @@ def test_multimodal_stub_features(spark):
     assert out["n_frames"] == int(d[4:6], 16) % 16 + 1
 
 
-def test_multimodal_real_decode_raises(spark):
+def test_multimodal_real_decode_raises_on_unknown_format(spark):
     from time_series_loader_spark.operators.multimodal import (
         attach_payload,
         extract_features,
@@ -149,6 +149,44 @@ def test_multimodal_real_decode_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id BIGINT, text STRING")
     with pytest.raises(Exception, match="NotImplementedError|real decode"):
         extract_features(attach_payload(df, "text", "doc_id"), decode_stub=False).collect()
+
+
+def test_bmp_wav_round_trip_local():
+    """Pure-Python codec sanity, no Spark: build → parse recovers params."""
+    from time_series_loader_spark.operators.multimodal import (
+        decode_payload,
+        make_bmp,
+        make_wav,
+    )
+
+    bmp = make_bmp(33, 7)
+    assert decode_payload(bmp) == {
+        "modality": "image", "width": 33, "height": 7,
+        "sample_rate": 0, "n_channels": 0, "n_frames": 1,
+    }
+    assert len(bmp) == 54 + ((24 * 33 + 31) // 32) * 4 * 7
+    wav = make_wav(16000, 2, 123)
+    assert decode_payload(wav) == {
+        "modality": "audio", "width": 0, "height": 0,
+        "sample_rate": 16000, "n_channels": 2, "n_frames": 123,
+    }
+    assert len(wav) == 44 + 123 * 2 * 2
+
+
+def test_multimodal_decode_round_trip_spark(spark):
+    from time_series_loader_spark.operators.multimodal import (
+        decode_features,
+        synthesize_payloads,
+    )
+
+    df = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r for r in decode_features(synthesize_payloads(df)).collect()}
+    assert out[4]["modality"] == "image"
+    assert out[4]["width"] == 5 and out[4]["height"] == 6
+    assert out[7]["modality"] == "audio"
+    assert out[7]["sample_rate"] == 8000 + (7 % 4) * 4000
+    assert out[7]["n_channels"] == (7 // 2) % 2 + 1
+    assert out[7]["n_frames"] == 8
 
 
 def test_ivf_recall_and_exactness_of_scores(spark, emb):

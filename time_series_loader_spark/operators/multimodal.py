@@ -8,11 +8,16 @@ image/audio/video at 100 TB:
 - decode / feature-extraction runs as **Arrow-batched ``mapInPandas``** —
   the only sanctioned Python hop — so each task processes a columnar batch,
   never a row at a time;
-- real codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-  decode step is STUBBED: ``decode_stub=True`` derives deterministic fake
-  features from the content digest (real Spark plumbing — schema,
-  batching, partitioning — with a fake kernel); ``decode_stub=False``
-  raises NotImplementedError where the codec call belongs.
+- real codecs (PIL/ffmpeg/torchaudio) are NOT in this container. Two real
+  container formats ARE decoded with pure-Python header parsers —
+  **BMP** (width/height from the DIB header) and **WAV** (sample rate /
+  channels / frame count from the RIFF fmt+data chunks) — exercised
+  end-to-end by the ``multimodal_decode`` oracle query on payloads built
+  with :func:`make_bmp`/:func:`make_wav`. ``decode_stub=True`` keeps the
+  digest-derived fake kernel for formats that genuinely need native
+  codecs; ``decode_stub=False`` runs the real parsers and raises
+  NotImplementedError only for unrecognized magic bytes (JPEG/PNG/MP4…,
+  where PIL/ffmpeg would slot in).
 """
 
 from __future__ import annotations
@@ -56,12 +61,140 @@ def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def make_bmp(width: int, height: int) -> bytes:
+    """Minimal valid 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up,
+    zeroed pixels, rows padded to 4 bytes). Pure Python — used to craft
+    deterministic image payloads for the decode round-trip oracle."""
+    import struct
+
+    row = ((24 * width + 31) // 32) * 4
+    image_size = row * height
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + image_size, 0, 0, 54,
+        40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0,
+    )
+    return header + b"\x00" * image_size
+
+
+def make_wav(sample_rate: int, n_channels: int, n_frames: int) -> bytes:
+    """Minimal valid 16-bit PCM WAV (RIFF/fmt/data, silent samples)."""
+    import struct
+
+    block_align = n_channels * 2
+    data_size = n_frames * block_align
+    return (
+        struct.pack(
+            "<4sI4s" "4sIHHIIHH" "4sI",
+            b"RIFF", 36 + data_size, b"WAVE",
+            b"fmt ", 16, 1, n_channels, sample_rate,
+            sample_rate * block_align, block_align, 16,
+            b"data", data_size,
+        )
+        + b"\x00" * data_size
+    )
+
+
+def decode_payload(p: bytes) -> dict:
+    """Header-parse one payload: BMP → (width, height), WAV → (sample_rate,
+    n_channels, n_frames). Raises NotImplementedError for formats that need
+    a native codec (JPEG/PNG/MP4…) — that is where PIL/ffmpeg slots in."""
+    import struct
+
+    if p[:2] == b"BM" and len(p) >= 26:
+        w, h = struct.unpack_from("<ii", p, 18)
+        return {
+            "modality": "image", "width": w, "height": abs(h),
+            "sample_rate": 0, "n_channels": 0, "n_frames": 1,
+        }
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        off, rate, chans, block, frames = 12, 0, 0, 0, 0
+        while off + 8 <= len(p):
+            tag, size = struct.unpack_from("<4sI", p, off)
+            if tag == b"fmt " and size >= 16:
+                _, chans, rate, _, block, _ = struct.unpack_from("<HHIIHH", p, off + 8)
+            elif tag == b"data" and block:
+                frames = size // block
+            off += 8 + size + (size & 1)
+        return {
+            "modality": "audio", "width": 0, "height": 0,
+            "sample_rate": rate, "n_channels": chans, "n_frames": frames,
+        }
+    raise NotImplementedError(
+        "real decode of this format requires PIL/ffmpeg; not available in "
+        "this container (pure-Python paths: BMP, WAV)"
+    )
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def synthesize_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-container payloads from an id column: even ids →
+    BMP (width/height arithmetic in the id), odd ids → WAV (rate/channels/
+    frames likewise). Because every decoded field and the byte length are
+    pure functions of the id, a SQL oracle can predict them all — making
+    the decode round-trip (build → parse) fully correctness-checked."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                if i % 2 == 0:
+                    payloads.append(make_bmp((i % 64) + 1, (i % 37) + 2))
+                else:
+                    payloads.append(
+                        make_wav(8000 + (i % 4) * 4000, ((i // 2) % 2) + 1, (i % 100) + 1)
+                    )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(batches, "doc_id BIGINT, payload BINARY")
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """REAL decode path: header-parse each payload (BMP/WAV) in an
+    Arrow-batched ``mapInPandas`` kernel — same plumbing as the stub, a
+    real kernel. Input needs (doc_id, payload)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_payload(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": [f["modality"] for f in feats],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": pd.Series([f["width"] for f in feats], dtype="int32"),
+                    "height": pd.Series([f["height"] for f in feats], dtype="int32"),
+                    "sample_rate": pd.Series([f["sample_rate"] for f in feats], dtype="int32"),
+                    "n_channels": pd.Series([f["n_channels"] for f in feats], dtype="int32"),
+                    "n_frames": pd.Series([f["n_frames"] for f in feats], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, DECODE_SCHEMA)
+
+
 def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode/feature-extract payloads via Arrow-batched mapInPandas.
 
     Stub kernel: width/height/n_frames derived from the first digest bytes
-    (deterministic, engine-independent). A real deployment swaps the body
-    for PIL/ffmpeg decode; the Spark plumbing is unchanged.
+    (deterministic, engine-independent). ``decode_stub=False`` header-parses
+    real containers (BMP/WAV via :func:`decode_payload`) and raises
+    NotImplementedError on formats that need a native codec.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -69,10 +202,21 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
 
         for pdf in it:
             if not decode_stub:
-                raise NotImplementedError(
-                    "real decode requires PIL/ffmpeg; not available in this "
-                    "container — run with decode_stub=True"
+                feats = [decode_payload(bytes(p)) for p in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "modality": [f["modality"] for f in feats],
+                        "n_bytes": pdf["payload"].map(len).astype("int64"),
+                        "digest": [
+                            hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
+                        ],
+                        "width": pd.Series([f["width"] for f in feats], dtype="int32"),
+                        "height": pd.Series([f["height"] for f in feats], dtype="int32"),
+                        "n_frames": pd.Series([f["n_frames"] for f in feats], dtype="int32"),
+                    }
                 )
+                continue
             payloads = pdf["payload"]
             digests = [hashlib.sha256(bytes(p)).hexdigest() for p in payloads]
             yield pd.DataFrame(
