@@ -442,10 +442,10 @@ agg AS (
   SELECT ts, CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS value_mean
   FROM binned GROUP BY ts
 )
-SELECT a.ts, floor((a.value_mean)*1000000 + 0.5)/1000000 AS value_mean,
+SELECT p.lo AS ts, floor((a.value_mean)*1000000 + 0.5)/1000000 AS value_mean,
        (SELECT e.event_type FROM events e
-        ORDER BY abs(epoch(e.ts) - epoch(a.ts)) ASC, e.ts ASC LIMIT 1) AS event_type
-FROM agg a
+        ORDER BY abs(epoch(e.ts) - epoch(p.lo)) ASC, e.ts ASC LIMIT 1) AS event_type
+FROM pts p LEFT JOIN agg a ON a.ts = p.lo
 """
 
 

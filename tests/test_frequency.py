@@ -25,3 +25,16 @@ def test_timedelta_and_numeric():
 def test_invalid(bad):
     with pytest.raises(ValueError):
         freq_to_seconds(bad)
+
+
+@pytest.mark.parametrize("cal", ["M", "1M", "MS", "3M", "Y", "2Q", "month", "1year"])
+def test_calendar_frequencies_rejected(cal):
+    # pandas 'M' means month-end; lowercasing it to minutes would be a
+    # silent ~43800x misparse for ported configs — must raise instead.
+    with pytest.raises(ValueError, match="calendar"):
+        freq_to_seconds(cal)
+
+
+def test_lowercase_m_still_minutes():
+    assert freq_to_seconds("5m") == 300
+    assert freq_to_seconds("m") == 60

@@ -93,3 +93,36 @@ def test_outlier_hook(spark, series_dir):
     )
     df = loader.initialize()
     assert df.count() <= 36
+
+
+def test_resample_excluding_large_gaps(spark, tmp_path):
+    """include_all_gaps=False drops grid rows inside gaps > max_gap_size.
+
+    DIVERGENCE (documented in loader.resample): the reference docstring says
+    exclude LARGE gaps; its implementation inverts the comparison and
+    excludes small ones (load_file.py:2309-2329). We follow the docstring.
+    """
+    for day in (1, 3):  # day 2 missing → 26h gap between the files
+        name = f"E1 1A - Data - 01-0{day}-2023 00_00_00 - 01-0{day}-2023 23_59_59.csv"
+        lines = ["value;Time"]
+        for h in range(0, 24, 2):
+            lines.append(f"{day * 100 + h};0{day}/01/2023 {h:02d}:00")
+        (tmp_path / name).write_text("\n".join(lines) + "\n")
+    loader = TimeSeriesLoader.from_directory(
+        spark,
+        str(tmp_path),
+        loading=LoadingConfig(timestamp_column="Time"),
+        extractor=TimeMetadataExtractor(),
+        ts_config=TimeSeriesConfig(strategy=ValidationStrategy.LENIENT),
+    )
+    loader.initialize()
+    full = loader.resample(frequency="2h").collect()
+    assert len(full) == 36  # 70h span / 2h + 1: gap region gridded as nulls
+    segmented = loader.resample(
+        frequency="2h", include_all_gaps=False, max_gap_size="6h"
+    ).collect()
+    times = [r["Time"] for r in segmented]
+    assert len(segmented) == 24  # 12 grid points per surviving day segment
+    assert datetime(2023, 1, 2, 0) not in times  # inside the excluded gap
+    # small gaps (≤ max_gap_size) are still gridded: nothing else dropped
+    assert datetime(2023, 1, 1, 22) in times and datetime(2023, 1, 3, 0) in times

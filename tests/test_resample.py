@@ -92,6 +92,29 @@ class TestBreakpointResample:
             by_ts = {r["timestamp"]: r for r in out}
             assert by_ts[points[0]]["numeric"] == pytest.approx(b0), method
 
+    def test_empty_bin_emitted_with_null_aggs(self, spark, points):
+        # pandas groupby over pd.cut categoricals (observed=False default)
+        # emits a row for EVERY bin label; empty bins get NaN aggregates and
+        # still receive the nearest-value non-numeric.
+        rows = [
+            (datetime(2023, 1, 1) + timedelta(hours=h), float(h), "A" if h % 2 == 0 else "B")
+            for h in range(25)
+            if not (8 < h <= 12)  # bin (08:00,12:00] has no rows at all
+        ]
+        df = spark.createDataFrame(
+            rows, "timestamp TIMESTAMP, numeric DOUBLE, category STRING"
+        )
+        out = resample_with_dates(
+            df, "timestamp", points, method="mean", nearest_cols=["category"]
+        ).collect()
+        by_ts = {r["timestamp"]: r for r in out}
+        assert len(out) == len(points) - 1  # every bin label present
+        empty_label = points[2]  # (08:00, 12:00]
+        assert by_ts[empty_label]["numeric"] is None
+        # nearest over the whole frame still fills the categorical:
+        # label 08:00 → nearest row is hour 8 → "A"
+        assert by_ts[empty_label]["category"] == "A"
+
     def test_skipna_matrix(self, spark, df, points):
         # bin1 (04:00,08:00] covers hours 5..8 — all null → null either way;
         # bin2 (08:00,12:00] covers hours 9..12 with one null (hour 9):

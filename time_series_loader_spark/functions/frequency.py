@@ -36,6 +36,11 @@ _UNIT_SECONDS = {
 
 _FREQ_RE = re.compile(r"^\s*(\d*)\s*([a-zA-Z]+)\s*$")
 
+# pandas calendar aliases have no fixed second length; lowercasing them would
+# silently misparse 'M' (month) as minutes — reject them explicitly instead.
+_CALENDAR_UNITS = {"M", "MS", "ME", "Y", "YS", "YE", "A", "AS", "Q", "QS", "QE"}
+_CALENDAR_WORDS = {"month", "months", "year", "years", "quarter", "quarters"}
+
 
 def freq_to_seconds(freq: str | int | float | timedelta) -> int:
     """Parse ``"15min" | "1H" | "3600s" | timedelta | int-seconds`` → seconds.
@@ -52,6 +57,11 @@ def freq_to_seconds(freq: str | int | float | timedelta) -> int:
         if not m:
             raise ValueError(f"unparseable frequency: {freq!r}")
         n = int(m.group(1) or "1")
+        if m.group(2) in _CALENDAR_UNITS or m.group(2).lower() in _CALENDAR_WORDS:
+            raise ValueError(
+                f"calendar frequencies unsupported: {freq!r} (months/quarters/"
+                "years have no fixed second length; use day/hour multiples)"
+            )
         unit = m.group(2).lower()
         if unit not in _UNIT_SECONDS:
             raise ValueError(f"unknown frequency unit {m.group(2)!r} in {freq!r}")

@@ -141,7 +141,10 @@ def resample_with_dates(
     pandas-``cut`` semantics (reference ``load_file.py:2177-2183``): bins are
     right-closed ``(lo, hi]`` with ``include_lowest=True`` making the first
     bin ``[lo0, hi0]``. Rows outside all bins are dropped (pd.cut → NaN bin →
-    groupby drops).
+    groupby drops). A bin with NO rows still emits a row (pandas groupby over
+    cut categoricals defaults to ``observed=False``): null aggregates, and
+    nearest-value non-numerics are still filled — we left-join the aggregates
+    back onto the full bin-label table to match.
 
     Scale: the bin table is broadcast; the range-join predicate is evaluated
     map-side, then one groupBy shuffle on the bin label.
@@ -167,9 +170,14 @@ def resample_with_dates(
             if c != ts_col and c not in nearest_cols and _is_numeric(t)
         ]
     aggs = [_agg_expr(c, method, ts_col, skipna, dtypes.get(c, "double")) for c in numeric_cols]
-    out = (
-        binned.groupBy(F.col("bin_lo").alias(ts_col))
-        .agg(*aggs)
+    # Left-join onto the full label table so empty bins survive with null
+    # aggregates (pandas observed=False). The label table is driver-sized
+    # (len(points)-1 rows) — broadcast, no extra shuffle of the fact side.
+    labels_df = bins.select(F.col("bin_lo").alias(ts_col))
+    out = labels_df.join(
+        binned.groupBy(F.col("bin_lo").alias(ts_col)).agg(*aggs),
+        on=ts_col,
+        how="left",
     )
 
     if nearest_cols:

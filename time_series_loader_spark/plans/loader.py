@@ -246,6 +246,12 @@ class TimeSeriesLoader:
         include_all_gaps: bool = True,
         max_gap_size: Optional[str | int] = None,
     ) -> DataFrame:
+        # DIVERGENCE (documented, like concat_metadata min/max): with
+        # include_all_gaps=False we exclude gaps LARGER than max_gap_size —
+        # the reference docstring's stated intent. The reference
+        # implementation (load_file.py:2309-2329) inverts the comparison and
+        # excludes gaps SMALLER than max_gap_size, which would re-grid only
+        # the already-dense regions; we follow the docstring, not the bug.
         df = self.get_dataframe()
         ts = self._ts_col(time_column)
         if self._analysis is None:
