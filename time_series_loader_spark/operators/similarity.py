@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -90,17 +91,36 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 def lsh_bucket(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
     """Sign-bit signature of ``vec`` against the plane set, as a bit string.
 
-    Uses the exact decimal dot product so the sign never flips between
-    engines on near-orthogonal vectors.
+    Arrow-batched kernel, one ``cumsum`` fold per plane: each dot product
+    is the float32-rounded plane times the float64-cast vector, summed
+    STRICTLY in index order — bit-identical to the expression form
+    (``zip_with`` + ``F.aggregate`` left fold) and to a DuckDB
+    ``list_reduce`` oracle built from the same literals, so the sign never
+    flips between engines on near-orthogonal vectors.
+
+    The previous expression-tree form (one ``zip_with``+``aggregate``
+    lambda pair per plane) was semantically identical but paid Catalyst
+    analysis + codegen proportional to ``n_planes × dim`` — at 16 planes
+    × 64 dims it dominated small-query wall time; the kernel's cost is one
+    Arrow transfer regardless of plane count.
     """
-    bits = [
-        F.when(
-            dot_exact(vec, F.array(*[F.lit(float(x)) for x in p]).cast("array<float>")) > 0,
-            "1",
-        ).otherwise("0")
-        for p in planes
-    ]
-    return F.concat(*bits)
+    # float32 rounding mirrors the `.cast("array<float>")` the expression
+    # form applied to plane literals; the fold itself runs in float64.
+    P = np.asarray(planes, dtype=np.float32).astype(np.float64)  # (k, dim)
+
+    @F.pandas_udf("string")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (n, dim)
+        bits = np.empty((len(V), len(P)), dtype=np.uint8)
+        for j in range(len(P)):
+            # cumsum == the sequential left fold (0.0 + p0 is exact)
+            bits[:, j] = np.cumsum(V * P[j][None, :], axis=1)[:, -1] > 0
+        codes = [''.join('1' if b else '0' for b in row) for row in bits]
+        return pd.Series(codes)
+
+    return bucket(vec)
 
 
 def cosine_topk_lsh(
@@ -359,20 +379,49 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
-    import pandas as pd
+    extra_planes = hyperplanes(dim, 16, seed + 1)
 
-    t = df.select(
+    # One fused Arrow kernel computes norm + primary bucket + the 16
+    # re-split candidate bits per row (cumsum folds, bit-identical to the
+    # expression forms — see lsh_bucket). One kernel call per scan beats
+    # separate norm_exact / lsh_bucket expression trees: Catalyst
+    # analysis+codegen of ~18 fold lambdas dominated wall time at this
+    # query's data size, and the kernel is one batch matvec regardless.
+    P1 = np.asarray(planes, dtype=np.float32).astype(np.float64)
+    P2 = np.asarray(extra_planes, dtype=np.float32).astype(np.float64)
+
+    @F.pandas_udf("nrm double, bucket string, extra string")
+    def sig(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"nrm": [], "bucket": [], "extra": []})
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+        bits1 = np.empty((len(V), len(P1)), dtype=np.uint8)
+        for j in range(len(P1)):
+            bits1[:, j] = np.cumsum(V * P1[j][None, :], axis=1)[:, -1] > 0
+        bits2 = np.empty((len(V), len(P2)), dtype=np.uint8)
+        for j in range(len(P2)):
+            bits2[:, j] = np.cumsum(V * P2[j][None, :], axis=1)[:, -1] > 0
+        join = lambda row: ''.join('1' if b else '0' for b in row)  # noqa: E731
+        return pd.DataFrame({
+            "nrm": nrm,
+            "bucket": [join(r) for r in bits1],
+            "extra": [join(r) for r in bits2],
+        })
+
+    t = df.select(F.col(id_col), F.col(vec_col).alias("_v"), sig(F.col(vec_col)).alias("_s")).select(
         F.col(id_col),
-        F.col(vec_col).alias("_v"),
-        norm_exact(F.col(vec_col)).alias("_n"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        "_v",
+        F.col("_s.nrm").alias("_n"),
+        F.col("_s.bucket").alias("_bucket"),
+        F.col("_s.extra").alias("_extra"),
     )
 
     # Re-split oversized buckets: rows in a bucket of size m > max_bucket
-    # append the first ceil(log2(m/max_bucket)) bits of a second plane
-    # set. CASE WHEN evaluates lazily per row, so the extra plane dots are
-    # only computed for rows already inside an oversized bucket.
-    extra_planes = hyperplanes(dim, 16, seed + 1)
+    # append the first ceil(log2(m/max_bucket)) of the precomputed extra
+    # bits to their key. The count aggregate ships only bucket strings
+    # (map-side partials) and the oversized table is broadcast — cheaper
+    # at scale than re-shuffling full vectors twice via a window.
     oversized = (
         t.groupBy("_bucket")
         .agg(F.count("*").alias("_m"))
@@ -388,10 +437,7 @@ def embedding_near_dup_pairs(
         "_n",
         F.when(
             F.col("_m").isNotNull(),
-            F.concat(
-                F.col("_bucket"),
-                F.substring(lsh_bucket(F.col("_v"), extra_planes), 1, n_extra),
-            ),
+            F.concat(F.col("_bucket"), F.substring(F.col("_extra"), 1, n_extra)),
         )
         .otherwise(F.col("_bucket"))
         .alias("_bucket"),
