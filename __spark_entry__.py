@@ -1990,41 +1990,64 @@ FROM d WHERE ds > 14400
 """
 
 
+# Header exercises P3 (whitespace strip) + P5 ("A - B - C" → "C") on the
+# third column; a rename map (P4) then maps "note" → "label".
+_CSV_FIXTURE_HEADER = "value;Time; S1 - Data - note \n"
 _CSV_FIXTURE_FILES = {
     "S1 - Data - 01-01-2024 00_00_00 - 01-01-2024 23_59_59.csv": [
-        ("10", "01/01/2024 02:00", "a"),
-        ("11", "01/01/2024 00:00", "b"),
-        ("12", "01/01/2024 01:00", "c"),
+        ("10", "01/01/2024 02:00", "1"),
+        ("11", "01/01/2024 00:00", "2"),
+        ("12", "01/01/2024 01:00", "3"),
     ],
     "S1 - Data - 01-02-2024 00_00_00 - 01-02-2024 23_59_59.csv": [
-        ("20", "02/01/2024 00:00", "d"),
-        ("x!", "02/01/2024 01:00", "e"),  # coercion → null
+        ("20", "02/01/2024 00:00", "4"),
+        ("x!", "02/01/2024 01:00", "5"),  # coercion → null value
     ],
     "S1 - Data - 01-03-2024 00_00_00 - 01-03-2024 23_59_59.csv": [
-        ("30", "03/01/2024 05:00", "f"),
+        ("30", "03/01/2024 05:00", "oops"),  # coercion → null label
+    ],
+    # W6 decoy pair: the second file STARTS 12h before the first ENDS —
+    # sequence validation must flag the overlap (LENIENT + allow_overlap
+    # False ⇒ invalid sequence, recorded in the ledger; rows still load).
+    "S1 - Data - 01-04-2024 00_00_00 - 01-04-2024 23_59_59.csv": [
+        ("40", "04/01/2024 00:00", "7"),
+    ],
+    "S1 - Data - 01-04-2024 12_00_00 - 01-05-2024 11_59_59.csv": [
+        ("41", "04/01/2024 13:00", "8"),
     ],
 }
+# Data files the pipeline must EXCLUDE, each through a different gate:
+_CSV_FIXTURE_BAD_HEADER = "S1 - Data - 01-06-2024 00_00_00 - 01-06-2024 23_59_59.csv"
+_CSV_FIXTURE_BAD_NAME = "S1 - Data - badname.csv"
 
 
 def _csv_fixture_dir() -> str:
     """Deterministic on-disk CSV fixture (idempotent) for the end-to-end
-    source-pipeline query: F5-style timestamp-named files, ';' delimiter,
-    dd/MM/yyyy HH:mm timestamps, a non-numeric cell, plus decoys."""
+    source-pipeline queries: F5-style timestamp-named files, ';' delimiter,
+    dd/MM/yyyy HH:mm timestamps, a non-numeric cell, a decoy overlap pair,
+    plus per-gate rejects (non-CSV, empty, schema mismatch, unparseable
+    name)."""
     import os
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), "tsl_csv_fixture_v1")
+    d = os.path.join(tempfile.gettempdir(), "tsl_csv_fixture_v2")
     os.makedirs(d, exist_ok=True)
-    for name, rows in _CSV_FIXTURE_FILES.items():
+
+    def write(name: str, content: str) -> None:
         p = os.path.join(d, name)
         if not os.path.exists(p):
             with open(p, "w", encoding="utf-8") as f:
-                f.write("value;Time;note\n")
-                for r in rows:
-                    f.write(";".join(r) + "\n")
-    # decoys the discovery layer must reject
-    open(os.path.join(d, "notes.txt"), "w").write("not a csv")
-    open(os.path.join(d, "empty.csv"), "w").close()
+                f.write(content)
+
+    for name, rows in _CSV_FIXTURE_FILES.items():
+        write(name, _CSV_FIXTURE_HEADER + "".join(";".join(r) + "\n" for r in rows))
+    # rejected by schema congruence (S10/§1.3): valid time-name, wrong header
+    write(_CSV_FIXTURE_BAD_HEADER, "wrong;cols\n1;2\n")
+    # rejected by metadata extraction (P9): name doesn't parse
+    write(_CSV_FIXTURE_BAD_NAME, _CSV_FIXTURE_HEADER + "99;09/01/2024 00:00;z\n")
+    # rejected by discovery (S6/S7): wrong extension / empty file
+    write("notes.txt", "not a csv")
+    open(os.path.join(d, "empty.csv"), "a").close()
     return d
 
 
@@ -2036,46 +2059,116 @@ except OSError:  # read-only /tmp etc. — the query itself will retry/raise
     pass
 
 
-def q_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end source pipeline (S1+S4+S6+P1+P6+P9+O1+O3, reference
-    §3.1): discover timestamp-named CSVs (rejecting decoys), extract
-    filename metadata, validate the sequence, load with coercion + lineage,
-    sort by time. Oracle: DuckDB read_csv over the same fixture."""
-    _prep(spark)
-    from time_series_loader_spark.config import LoadingConfig
+def _csv_loader(spark: SparkSession):
+    """Shared loader config for the csv_pipeline / csv_errors queries."""
+    from time_series_loader_spark.config import ColumnNamingConfig, LoadingConfig
     from time_series_loader_spark.plans.loader import TimeSeriesLoader
     from time_series_loader_spark.sources.metadata import TimeMetadataExtractor
 
-    d = _csv_fixture_dir()
-    loader = TimeSeriesLoader.from_directory(
+    return TimeSeriesLoader.from_directory(
         spark,
-        d,
+        _csv_fixture_dir(),
         loading=LoadingConfig(timestamp_column="Time"),
+        naming=ColumnNamingConfig(clean_names=True, rename_map={"note": "label"}),
         extractor=TimeMetadataExtractor(),
     )
+
+
+def q_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end source pipeline (S1+S4+S6+P1+P3+P4+P5+P6+P9+O1+O3,
+    reference §3.1): discover timestamp-named CSVs (rejecting decoys by
+    extension, emptiness, unparseable name, and schema congruence),
+    extract filename metadata, validate the sequence (the fixture's
+    overlap pair flags it), load with name cleaning + coercion + lineage,
+    sort by time. Oracle: DuckDB read_csv over the same fixture files —
+    a wrongly included/excluded file breaks the row hash."""
+    _prep(spark)
+    loader = _csv_loader(spark)
     df = loader.initialize()
     return df.select(
         _r6(F.col("value"), "value"),
         F.col("Time").alias("ts"),
+        _r6(F.col("label"), "label"),
         F.element_at(F.split(F.col("source_file"), "/"), -1).alias("fname"),
         F.col("file_start_time"),
         F.col("file_end_time"),
     )
 
 
-SQL_csv_pipeline = """
+_CSV_FIXTURE_GOOD = ", ".join(
+    f"'/tmp/tsl_csv_fixture_v2/{name}'" for name in sorted(_CSV_FIXTURE_FILES)
+)
+
+SQL_csv_pipeline = f"""
 SELECT TRY_CAST(value AS DOUBLE) AS value,
        strptime(Time, '%d/%m/%Y %H:%M') AS ts,
+       TRY_CAST("S1 - Data - note" AS DOUBLE) AS label,
        parse_filename(filename) AS fname,
        strptime(regexp_extract(parse_filename(filename),
-         '(\\d{2}-\\d{2}-\\d{4} \\d{2}_\\d{2}_\\d{2}) - (\\d{2}-\\d{2}-\\d{4} \\d{2}_\\d{2}_\\d{2})', 1),
+         '(\\d{{2}}-\\d{{2}}-\\d{{4}} \\d{{2}}_\\d{{2}}_\\d{{2}}) - (\\d{{2}}-\\d{{2}}-\\d{{4}} \\d{{2}}_\\d{{2}}_\\d{{2}})', 1),
          '%m-%d-%Y %H_%M_%S') AS file_start_time,
        strptime(regexp_extract(parse_filename(filename),
-         '(\\d{2}-\\d{2}-\\d{4} \\d{2}_\\d{2}_\\d{2}) - (\\d{2}-\\d{2}-\\d{4} \\d{2}_\\d{2}_\\d{2})', 2),
+         '(\\d{{2}}-\\d{{2}}-\\d{{4}} \\d{{2}}_\\d{{2}}_\\d{{2}}) - (\\d{{2}}-\\d{{2}}-\\d{{4}} \\d{{2}}_\\d{{2}}_\\d{{2}})', 2),
          '%m-%d-%Y %H_%M_%S') AS file_end_time
-FROM read_csv('/tmp/tsl_csv_fixture_v1/S1*.csv', delim=';', header=true,
-              types={'value': 'VARCHAR', 'Time': 'VARCHAR', 'note': 'VARCHAR'},
+FROM read_csv([{_CSV_FIXTURE_GOOD}], delim=';', header=true,
+              types={{'value': 'VARCHAR', 'Time': 'VARCHAR', 'S1 - Data - note': 'VARCHAR'}},
               filename=true)
+"""
+
+
+def q_csv_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-subsystem proof (S9+S10+A5+W6+W7): run the same pipeline,
+    then export the ledger CSV filtered to ERROR severity (the filtered
+    sink), read THAT file back through Spark, and union the WARNING rows
+    from the aggregation report — so the sink's round-tripped content and
+    the report aggregation are both oracle-checked. Expected rows: the
+    schema-congruence reject, the flagged overlap (sequence validation
+    under LENIENT), and the unparseable-name metadata warning."""
+    _prep(spark)
+    import os
+    import tempfile
+
+    from time_series_loader_spark.errors import ErrorSeverity
+
+    loader = _csv_loader(spark)
+    loader.initialize()
+    report = loader.ledger.report()
+
+    export = os.path.join(tempfile.gettempdir(), "tsl_csv_errors_export.csv")
+    loader.ledger.export_csv(export, severities={ErrorSeverity.ERROR})
+
+    sev_totals = {s: int(n) for s, n in report["by_severity"].items()}
+    errors_df = (
+        spark.read.option("header", "true").csv(export)
+        .select(
+            "severity",
+            "error_type",
+            F.nullif(F.element_at(F.split(F.col("file"), "/"), -1), F.lit("")).alias("fname"),
+        )
+    )
+    warn_rows = [
+        (e["severity"], e["error_type"], os.path.basename(e["file"]) if e["file"] else None)
+        for e in report["errors"]
+        if e["severity"] == "WARNING"
+    ]
+    warnings_df = spark.createDataFrame(
+        warn_rows, "severity STRING, error_type STRING, fname STRING"
+    )
+    totals_map = F.create_map(
+        *[F.lit(x) for s, n in sorted(sev_totals.items()) for x in (s, n)]
+    )
+    return (
+        errors_df.unionByName(warnings_df)
+        .withColumn("sev_total", F.element_at(totals_map, F.col("severity")).cast("int"))
+    )
+
+
+SQL_csv_errors = f"""
+SELECT * FROM (VALUES
+  ('ERROR', 'sequence_validation', CAST(NULL AS VARCHAR), 2),
+  ('ERROR', 'schema_congruence', '{_CSV_FIXTURE_BAD_HEADER}', 2),
+  ('WARNING', 'metadata_extraction_failed', '{_CSV_FIXTURE_BAD_NAME}', 1)
+) AS t(severity, error_type, fname, sev_total)
 """
 
 
@@ -2138,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders": q_cube_orders,
         "ntile_pct": q_ntile_pct,
         "csv_pipeline": q_csv_pipeline,
+        "csv_errors": q_csv_errors,
         "streaming_gap_detector": q_streaming_gap_detector,
     }
 
@@ -2203,5 +2297,6 @@ def oracle_sql() -> dict[str, str]:
         "cube_orders": SQL_cube_orders,
         "ntile_pct": SQL_ntile_pct,
         "csv_pipeline": SQL_csv_pipeline,
+        "csv_errors": SQL_csv_errors,
         "streaming_gap_detector": SQL_streaming_gap_detector,
     }
