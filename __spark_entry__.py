@@ -2172,6 +2172,264 @@ SELECT * FROM (VALUES
 """
 
 
+def q_file_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 file-coverage report over the fixture metas (including the
+    schema-rejected file, whose NAME still parses): span, covered time,
+    coverage %, gap/overlap counts. The oracle hand-computes the same
+    quantities from the fixture's filename windows: span Jan-1 00:00:00 →
+    Jan-6 23:59:59 (518399 s), four inter-file gaps (1+1+1+43201 s), one
+    12 h overlap."""
+    _prep(spark)
+    from time_series_loader_spark.sources.validation import coverage_report
+
+    loader = _csv_loader(spark)
+    loader.initialize()
+    rep = coverage_report(loader.metas, loader.ts_config)
+    row = (
+        rep["n_files"],
+        rep["n_timed_files"],
+        rep["start"],
+        rep["end"],
+        rep["span"].total_seconds(),
+        rep["covered"].total_seconds(),
+        rep["coverage_pct"],
+        len(rep["gaps"]),
+        len(rep["overlaps"]),
+    )
+    df = spark.createDataFrame(
+        [row],
+        "n_files INT, n_timed INT, start_time TIMESTAMP, end_time TIMESTAMP, "
+        "span_seconds DOUBLE, covered_seconds DOUBLE, coverage_pct DOUBLE, "
+        "n_gaps INT, n_overlaps INT",
+    )
+    return df.withColumn("coverage_pct", _r6(F.col("coverage_pct"), "coverage_pct"))
+
+
+SQL_file_coverage = """
+SELECT 6 AS n_files, 6 AS n_timed,
+       TIMESTAMP '2024-01-01 00:00:00' AS start_time,
+       TIMESTAMP '2024-01-06 23:59:59' AS end_time,
+       518399.0 AS span_seconds, 475195.0 AS covered_seconds,
+       floor((CAST(475195000000 AS DOUBLE) / CAST(518399000000 AS DOUBLE) * 100)
+             * 1000000 + 0.5) / 1000000 AS coverage_pct,
+       4 AS n_gaps, 1 AS n_overlaps
+"""
+
+
+def q_processing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 processing summary: discovery counts, validity, column count,
+    error tallies — every number independently derivable from the fixture
+    (8 *.csv candidates, 1 empty-invalid, 5 loadable, invalid sequence,
+    7 output columns, 2 ERRORs + 1 WARNING)."""
+    _prep(spark)
+    loader = _csv_loader(spark)
+    loader.initialize()
+    s = loader.processing_summary()
+    row = (
+        s["status"],
+        s["files_discovered"],
+        s["files_valid"],
+        s["files_invalid"],
+        bool(s["sequence_valid"]),
+        s["n_columns"],
+        int(s["errors"].get("ERROR", 0)),
+        int(s["errors"].get("WARNING", 0)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "status STRING, files_discovered INT, files_valid INT, files_invalid INT, "
+        "sequence_valid BOOLEAN, n_columns INT, n_errors INT, n_warnings INT",
+    )
+
+
+SQL_processing_summary = """
+SELECT 'initialized' AS status, 8 AS files_discovered, 5 AS files_valid,
+       1 AS files_invalid, FALSE AS sequence_valid, 7 AS n_columns,
+       2 AS n_errors, 1 AS n_warnings
+"""
+
+
+def q_concat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 concat metadata: total rows across loaded files, file count, and
+    the metadata time bounds (max-end divergence from the reference's
+    min-end bug is documented in loader.concat_metadata)."""
+    _prep(spark)
+    loader = _csv_loader(spark)
+    loader.initialize()
+    meta = loader.concat_metadata()
+    row = (meta["total_rows"], meta["total_files"], meta["start_time"], meta["end_time"])
+    return spark.createDataFrame(
+        [row],
+        "total_rows BIGINT, total_files INT, start_time TIMESTAMP, end_time TIMESTAMP",
+    )
+
+
+SQL_concat_metadata = """
+SELECT CAST(8 AS BIGINT) AS total_rows, 5 AS total_files,
+       TIMESTAMP '2024-01-01 00:00:00' AS start_time,
+       TIMESTAMP '2024-01-06 23:59:59' AS end_time
+"""
+
+
+def q_strategy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 strategy decision over the fixture metas: NONE accepts, LENIENT
+    flags only the overlap, STRICT additionally flags the 12h gap (the 1 s
+    gaps stay under max_allowed_gap), CUSTOM delegates to the callable."""
+    _prep(spark)
+    from time_series_loader_spark.config import TimeSeriesConfig, ValidationStrategy
+    from time_series_loader_spark.sources.validation import is_valid_sequence
+
+    loader = _csv_loader(spark)
+    loader.initialize()
+    rows = []
+    for strat in (
+        ValidationStrategy.NONE,
+        ValidationStrategy.LENIENT,
+        ValidationStrategy.STRICT,
+    ):
+        valid, msgs = is_valid_sequence(loader.metas, TimeSeriesConfig(strategy=strat))
+        rows.append((strat.value, valid, len(msgs)))
+    valid, msgs = is_valid_sequence(
+        loader.metas,
+        TimeSeriesConfig(
+            strategy=ValidationStrategy.CUSTOM,
+            validator=lambda ms: (len(ms) == 6, ["custom: 6 files"]),
+        ),
+    )
+    rows.append(("custom", valid, len(msgs)))
+    return spark.createDataFrame(rows, "strategy STRING, valid BOOLEAN, n_messages INT")
+
+
+SQL_strategy_matrix = """
+SELECT * FROM (VALUES
+  ('none', TRUE, 0),
+  ('lenient', FALSE, 1),
+  ('strict', FALSE, 2),
+  ('custom', TRUE, 1)
+) AS t(strategy, valid, n_messages)
+"""
+
+
+def q_memory_upload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 in-memory upload source: named CSV buffers through the standard
+    transforms (coercion, timestamp parse, buffer-name lineage, time
+    sort)."""
+    _prep(spark)
+    from time_series_loader_spark.config import LoadingConfig
+    from time_series_loader_spark.plans.loader import TimeSeriesLoader
+
+    buffers = [
+        ("mem1.csv", b"value;Time\n1;01/01/2024 00:00\n2;01/01/2024 01:00\n"),
+        ("mem2.csv", b"value;Time\nx;01/01/2024 02:00\n"),  # coercion → null
+    ]
+    df = TimeSeriesLoader.from_buffers(
+        spark, buffers, loading=LoadingConfig(timestamp_column="Time")
+    )
+    return df.select(
+        _r6(F.col("value"), "value"), F.col("Time").alias("ts"), "source_file"
+    )
+
+
+SQL_memory_upload = """
+SELECT * FROM (VALUES
+  (1.0, TIMESTAMP '2024-01-01 00:00:00', 'mem1.csv'),
+  (2.0, TIMESTAMP '2024-01-01 01:00:00', 'mem1.csv'),
+  (CAST(NULL AS DOUBLE), TIMESTAMP '2024-01-01 02:00:00', 'mem2.csv')
+) AS t(value, ts, source_file)
+"""
+
+
+def q_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 header-only scan: raw column names of the first fixture file,
+    no data read (whitespace NOT yet stripped — cleaning is a load-time
+    transform, P3)."""
+    _prep(spark)
+    import os
+
+    from time_series_loader_spark.sources.csv import read_header
+
+    d = _csv_fixture_dir()
+    first = sorted(_CSV_FIXTURE_FILES)[0]
+    header = read_header(os.path.join(d, first))
+    return spark.createDataFrame(
+        list(enumerate(header)), "pos INT, col_name STRING"
+    )
+
+
+SQL_header_scan = """
+SELECT * FROM (VALUES
+  (0, 'value'), (1, 'Time'), (2, ' S1 - Data - note ')
+) AS t(pos, col_name)
+"""
+
+
+def q_csv_peek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 limit/peek: first 3 rows of the loaded series in time order
+    (the global sort means limit is a deterministic head)."""
+    _prep(spark)
+    loader = _csv_loader(spark)
+    df = loader.initialize()
+    return (
+        df.orderBy("Time")
+        .limit(3)
+        .select(_r6(F.col("value"), "value"), F.col("Time").alias("ts"))
+    )
+
+
+SQL_csv_peek = """
+SELECT * FROM (VALUES
+  (11.0, TIMESTAMP '2024-01-01 00:00:00'),
+  (12.0, TIMESTAMP '2024-01-01 01:00:00'),
+  (10.0, TIMESTAMP '2024-01-01 02:00:00')
+) AS t(value, ts)
+"""
+
+
+def q_colsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 column-set algebra over three real schemas (the fixture load,
+    events, embeddings): union / intersection / appears-in-exactly-one,
+    positions preserved. 'value' (fixture+events) and 'label'
+    (fixture+embeddings) appear in two frames each, so intersection is
+    empty and exactly-one drops exactly those two."""
+    _prep(spark)
+    from time_series_loader_spark.functions.colsets import (
+        columns_in_exactly_one,
+        columns_intersection,
+        columns_union,
+    )
+
+    loader = _csv_loader(spark)
+    df1 = loader.initialize()
+    lists = [df1.columns, _t(spark, sf_dir, "events").columns,
+             _t(spark, sf_dir, "embeddings").columns]
+    rows = []
+    for op, cols in (
+        ("union", columns_union(lists)),
+        ("intersection", columns_intersection(lists)),
+        ("exactly_one", columns_in_exactly_one(lists)),
+    ):
+        rows.extend((op, i, c) for i, c in enumerate(cols))
+    return spark.createDataFrame(rows, "op STRING, pos INT, col STRING")
+
+
+SQL_colsets = """
+SELECT * FROM (VALUES
+  ('union', 0, 'source_file'), ('union', 1, 'value'), ('union', 2, 'Time'),
+  ('union', 3, 'label'), ('union', 4, 'file_start_time'),
+  ('union', 5, 'file_end_time'), ('union', 6, 'file_meta'),
+  ('union', 7, 'event_id'), ('union', 8, 'ts'), ('union', 9, 'user_id'),
+  ('union', 10, 'event_type'), ('union', 11, 'props'),
+  ('union', 12, 'vec_id'), ('union', 13, 'embedding'),
+  ('exactly_one', 0, 'source_file'), ('exactly_one', 1, 'Time'),
+  ('exactly_one', 2, 'file_start_time'), ('exactly_one', 3, 'file_end_time'),
+  ('exactly_one', 4, 'file_meta'), ('exactly_one', 5, 'event_id'),
+  ('exactly_one', 6, 'ts'), ('exactly_one', 7, 'user_id'),
+  ('exactly_one', 8, 'event_type'), ('exactly_one', 9, 'props'),
+  ('exactly_one', 10, 'vec_id'), ('exactly_one', 11, 'embedding')
+) AS t(op, pos, col)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "resample_1h_mean": q_resample_1h_mean,
@@ -2232,6 +2490,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_pct": q_ntile_pct,
         "csv_pipeline": q_csv_pipeline,
         "csv_errors": q_csv_errors,
+        "file_coverage": q_file_coverage,
+        "processing_summary": q_processing_summary,
+        "concat_metadata": q_concat_metadata,
+        "strategy_matrix": q_strategy_matrix,
+        "memory_upload": q_memory_upload,
+        "header_scan": q_header_scan,
+        "csv_peek": q_csv_peek,
+        "colsets": q_colsets,
         "streaming_gap_detector": q_streaming_gap_detector,
     }
 
@@ -2298,5 +2564,13 @@ def oracle_sql() -> dict[str, str]:
         "ntile_pct": SQL_ntile_pct,
         "csv_pipeline": SQL_csv_pipeline,
         "csv_errors": SQL_csv_errors,
+        "file_coverage": SQL_file_coverage,
+        "processing_summary": SQL_processing_summary,
+        "concat_metadata": SQL_concat_metadata,
+        "strategy_matrix": SQL_strategy_matrix,
+        "memory_upload": SQL_memory_upload,
+        "header_scan": SQL_header_scan,
+        "csv_peek": SQL_csv_peek,
+        "colsets": SQL_colsets,
         "streaming_gap_detector": SQL_streaming_gap_detector,
     }

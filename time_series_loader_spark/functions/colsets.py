@@ -36,7 +36,10 @@ def columns_in_exactly_one(column_lists: Iterable[Sequence[str]]) -> list[str]:
     counts = Counter()
     order: dict[str, None] = {}
     for cols in column_lists:
-        for c in set(cols):
+        # dict.fromkeys: dedupe within a frame but keep first-seen order
+        # (iterating set(cols) here would make output order depend on the
+        # interpreter's hash seed)
+        for c in dict.fromkeys(cols):
             counts[c] += 1
             order.setdefault(c)
     return [c for c in order if counts[c] == 1]
