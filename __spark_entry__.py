@@ -2430,6 +2430,202 @@ SELECT * FROM (VALUES
 """
 
 
+def q_content_validator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 content validator (reference ``ts_extensions.py:214-269``):
+    ``min_rows_ok`` peeks at most min_rows+1 lines per file — header
+    presence plus a row-count floor — over every .csv in the fixture dir
+    (including the decoys). empty.csv has no header (False/False); the
+    five data files have 3/2/1/1/1 rows; the schema-mismatch and bad-name
+    decoys each have 1 row (True at min_rows=1, False at 2)."""
+    _prep(spark)
+    import os
+
+    from time_series_loader_spark.sources.csv import min_rows_ok
+
+    d = _csv_fixture_dir()
+    rows = []
+    for fname in sorted(os.listdir(d)):
+        if not fname.endswith(".csv"):
+            continue
+        p = os.path.join(d, fname)
+        rows.append(
+            (fname, min_rows_ok(p, 1, ";", "utf-8"), min_rows_ok(p, 2, ";", "utf-8"))
+        )
+    return spark.createDataFrame(rows, "fname STRING, min1_ok BOOLEAN, min2_ok BOOLEAN")
+
+
+SQL_content_validator = """
+SELECT * FROM (VALUES
+  ('S1 - Data - 01-01-2024 00_00_00 - 01-01-2024 23_59_59.csv', TRUE, TRUE),
+  ('S1 - Data - 01-02-2024 00_00_00 - 01-02-2024 23_59_59.csv', TRUE, TRUE),
+  ('S1 - Data - 01-03-2024 00_00_00 - 01-03-2024 23_59_59.csv', TRUE, FALSE),
+  ('S1 - Data - 01-04-2024 00_00_00 - 01-04-2024 23_59_59.csv', TRUE, FALSE),
+  ('S1 - Data - 01-04-2024 12_00_00 - 01-05-2024 11_59_59.csv', TRUE, FALSE),
+  ('S1 - Data - 01-06-2024 00_00_00 - 01-06-2024 23_59_59.csv', TRUE, FALSE),
+  ('S1 - Data - badname.csv', TRUE, FALSE),
+  ('empty.csv', FALSE, FALSE)
+) AS t(fname, min1_ok, min2_ok)
+"""
+
+
+def q_lenient_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 lenient parse fallback (reference ``load_file.py:1932-1955`` +
+    DATE_ORDER settings at ``:1984-1989``): the same ambiguous strings
+    parsed under all three DATE_ORDER families — coalesce over
+    ``try_to_timestamp`` candidates, fully JVM-side, null (not error) on
+    no-match. '05/04/2024' disambiguates DMY-vs-MDY; '31/12/2023' only
+    parses day-first; '12-31-2023' only month-first; ISO parses
+    everywhere via the bare fallback."""
+    _prep(spark)
+    from time_series_loader_spark.functions.timeparse import parse_timestamp_multi
+
+    raws = [
+        "05/04/2024 10:30",
+        "2024-06-01T08:00:00",
+        "31/12/2023",
+        "12-31-2023 23:59:00",
+        "garbage",
+        "2024-02-29",
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], "raw STRING")
+    return df.select(
+        "raw",
+        parse_timestamp_multi("raw", date_order="DMY").alias("dmy"),
+        parse_timestamp_multi("raw", date_order="MDY").alias("mdy"),
+        parse_timestamp_multi("raw", date_order="YMD").alias("ymd"),
+    )
+
+
+SQL_lenient_parse = """
+SELECT * FROM (VALUES
+  ('05/04/2024 10:30', TIMESTAMP '2024-04-05 10:30:00',
+   TIMESTAMP '2024-05-04 10:30:00', CAST(NULL AS TIMESTAMP)),
+  ('2024-06-01T08:00:00', TIMESTAMP '2024-06-01 08:00:00',
+   TIMESTAMP '2024-06-01 08:00:00', TIMESTAMP '2024-06-01 08:00:00'),
+  ('31/12/2023', TIMESTAMP '2023-12-31 00:00:00',
+   CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)),
+  ('12-31-2023 23:59:00', CAST(NULL AS TIMESTAMP),
+   TIMESTAMP '2023-12-31 23:59:00', CAST(NULL AS TIMESTAMP)),
+  ('garbage', CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+   CAST(NULL AS TIMESTAMP)),
+  ('2024-02-29', TIMESTAMP '2024-02-29 00:00:00',
+   TIMESTAMP '2024-02-29 00:00:00', TIMESTAMP '2024-02-29 00:00:00')
+) AS t(raw, dmy, mdy, ymd)
+"""
+
+
+def q_ts_autodetect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 timestamp-column auto-detect, all three branches (reference
+    ``load_file.py:2024-2040``): explicit argument wins; else the
+    configured column; else the first timestamp-TYPED column in the schema
+    (lineage timestamps excluded). The config branch is disabled by
+    hot-swapping ``timestamp_column=None`` via §2.8 ``update_config``
+    (reference ``load_file.py:548-619``) — rebuild-don't-mutate semantics
+    on the live loader. min/max/count over the auto-detected column prove
+    the detected column is the data one, not lineage."""
+    _prep(spark)
+    from time_series_loader_spark.plans.pipeline import update_config
+
+    loader = _csv_loader(spark)
+    df = loader.initialize()
+    explicit = loader._ts_col("label")
+    from_config = loader._ts_col(None)
+    loader.loading = update_config(loader.loading, timestamp_column=None)
+    auto = loader._ts_col(None)
+    agg = df.agg(
+        F.min(auto).alias("ts_min"),
+        F.max(auto).alias("ts_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(explicit, from_config, auto, agg.ts_min, agg.ts_max, agg.n_rows)],
+        "explicit STRING, from_config STRING, auto_detected STRING, "
+        "ts_min TIMESTAMP, ts_max TIMESTAMP, n_rows BIGINT",
+    )
+
+
+SQL_ts_autodetect = """
+SELECT 'label' AS explicit, 'Time' AS from_config, 'Time' AS auto_detected,
+       TIMESTAMP '2024-01-01 00:00:00' AS ts_min,
+       TIMESTAMP '2024-01-04 13:00:00' AS ts_max,
+       CAST(8 AS BIGINT) AS n_rows
+"""
+
+
+def q_pipeline_hooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 extension points end-to-end (reference ``load_file.py:2362-2561``,
+    ``ts_extensions.py:52-75``): an ExtensionRegistry with typed + custom
+    slots, an ordered Pipeline of named DataFrame→DataFrame steps (one
+    lazy composed plan — no materialization between steps), then an
+    apply_hooks chain where a z-score OutlierRemovalHook runs and a
+    deliberately-failing hook is isolated (recorded + skipped, reference
+    ``load_file.py:1853-1861``). Output = surviving click events with the
+    pipeline-added column, stamped with the failed-hook list and the
+    custom-extension lookup."""
+    _prep(spark)
+    from time_series_loader_spark.errors import ErrorLedger
+    from time_series_loader_spark.plans.hooks import (
+        FunctionHook,
+        OutlierRemovalHook,
+        apply_hooks,
+    )
+    from time_series_loader_spark.plans.pipeline import (
+        ExtensionRegistry,
+        create_pipeline,
+    )
+
+    reg = (
+        ExtensionRegistry()
+        .register("data_transformer", "zscore-transformer")
+        .register("tokenizer", "ws-bpe")
+    )
+    pipe = create_pipeline(
+        ("filter_clicks", lambda df: df.where(F.col("event_type") == "click")),
+        ("double_value", lambda df: df.withColumn("v2", F.col("value") * 2.0)),
+    )
+    ev = _t(spark, sf_dir, "events")
+    staged = pipe.run(ev)
+
+    def _boom(df, ctx):
+        raise RuntimeError("deliberate hook failure")
+
+    ctx: dict = {}
+    ledger = ErrorLedger()
+    out = apply_hooks(
+        staged,
+        [OutlierRemovalHook(["value"], 2.0), FunctionHook("boom", _boom)],
+        context=ctx,
+        ledger=ledger,
+    )
+    n_warn = sum(1 for e in ledger.errors if e.severity.value == "WARNING")
+    return out.select(
+        "event_id",
+        _r6(F.col("value"), "value"),
+        _r6(F.col("v2"), "v2"),
+        F.lit(",".join(ctx.get("failed_hooks", []))).alias("failed_hooks"),
+        F.lit(reg.get("tokenizer")).alias("custom_ext"),
+        F.lit(n_warn).alias("n_hook_warnings"),
+    )
+
+
+SQL_pipeline_hooks = """
+WITH clicks AS (
+  SELECT event_id, value, value * 2.0 AS v2 FROM events
+  WHERE event_type = 'click'
+), s AS (
+  SELECT avg(value) AS m, stddev_samp(value) AS sd FROM clicks
+)
+SELECT c.event_id,
+       floor(c.value * 1000000 + 0.5) / 1000000 AS value,
+       floor(c.v2 * 1000000 + 0.5) / 1000000 AS v2,
+       'boom' AS failed_hooks, 'ws-bpe' AS custom_ext,
+       1 AS n_hook_warnings
+FROM clicks c, s
+WHERE s.sd IS NULL OR s.sd = 0 OR c.value IS NULL
+   OR abs((c.value - s.m) / s.sd) <= 2.0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "resample_1h_mean": q_resample_1h_mean,
@@ -2498,6 +2694,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "header_scan": q_header_scan,
         "csv_peek": q_csv_peek,
         "colsets": q_colsets,
+        "content_validator": q_content_validator,
+        "lenient_parse": q_lenient_parse,
+        "ts_autodetect": q_ts_autodetect,
+        "pipeline_hooks": q_pipeline_hooks,
         "streaming_gap_detector": q_streaming_gap_detector,
     }
 
@@ -2572,5 +2772,9 @@ def oracle_sql() -> dict[str, str]:
         "header_scan": SQL_header_scan,
         "csv_peek": SQL_csv_peek,
         "colsets": SQL_colsets,
+        "content_validator": SQL_content_validator,
+        "lenient_parse": SQL_lenient_parse,
+        "ts_autodetect": SQL_ts_autodetect,
+        "pipeline_hooks": SQL_pipeline_hooks,
         "streaming_gap_detector": SQL_streaming_gap_detector,
     }
