@@ -55,6 +55,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with ts normalized to
+    TimestampType, whichever physical form the driver's parquet uses
+    (nanos-as-bigint under the legacy conf, or naive micros read as
+    TIMESTAMP_NTZ)."""
+    from time_series_loader_spark.streaming.ingest import (
+        file_as_stream_dir,
+        stream_parquet,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = stream_parquet(spark, file_as_stream_dir(f"{sf_dir}/events.parquet"), raw_schema)
+    ts_type = {f.name: f.dataType.simpleString() for f in raw_schema}["ts"]
+    if ts_type == "bigint":
+        # integer DIV keeps full precision (double division would not)
+        sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
+
+
 def _r6(c, name):
     # floor-based half-up rounding: identical double ops in Spark and
     # DuckDB (Spark's round() uses decimal-string HALF_UP, which disagrees
@@ -1293,16 +1315,11 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark (max event time - 10 min) — exactly reproducible in SQL."""
     _prep(spark)
     from time_series_loader_spark.streaming.ingest import (
-        file_as_stream_dir,
         run_available_now,
-        stream_parquet,
         windowed_resample_stream,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    sdf = stream_parquet(spark, file_as_stream_dir(f"{sf_dir}/events.parquet"), raw_schema)
-    sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    sdf = _stream_events(spark, sf_dir)
     res = windowed_resample_stream(sdf, "ts", "1 hour", "value", watermark="10 minutes")
     out = run_available_now(res, spark)
     return out.select(
@@ -1420,16 +1437,11 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap)."""
     _prep(spark)
     from time_series_loader_spark.streaming.ingest import (
-        file_as_stream_dir,
         run_available_now,
         session_window_stream,
-        stream_parquet,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    sdf = stream_parquet(spark, file_as_stream_dir(f"{sf_dir}/events.parquet"), raw_schema)
-    sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    sdf = _stream_events(spark, sf_dir)
     res = session_window_stream(
         sdf, "ts", ["user_id"], gap="30 minutes", watermark="10 minutes", value_col="value"
     )
@@ -1959,17 +1971,10 @@ def q_streaming_gap_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps emit the moment the successor arrives. Append emission with O(1)
     state/key; oracle = the batch lag-based gap set."""
     _prep(spark)
-    from time_series_loader_spark.streaming.ingest import (
-        file_as_stream_dir,
-        run_available_now,
-        stream_parquet,
-    )
+    from time_series_loader_spark.streaming.ingest import run_available_now
     from time_series_loader_spark.streaming.stateful import streaming_gap_detector
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    sdf = stream_parquet(spark, file_as_stream_dir(f"{sf_dir}/events.parquet"), raw_schema)
-    sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    sdf = _stream_events(spark, sf_dir)
     gaps = streaming_gap_detector(sdf, gap_seconds=14400.0)
     out = run_available_now(gaps, spark)
     return out.select(

@@ -80,10 +80,13 @@ def get_spark(
     return builder.getOrCreate()
 
 
-# The driver's testdata stores timestamps as parquet TIMESTAMP(NANOS), which
-# Spark rejects by default. We read them via the legacy nanos-as-long conf
-# and convert to TimestampType by integer division to micros — the same
-# truncation DuckDB applies reading TIMESTAMP_NS.
+# The driver's testdata has shipped timestamps in two physical forms across
+# rounds: parquet TIMESTAMP(NANOS) (read as bigint via the legacy conf) and
+# plain naive TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ by Spark 4's
+# inferTimestampNTZ default). Every operator in this engine assumes
+# TimestampType (LTZ) with a UTC session timezone — identical wall-clock
+# values either way, and the form the DuckDB oracle's naive timestamps
+# hash-match. ``read_table`` normalizes both forms at the scan boundary.
 _NANO_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -91,8 +94,22 @@ _NANO_TS_COLS = {
 }
 
 
+def normalize_timestamps(df):
+    """Cast any TIMESTAMP_NTZ column to TimestampType (UTC session tz).
+
+    A zero-cost reinterpretation under UTC; keeps the whole engine on one
+    timestamp type so epoch arithmetic (``cast("double")``) stays legal.
+    """
+    from pyspark.sql import functions as F
+
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver parquet table, normalizing nano timestamps."""
+    """Read one driver parquet table, normalizing timestamp physical types."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -101,7 +118,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         if dict(df.dtypes).get(c) == "bigint":
             # integer DIV keeps full precision (double division would not)
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
-    return df
+    return normalize_timestamps(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
