@@ -66,6 +66,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     sdf = stream_parquet(spark, file_as_stream_dir(f"{sf_dir}/events.parquet"), raw_schema)
     ts_type = {f.name: f.dataType.simpleString() for f in raw_schema}["ts"]

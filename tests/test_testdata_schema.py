@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from time_series_loader_spark.session import normalize_timestamps, read_table
 
-from .conftest import SF_DIR
+SF_DIR = os.environ.get("TSL_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(SF_DIR), reason="driver testdata not present"
