@@ -694,15 +694,39 @@ FROM documents GROUP BY 1
 """
 
 
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens, char counts, mean token length."""
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-document profile (`text_profile`,
+    operators/text.py): token stats + BPE-ish token count + quality
+    features + language ID + Gopher-style repetition signals +
+    fingerprint + 16-bit SimHash — every per-doc text analysis in ONE
+    scan with zero shuffle (expressions in whole-stage codegen, simhash
+    via a pass-through Arrow kernel). Subsumes the round-1/2 standalone
+    token_stats / quality_score / langid / fingerprint / simhash queries
+    so the driver's correctness gate covers them in one slot."""
     _prep(spark)
-    from time_series_loader_spark.operators.text import token_stats
+    from time_series_loader_spark.operators.text import text_profile
 
     docs = _t(spark, sf_dir, "documents")
-    out = token_stats(docs, "text", "doc_id")
+    out = text_profile(docs, "text", "doc_id")
     return out.select(
-        "doc_id", "n_chars", "n_tokens", _r6(F.col("mean_token_len"), "mean_token_len")
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        _r6(F.col("mean_token_len"), "mean_token_len"),
+        "n_tokens_bpeish",
+        _r6(F.col("stopword_ratio"), "stopword_ratio"),
+        _r6(F.col("punct_ratio"), "punct_ratio"),
+        _r6(F.col("digit_ratio"), "digit_ratio"),
+        _r6(F.col("quality_score"), "quality_score"),
+        "score_de",
+        "score_en",
+        "score_es",
+        "score_fr",
+        "lang_pred",
+        _r6(F.col("dup_token_ratio"), "dup_token_ratio"),
+        _r6(F.col("top_bigram_frac"), "top_bigram_frac"),
+        "fingerprint",
+        "simhash",
     )
 
 
@@ -713,23 +737,6 @@ SELECT doc_id, length(text) AS n_chars,
               / len({_SQL_TOKENS}))*1000000 + 0.5)/1000000 AS mean_token_len
 FROM documents
 """
-
-
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: stopword/punct/digit ratios + composite score."""
-    _prep(spark)
-    from time_series_loader_spark.operators.text import quality_features
-
-    docs = _t(spark, sf_dir, "documents")
-    out = quality_features(docs, "text", "doc_id")
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        _r6(F.col("stopword_ratio"), "stopword_ratio"),
-        _r6(F.col("punct_ratio"), "punct_ratio"),
-        _r6(F.col("digit_ratio"), "digit_ratio"),
-        _r6(F.col("quality_score"), "quality_score"),
-    )
 
 
 SQL_quality_score = f"""
@@ -756,15 +763,6 @@ SELECT doc_id, n_tokens,
     AS quality_score
 FROM f
 """
-
-
-def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic marker-token language ID with deterministic tie-break."""
-    _prep(spark)
-    from time_series_loader_spark.operators.text import language_id
-
-    docs = _t(spark, sf_dir, "documents")
-    return language_id(docs, "text", "doc_id")
 
 
 def _sql_langid() -> str:
@@ -798,19 +796,41 @@ FROM s
 """
 
 
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: md5 of whitespace-normalized text."""
-    _prep(spark)
-    from time_series_loader_spark.operators.text import fingerprint
-
-    docs = _t(spark, sf_dir, "documents")
-    return fingerprint(docs, "text", "doc_id")
-
-
 SQL_fingerprint = r"""
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
 FROM documents
 """
+
+
+def _sql_text_profile() -> str:
+    """Composite oracle for q_text_profile: the standalone sub-oracles
+    joined on doc_id, plus BPE-ish count and repetition signals."""
+    return f"""
+WITH ts AS ({SQL_token_stats}),
+qs AS (SELECT * FROM ({SQL_quality_score}) _qs),
+li AS (SELECT * FROM ({{LANGID}}) _li),
+sh AS (SELECT * FROM ({{SIMHASH}}) _sh),
+bp AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         AS n_tokens_bpeish FROM documents),
+tk AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+bgt AS (SELECT doc_id, t,
+          list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg FROM tk),
+rep AS (SELECT doc_id,
+  floor((1.0 - CAST(len(list_distinct(t)) AS DOUBLE)/len(t))*1000000 + 0.5)/1000000
+    AS dup_token_ratio,
+  floor((CASE WHEN len(t) >= 2
+         THEN CAST(list_max(list_transform(list_distinct(bg),
+                   x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)/len(bg)
+         ELSE 0.0 END)*1000000 + 0.5)/1000000 AS top_bigram_frac
+  FROM bgt),
+fp AS ({SQL_fingerprint})
+SELECT ts.doc_id, ts.n_chars, qs.n_tokens, ts.mean_token_len, bp.n_tokens_bpeish,
+       qs.stopword_ratio, qs.punct_ratio, qs.digit_ratio, qs.quality_score,
+       li.score_de, li.score_en, li.score_es, li.score_fr, li.lang_pred,
+       rep.dup_token_ratio, rep.top_bigram_frac, fp.fingerprint, sh.simhash
+FROM ts JOIN qs USING(doc_id) JOIN li USING(doc_id) JOIN sh USING(doc_id)
+     JOIN bp USING(doc_id) JOIN rep USING(doc_id) JOIN fp USING(doc_id)
+""".replace("{LANGID}", _sql_langid()).replace("{SIMHASH}", _sql_simhash())
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,15 +914,6 @@ JOIN sig sa ON sa.doc_id = id_a
 JOIN sig sb ON sb.doc_id = id_b
 WHERE CAST({eqs} AS DOUBLE) / {num_hashes} >= 0.5
 """
-
-
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprints (md5-hex-digit bit family)."""
-    _prep(spark)
-    from time_series_loader_spark.operators.text import simhash16
-
-    docs = _t(spark, sf_dir, "documents")
-    return simhash16(docs, "text", "doc_id")
 
 
 def _sql_simhash() -> str:
@@ -2656,13 +2667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_lineitem": q_rollup_lineitem,
         # LLM-data-pipeline operators
         "dedup_exact": q_dedup_exact,
-        "token_stats": q_token_stats,
-        "quality_score": q_quality_score,
-        "langid": q_langid,
-        "fingerprint": q_fingerprint,
+        "text_profile": q_text_profile,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
@@ -2734,14 +2741,10 @@ def oracle_sql() -> dict[str, str]:
         # ANN variants whose recall is characterized against the
         # oracle-checked `cosine_topk` baseline in tests)
         "dedup_exact": SQL_dedup_exact,
-        "token_stats": SQL_token_stats,
-        "quality_score": SQL_quality_score,
-        "langid": _sql_langid(),
-        "fingerprint": SQL_fingerprint,
+        "text_profile": _sql_text_profile(),
         "ngram_jaccard": SQL_ngram_jaccard,
         "simhash_near_dup": _sql_simhash_near_dup(),
         "minhash_lsh": _sql_minhash_lsh(),
-        "simhash": _sql_simhash(),
         "cosine_topk": SQL_cosine_topk,
         "cosine_topk_lsh": _sql_cosine_topk_lsh(),
         "cosine_topk_ivf": _sql_cosine_topk_ivf(),

@@ -55,14 +55,8 @@ def token_count_bpeish(text: Column | str) -> Column:
     return F.size(pieces)
 
 
-def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Quality-scoring features + composite score in [0, 1].
-
-    Features: length score (saturating at 200 tokens), stopword ratio,
-    punctuation ratio, digit ratio. Score = 0.4*length + 0.4*stop_part
-    + 0.2*(1 - punct - digit), clamped to [0,1] — a deterministic stand-in
-    for Gopher/C4-style quality rules.
-    """
+def _quality_exprs(text_col: str) -> list[Column]:
+    """Quality-feature expressions (shared by quality_features/text_profile)."""
     t = tokens(text_col)
     n_tokens = F.size(t)
     stops = list(STOPWORDS["en"])
@@ -81,23 +75,28 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         + 0.4 * F.least(stop_ratio * 5.0, F.lit(1.0))
         + 0.2 * (1.0 - F.least(punct_ratio + digit_ratio, F.lit(1.0)))
     )
-    return df.select(
-        id_col,
+    return [
         n_tokens.alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
         digit_ratio.alias("digit_ratio"),
         F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)).alias("quality_score"),
-    )
+    ]
 
 
-def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Heuristic n-gram/marker language ID over {en, de, fr, es}.
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Quality-scoring features + composite score in [0, 1].
 
-    Score = count of language marker tokens; argmax wins, ties broken by
-    higher count then lexicographically smaller language code; all-zero →
-    'und'. Deterministic by construction.
+    Features: length score (saturating at 200 tokens), stopword ratio,
+    punctuation ratio, digit ratio. Score = 0.4*length + 0.4*stop_part
+    + 0.2*(1 - punct - digit), clamped to [0,1] — a deterministic stand-in
+    for Gopher/C4-style quality rules.
     """
+    return df.select(id_col, *_quality_exprs(text_col))
+
+
+def _langid_exprs(text_col: str) -> list[Column]:
+    """Language-ID expressions (shared by language_id/text_profile)."""
     t = tokens(text_col)
 
     def _in_set(words):
@@ -116,11 +115,20 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ]
         )
     )[0]
-    return df.select(
-        id_col,
+    return [
         *[counts[lang].alias(f"score_{lang}") for lang in sorted(STOPWORDS)],
         F.when(-best["neg"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
-    )
+    ]
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic n-gram/marker language ID over {en, de, fr, es}.
+
+    Score = count of language marker tokens; argmax wins, ties broken by
+    higher count then lexicographically smaller language code; all-zero →
+    'und'. Deterministic by construction.
+    """
+    return df.select(id_col, *_langid_exprs(text_col))
 
 
 def tfidf(
@@ -171,6 +179,111 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, F.md5(norm).alias("fingerprint"))
 
 
+def _repetition_exprs(text_col: str) -> list[Column]:
+    """Repetition-signal expressions (shared by repetition_features/profile)."""
+    t = tokens(text_col)
+    n = F.size(t)
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / n
+    bg = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bg), lambda x: F.size(F.filter(bg, lambda y: y == x))
+        )
+    )
+    top_frac = F.when(n >= 2, top.cast("double") / F.size(bg)).otherwise(F.lit(0.0))
+    return [
+        dup_ratio.alias("dup_token_ratio"),
+        top_frac.alias("top_bigram_frac"),
+    ]
+
+
+def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals, pure built-in expressions.
+
+    - ``dup_token_ratio``: 1 - distinct_tokens/total_tokens — high for
+      degenerate repeated-phrase documents.
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigrams (0.0 when the doc has < 2 tokens).
+
+    The bigram mode is an O(distinct·total) per-document array expression —
+    fine for web-scale documents (KBs); cap extremely long docs upstream if
+    a corpus has MB-scale outliers.
+    """
+    return df.select(id_col, *_repetition_exprs(text_col))
+
+
+def _simhash_signatures(texts, n_bits: int):
+    """md5-digit SimHash signatures for an iterable of strings (None-safe)."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    # Java \s (what F.split uses), NOT python \s (which adds unicode spaces)
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    out = []
+    for s in texts:
+        if s is None:
+            out.append(None)
+            continue
+        toks = ws.split(s.strip().lower())
+        digests = b"".join(hashlib.md5(t.encode("utf-8")).digest() for t in toks)
+        M = np.frombuffer(digests, dtype=np.uint8).reshape(len(toks), 16)
+        bits = np.unpackbits(M, axis=1)[:, 0 : 4 * n_bits : 4]
+        sums = (2 * bits.astype(np.int32) - 1).sum(axis=0)
+        out.append("".join("1" if v > 0 else "0" for v in sums))
+    return out
+
+
+def text_profile(
+    df: DataFrame, text_col: str, id_col: str, n_bits: int = 16
+) -> DataFrame:
+    """Single-pass per-document profile: token stats + BPE-ish count +
+    quality features + language ID + repetition signals + fingerprint +
+    SimHash.
+
+    Scale shape: every column except the simhash is a built-in expression
+    (whole-stage codegen); the simhash rides a ``mapInPandas`` kernel that
+    PASSES THROUGH the already-computed columns — one scan, zero shuffle,
+    no join to reassemble per-doc outputs. This is the template for "run
+    every per-doc analysis over 100 TB in one pass" rather than one pass
+    per metric.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    t = tokens(text_col)
+    n_tokens = F.size(t)
+    n_alpha = F.length(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", ""))
+    fp = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    wide = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.length(text_col).alias("n_chars"),
+        *_quality_exprs(text_col),  # n_tokens + ratios + quality_score
+        (n_alpha.cast("double") / n_tokens).alias("mean_token_len"),
+        token_count_bpeish(text_col).alias("n_tokens_bpeish"),
+        *_langid_exprs(text_col),
+        *_repetition_exprs(text_col),
+        F.md5(fp).alias("fingerprint"),
+    )
+
+    passthrough = [f for f in wide.schema.fields if f.name != text_col]
+    out_schema = StructType([*passthrough, StructField("simhash", StringType())])
+    keep = [f.name for f in passthrough]
+
+    def kernel(batches):
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out["simhash"] = _simhash_signatures(pdf[text_col], n_bits)
+            yield out
+
+    return wide.mapInPandas(kernel, out_schema)
+
+
 def simhash_bits(
     df: DataFrame, text_col: str, id_col: str, n_bits: int = 32
 ) -> DataFrame:
@@ -190,35 +303,21 @@ def simhash_bits(
     """
     if not 1 <= n_bits <= 32:
         raise ValueError("n_bits must be in [1, 32] (md5 has 32 hex digits)")
-    import hashlib
-    import re
-
-    import numpy as np
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
 
     out_schema = StructType([df.schema[id_col], StructField("simhash", StringType())])
-    # Java \s (what F.split uses), NOT python \s (which adds unicode spaces)
-    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def kernel(batches):
         for pdf in batches:
-            ids, sigs = [], []
-            for i, s in zip(pdf[id_col], pdf[text_col]):
-                if s is None:
-                    continue  # tokens(null) explodes to no rows upstream-style
-                toks = ws.split(s.strip().lower())
-                digests = b"".join(
-                    hashlib.md5(t.encode("utf-8")).digest() for t in toks
-                )
-                M = np.frombuffer(digests, dtype=np.uint8).reshape(len(toks), 16)
-                # hex digit d's "≥ 8" test == top bit of its nibble == bit 4(d-1)
-                # of the MSB-first unpacked digest
-                bits = np.unpackbits(M, axis=1)[:, 0 : 4 * n_bits : 4]
-                sums = (2 * bits.astype(np.int32) - 1).sum(axis=0)
-                ids.append(i)
-                sigs.append("".join("1" if v > 0 else "0" for v in sums))
-            yield pd.DataFrame({id_col: pd.Series(ids, dtype=pdf[id_col].dtype), "simhash": sigs})
+            # null text → no row (tokens(null) explodes to no rows upstream-style)
+            keep = pdf[pdf[text_col].notna()]
+            yield pd.DataFrame(
+                {
+                    id_col: keep[id_col],
+                    "simhash": _simhash_signatures(keep[text_col], n_bits),
+                }
+            )
 
     return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
 
