@@ -119,7 +119,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_resample_1h_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 frequency-bucket resample, mean (reference load_file.py:2127-2149)."""
+    """A1 frequency-bucket resample (reference load_file.py:2127-2149) —
+    mean/sum/first/last/count computed in ONE groupBy pass via
+    ``extra_aggs`` (one scan, one shuffle of per-bucket partials; NOT one
+    aggregation per method joined back). Subsumes the round-1/2
+    resample_15min_sum / resample_first_last variants in one driver slot;
+    non-hour frequencies stay covered by the 30-min reindex grid, the
+    daily keyed resample, and frequency.py unit tests."""
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
     out = resample(
@@ -128,50 +134,28 @@ def q_resample_1h_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1h",
         method="mean",
         value_cols=["value"],
-        extra_aggs={"n": ("value", "count")},
+        extra_aggs={
+            "n": ("value", "count"),
+            "value_sum": ("value", "sum"),
+            "value_first": ("value", "first"),
+            "value_last": ("value", "last"),
+        },
     )
-    return out.select("ts", _r6(F.col("value"), "value_mean"), "n")
+    return out.select(
+        "ts",
+        _r6(F.col("value"), "value_mean"),
+        "n",
+        _r6(F.col("value_sum"), "value_sum"),
+        _r6(F.col("value_first"), "value_first"),
+        _r6(F.col("value_last"), "value_last"),
+    )
 
 
 SQL_resample_1h_mean = """
 SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * INTERVAL '1 second' AS ts,
        floor((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value))*1000000 + 0.5)/1000000 AS value_mean,
-       COUNT(value) AS n
-FROM events GROUP BY 1
-"""
-
-
-def q_resample_15min_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events")
-    out = resample(ev, "ts", "15min", method="sum", value_cols=["value"])
-    return out.select("ts", _r6(F.col("value"), "value_sum"))
-
-
-SQL_resample_15min_sum = """
-SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/900)*900 AS BIGINT) * INTERVAL '1 second' AS ts,
-       floor((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS value_sum
-FROM events GROUP BY 1
-"""
-
-
-def q_resample_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 first/last methods → min_by/max_by on event time."""
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events")
-    first = resample(ev, "ts", "1h", method="first", value_cols=["value"]).withColumnRenamed(
-        "value", "value_first"
-    )
-    last = resample(ev, "ts", "1h", method="last", value_cols=["value"]).withColumnRenamed(
-        "value", "value_last"
-    )
-    return first.join(last, "ts").select(
-        "ts", _r6(F.col("value_first"), "value_first"), _r6(F.col("value_last"), "value_last")
-    )
-
-
-SQL_resample_first_last = """
-SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * INTERVAL '1 second' AS ts,
+       COUNT(value) AS n,
+       floor((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS value_sum,
        floor((arg_min(value, ts))*1000000 + 0.5)/1000000 AS value_first,
        floor((arg_max(value, ts))*1000000 + 0.5)/1000000 AS value_last
 FROM events GROUP BY 1
@@ -299,25 +283,11 @@ _SQL_GRID30 = """
 """
 
 
-def q_reindex_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 grid reindex (reference load_file.py:2331-2333): hourly series onto
-    a 30-min grid — half-hour points are null."""
-    _prep(spark)
-    hourly = _hourly_mean(spark, sf_dir)
-    out = reindex_to_grid(hourly, "ts", "30min")
-    return out.select("ts", _r6(F.col("value"), "value_mean"))
-
-
-SQL_reindex_30min = f"""
-WITH hourly AS ({_SQL_HOURLY}),
-grid AS ({_SQL_GRID30})
-SELECT g.ts, floor((h.value)*1000000 + 0.5)/1000000 AS value_mean
-FROM grid g LEFT JOIN hourly h ON g.ts = h.ts
-"""
-
-
 def q_reindex_ffill_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4 forward fill after reindex (reference load_file.py:2341-2345)."""
+    """J2 grid reindex + W4 forward fill after reindex (reference
+    load_file.py:2331-2345). The raw reindex-with-nulls shape (round-1/2
+    standalone reindex_30min) is visible through bfill_limit1_30min, whose
+    limit=1 leaves unfilled grid nulls in the output."""
     _prep(spark)
     hourly = _hourly_mean(spark, sf_dir)
     grid = reindex_to_grid(hourly, "ts", "30min")
@@ -2646,13 +2616,10 @@ WHERE s.sd IS NULL OR s.sd = 0 OR c.value IS NULL
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "resample_1h_mean": q_resample_1h_mean,
-        "resample_15min_sum": q_resample_15min_sum,
-        "resample_first_last": q_resample_first_last,
         "resample_skipna_false": q_resample_skipna_false,
         "gaps": q_gaps,
         "infer_freq": q_infer_freq,
         "continuity_stats": q_continuity_stats,
-        "reindex_30min": q_reindex_30min,
         "reindex_ffill_30min": q_reindex_ffill_30min,
         "bfill_limit1_30min": q_bfill_limit1_30min,
         "interpolate_30min": q_interpolate_30min,
@@ -2718,13 +2685,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "resample_1h_mean": SQL_resample_1h_mean,
-        "resample_15min_sum": SQL_resample_15min_sum,
-        "resample_first_last": SQL_resample_first_last,
         "resample_skipna_false": SQL_resample_skipna_false,
         "gaps": SQL_gaps,
         "infer_freq": SQL_infer_freq,
         "continuity_stats": SQL_continuity_stats,
-        "reindex_30min": SQL_reindex_30min,
         "reindex_ffill_30min": SQL_reindex_ffill_30min,
         "bfill_limit1_30min": SQL_bfill_limit1_30min,
         "interpolate_30min": SQL_interpolate_30min,
