@@ -1216,49 +1216,15 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload + typed metadata, features via
-    Arrow-batched mapInPandas (stub decode kernel — see
-    operators/multimodal.py)."""
-    _prep(spark)
-    from time_series_loader_spark.operators.multimodal import (
-        attach_payload,
-        extract_features,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    return extract_features(attach_payload(docs, "text", "doc_id"))
-
-
-def _sql_multimodal() -> str:
-    def hexval(pos: int) -> str:
-        return f"(strpos('0123456789abcdef', substr(digest, {pos}, 1)) - 1)"
-
-    width = f"(16 * {hexval(1)} + {hexval(2)} + 1)"
-    height = f"(16 * {hexval(3)} + {hexval(4)} + 1)"
-    frames = f"((16 * {hexval(5)} + {hexval(6)}) % 16 + 1)"
-    return f"""
-WITH d AS (
-  -- duckdb's sha256 takes VARCHAR and hashes its utf-8 bytes == Spark's
-  -- sha2(encode(text,'utf-8'), 256)
-  SELECT doc_id, 'image' AS modality, octet_length(encode(text)) AS n_bytes,
-         sha256(text) AS digest
-  FROM documents
-)
-SELECT doc_id, modality, n_bytes, digest,
-       CAST({width} AS INT) AS width,
-       CAST({height} AS INT) AS height,
-       CAST({frames} AS INT) AS n_frames
-FROM d
-"""
-
-
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode round-trip: deterministic BMP/WAV containers
     built from doc_id (operators/multimodal.py make_bmp/make_wav), then
     header-parsed back by the pure-Python decode kernel. The oracle
     predicts every decoded field and byte length from doc_id arithmetic —
-    a wrong parser (or builder) cannot hash-match."""
+    a wrong parser (or builder) cannot hash-match. (The stub-kernel
+    features path — attach_payload/extract_features — shares this Arrow
+    plumbing and stays covered by tests/test_extensions_misc.py; its
+    round-1/2 standalone query is folded into this slot.)"""
     _prep(spark)
     from time_series_loader_spark.operators.multimodal import (
         decode_features,
@@ -2642,7 +2608,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk_ivf": q_cosine_topk_ivf,
-        "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
         # streaming + additional relational coverage
         "streaming_hourly": q_streaming_hourly,
@@ -2713,7 +2678,6 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_lsh": _sql_cosine_topk_lsh(),
         "cosine_topk_ivf": _sql_cosine_topk_ivf(),
         "embedding_near_dup": _sql_embedding_near_dup(),
-        "multimodal_features": _sql_multimodal(),
         "multimodal_decode": SQL_multimodal_decode,
         # streaming + additional relational coverage
         "streaming_hourly": SQL_streaming_hourly,

@@ -26,7 +26,6 @@ from time_series_loader_spark.session import get_spark
 # whose plans differ (window vs groupBy vs join vs union-window).
 HEADLINE = [
     "resample_1h_mean",
-    "resample_15min_sum",
     "gaps",
     "continuity_stats",
     "reindex_ffill_30min",
@@ -39,10 +38,9 @@ HEADLINE = [
     "top3_customers_per_nation",
     "dedup_exact",
     "minhash_lsh",
-    "simhash",
-    "quality_score",
+    "text_profile",
     "cosine_topk",
-    "multimodal_features",
+    "multimodal_decode",
 ]
 
 
