@@ -2579,6 +2579,150 @@ WHERE s.sd IS NULL OR s.sd = 0 OR c.value IS NULL
 """
 
 
+def q_csv_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-introspection report (S5 header-only scan + O5 limit/peek +
+    S8 content validator + O4 column-set algebra) normalized to one
+    report schema — the four round-2 standalone queries in one driver
+    slot, each section's rows produced by the same underlying operator
+    calls."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    nul = [
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("timestamp").alias("v_ts"),
+        F.lit(None).cast("boolean").alias("ok1"),
+        F.lit(None).cast("boolean").alias("ok2"),
+    ]
+    hdr = q_header_scan(spark, sf_dir).select(
+        F.lit("header").alias("section"), "pos", F.col("col_name").alias("name"), *nul
+    )
+    peek = (
+        q_csv_peek(spark, sf_dir)
+        .withColumn("pos", F.row_number().over(Window.orderBy("ts")) - 1)
+        .select(
+            F.lit("peek").alias("section"),
+            "pos",
+            F.lit(None).cast("string").alias("name"),
+            F.col("value").alias("v_num"),
+            F.col("ts").alias("v_ts"),
+            F.lit(None).cast("boolean").alias("ok1"),
+            F.lit(None).cast("boolean").alias("ok2"),
+        )
+    )
+    content = (
+        q_content_validator(spark, sf_dir)
+        .withColumn("pos", F.row_number().over(Window.orderBy("fname")) - 1)
+        .select(
+            F.lit("content").alias("section"),
+            "pos",
+            F.col("fname").alias("name"),
+            F.lit(None).cast("double").alias("v_num"),
+            F.lit(None).cast("timestamp").alias("v_ts"),
+            F.col("min1_ok").alias("ok1"),
+            F.col("min2_ok").alias("ok2"),
+        )
+    )
+    colsets = q_colsets(spark, sf_dir).select(
+        F.concat(F.lit("colsets_"), F.col("op")).alias("section"),
+        "pos",
+        F.col("col").alias("name"),
+        *nul,
+    )
+    return hdr.unionByName(peek).unionByName(content).unionByName(colsets)
+
+
+SQL_csv_introspect = f"""
+WITH hdr AS ({SQL_header_scan}),
+peek AS ({SQL_csv_peek.replace("t(value, ts)", "t(v_num, v_ts)")}),
+content AS ({SQL_content_validator}),
+cs AS ({SQL_colsets})
+SELECT 'header' AS section, pos, col_name AS name,
+       CAST(NULL AS DOUBLE) AS v_num, CAST(NULL AS TIMESTAMP) AS v_ts,
+       CAST(NULL AS BOOLEAN) AS ok1, CAST(NULL AS BOOLEAN) AS ok2 FROM hdr
+UNION ALL
+SELECT 'peek', CAST(row_number() OVER (ORDER BY v_ts) - 1 AS INT),
+       NULL, v_num, v_ts, NULL, NULL FROM peek
+UNION ALL
+SELECT 'content', CAST(row_number() OVER (ORDER BY fname) - 1 AS INT),
+       fname, NULL, NULL, min1_ok, min2_ok FROM content
+UNION ALL
+SELECT 'colsets_' || op, pos, col, NULL, NULL, NULL, NULL FROM cs
+"""
+
+
+def q_load_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row load report joining A4 file coverage + A6 processing
+    summary + A7 concat metadata (the three round-2 single-row report
+    queries) — the operator calls are unchanged; their reports become one
+    wide row."""
+    _prep(spark)
+    cov = q_file_coverage(spark, sf_dir)
+    summ = q_processing_summary(spark, sf_dir)
+    meta = q_concat_metadata(spark, sf_dir).select(
+        "total_rows",
+        "total_files",
+        F.col("start_time").alias("meta_start"),
+        F.col("end_time").alias("meta_end"),
+    )
+    return cov.crossJoin(summ).crossJoin(meta)
+
+
+SQL_load_report = f"""
+SELECT * FROM ({SQL_file_coverage}) _c
+CROSS JOIN ({SQL_processing_summary}) _s
+CROSS JOIN (SELECT total_rows, total_files, start_time AS meta_start,
+            end_time AS meta_end FROM ({SQL_concat_metadata}) _m0) _m
+"""
+
+
+def q_parse_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsing + upload matrix (S3 in-memory upload source + P7 lenient
+    multi-DATE_ORDER parse + P8 ts auto-detect with §2.8 update_config) —
+    the three round-2 standalone queries normalized to one section-tagged
+    schema."""
+    _prep(spark)
+    mem = q_memory_upload(spark, sf_dir).select(
+        F.lit("memory").alias("section"),
+        F.col("source_file").alias("name"),
+        F.col("value").alias("v_num"),
+        F.col("ts").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
+    )
+    lenient = q_lenient_parse(spark, sf_dir).select(
+        F.lit("lenient").alias("section"),
+        F.col("raw").alias("name"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.col("dmy").alias("t1"),
+        F.col("mdy").alias("t2"),
+        F.col("ymd").alias("t3"),
+    )
+    auto = q_ts_autodetect(spark, sf_dir).select(
+        F.lit("autodetect").alias("section"),
+        F.concat_ws("|", "explicit", "from_config", "auto_detected").alias("name"),
+        F.col("n_rows").cast("double").alias("v_num"),
+        F.col("ts_min").alias("t1"),
+        F.col("ts_max").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
+    )
+    return mem.unionByName(lenient).unionByName(auto)
+
+
+SQL_parse_matrix = f"""
+SELECT 'memory' AS section, source_file AS name, value AS v_num,
+       ts AS t1, CAST(NULL AS TIMESTAMP) AS t2, CAST(NULL AS TIMESTAMP) AS t3
+FROM ({SQL_memory_upload}) _mem
+UNION ALL
+SELECT 'lenient', raw, CAST(NULL AS DOUBLE), dmy, mdy, ymd
+FROM ({SQL_lenient_parse}) _len
+UNION ALL
+SELECT 'autodetect', explicit || '|' || from_config || '|' || auto_detected,
+       CAST(n_rows AS DOUBLE), ts_min, ts_max, NULL
+FROM ({SQL_ts_autodetect}) _auto
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "resample_1h_mean": q_resample_1h_mean,
@@ -2631,18 +2775,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_pct": q_ntile_pct,
         "csv_pipeline": q_csv_pipeline,
         "csv_errors": q_csv_errors,
-        "file_coverage": q_file_coverage,
-        "processing_summary": q_processing_summary,
-        "concat_metadata": q_concat_metadata,
         "strategy_matrix": q_strategy_matrix,
-        "memory_upload": q_memory_upload,
-        "header_scan": q_header_scan,
-        "csv_peek": q_csv_peek,
-        "colsets": q_colsets,
-        "content_validator": q_content_validator,
-        "lenient_parse": q_lenient_parse,
-        "ts_autodetect": q_ts_autodetect,
         "pipeline_hooks": q_pipeline_hooks,
+        "csv_introspect": q_csv_introspect,
+        "load_report": q_load_report,
+        "parse_matrix": q_parse_matrix,
         "streaming_gap_detector": q_streaming_gap_detector,
     }
 
@@ -2701,17 +2838,10 @@ def oracle_sql() -> dict[str, str]:
         "ntile_pct": SQL_ntile_pct,
         "csv_pipeline": SQL_csv_pipeline,
         "csv_errors": SQL_csv_errors,
-        "file_coverage": SQL_file_coverage,
-        "processing_summary": SQL_processing_summary,
-        "concat_metadata": SQL_concat_metadata,
         "strategy_matrix": SQL_strategy_matrix,
-        "memory_upload": SQL_memory_upload,
-        "header_scan": SQL_header_scan,
-        "csv_peek": SQL_csv_peek,
-        "colsets": SQL_colsets,
-        "content_validator": SQL_content_validator,
-        "lenient_parse": SQL_lenient_parse,
-        "ts_autodetect": SQL_ts_autodetect,
         "pipeline_hooks": SQL_pipeline_hooks,
+        "csv_introspect": SQL_csv_introspect,
+        "load_report": SQL_load_report,
+        "parse_matrix": SQL_parse_matrix,
         "streaming_gap_detector": SQL_streaming_gap_detector,
     }
