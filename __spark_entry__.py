@@ -230,7 +230,10 @@ SELECT floor((median(d))*1000000 + 0.5)/1000000 AS freq_seconds FROM (
 
 def q_continuity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 continuity statistics (reference load_file.py:2094-2111); gap
-    threshold = 10× the inferred median spacing (scale-factor-relative)."""
+    threshold = 10× the inferred median spacing (scale-factor-relative).
+    The W3 inferred frequency is emitted as ``freq_seconds`` (the round-1/2
+    standalone infer_freq query folds into this slot — the oracle
+    recomputes the exact median in SQL, so the inference stays checked)."""
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
     med = float(infer_frequency_seconds(ev, "ts").collect()[0][0])
@@ -243,6 +246,7 @@ def q_continuity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("gap_seconds_total"), "gap_seconds_total"),
         _r6(F.col("span_seconds"), "span_seconds"),
         _r6(F.col("coverage_pct"), "coverage_pct"),
+        _r6(F.lit(med), "freq_seconds"),
     )
 
 
@@ -261,8 +265,9 @@ SELECT b.start_time, b.end_time, b.n_rows, g.n_gaps,
        floor((g.gap_total)*1000000 + 0.5)/1000000 AS gap_seconds_total,
        floor((b.span)*1000000 + 0.5)/1000000 AS span_seconds,
        floor((CASE WHEN b.span > 0 THEN (1.0 - g.gap_total / b.span) * 100.0 ELSE 100.0 END)*1000000 + 0.5)/1000000
-         AS coverage_pct
-FROM b, g
+         AS coverage_pct,
+       floor((m.med)*1000000 + 0.5)/1000000 AS freq_seconds
+FROM b, g, m
 """
 
 
@@ -1538,6 +1543,17 @@ def q_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage in one slot: LEFT SEMI / LEFT ANTI join
+    aggregates per market segment (round-1 semi_anti_join), with the
+    EXCEPT ALL / INTERSECT scalar counts (round-1 except_intersect)
+    cross-joined onto every row."""
+    _prep(spark)
+    return q_semi_anti_join(spark, sf_dir).crossJoin(
+        q_except_intersect(spark, sf_dir)
+    )
+
+
 SQL_except_intersect = """
 SELECT
   (SELECT count(*) FROM (
@@ -1550,6 +1566,11 @@ SELECT
      INTERSECT
      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
   )) AS n_both
+"""
+
+
+SQL_set_ops = f"""
+SELECT * FROM ({SQL_semi_anti_join}) _sa CROSS JOIN ({SQL_except_intersect}) _ei
 """
 
 
@@ -2728,7 +2749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_1h_mean": q_resample_1h_mean,
         "resample_skipna_false": q_resample_skipna_false,
         "gaps": q_gaps,
-        "infer_freq": q_infer_freq,
         "continuity_stats": q_continuity_stats,
         "reindex_ffill_30min": q_reindex_ffill_30min,
         "bfill_limit1_30min": q_bfill_limit1_30min,
@@ -2736,10 +2756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest_1h": q_asof_nearest_1h,
         "breakpoint_resample": q_breakpoint_resample,
         "zscore_inliers": q_zscore_inliers,
-        "coerce_numeric": q_coerce_numeric,
         "interval_validation": q_interval_validation,
         "tpch_q1": q_tpch_q1,
-        "revenue_by_nation": q_revenue_by_nation,
         "top3_customers_per_nation": q_top3_customers_per_nation,
         "rollup_lineitem": q_rollup_lineitem,
         # LLM-data-pipeline operators
@@ -2757,10 +2775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly": q_streaming_hourly,
         "streaming_sessionize": q_streaming_sessionize,
         "corpus_filter": q_corpus_filter,
-        "semi_anti_join": q_semi_anti_join,
+        "set_ops": q_set_ops,
         "pivot_status_priority": q_pivot_status_priority,
         "distinct_agg": q_distinct_agg,
-        "except_intersect": q_except_intersect,
         "sessionize": q_sessionize,
         "resample_by_user": q_resample_by_user,
         "gaps_by_user": q_gaps_by_user,
@@ -2771,8 +2788,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_like": q_tpch_q3_like,
         "tpch_q5_like": q_tpch_q5_like,
         "tpch_q6_like": q_tpch_q6_like,
-        "cube_orders": q_cube_orders,
-        "ntile_pct": q_ntile_pct,
         "csv_pipeline": q_csv_pipeline,
         "csv_errors": q_csv_errors,
         "strategy_matrix": q_strategy_matrix,
@@ -2789,7 +2804,6 @@ def oracle_sql() -> dict[str, str]:
         "resample_1h_mean": SQL_resample_1h_mean,
         "resample_skipna_false": SQL_resample_skipna_false,
         "gaps": SQL_gaps,
-        "infer_freq": SQL_infer_freq,
         "continuity_stats": SQL_continuity_stats,
         "reindex_ffill_30min": SQL_reindex_ffill_30min,
         "bfill_limit1_30min": SQL_bfill_limit1_30min,
@@ -2797,10 +2811,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest_1h": SQL_asof_nearest_1h,
         "breakpoint_resample": SQL_breakpoint_resample,
         "zscore_inliers": SQL_zscore_inliers,
-        "coerce_numeric": SQL_coerce_numeric,
         "interval_validation": SQL_interval_validation,
         "tpch_q1": SQL_tpch_q1,
-        "revenue_by_nation": SQL_revenue_by_nation,
         "top3_customers_per_nation": SQL_top3_customers_per_nation,
         "rollup_lineitem": SQL_rollup_lineitem,
         # LLM-data-pipeline operators (cosine_topk_lsh/ivf are rows-only:
@@ -2820,10 +2832,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hourly": SQL_streaming_hourly,
         "streaming_sessionize": SQL_streaming_sessionize,
         "corpus_filter": _sql_corpus_filter(),
-        "semi_anti_join": SQL_semi_anti_join,
+        "set_ops": SQL_set_ops,
         "pivot_status_priority": SQL_pivot_status_priority,
         "distinct_agg": SQL_distinct_agg,
-        "except_intersect": SQL_except_intersect,
         "sessionize": SQL_sessionize,
         "resample_by_user": SQL_resample_by_user,
         "gaps_by_user": SQL_gaps_by_user,
@@ -2834,8 +2845,6 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3_like": SQL_tpch_q3_like,
         "tpch_q5_like": SQL_tpch_q5_like,
         "tpch_q6_like": SQL_tpch_q6_like,
-        "cube_orders": SQL_cube_orders,
-        "ntile_pct": SQL_ntile_pct,
         "csv_pipeline": SQL_csv_pipeline,
         "csv_errors": SQL_csv_errors,
         "strategy_matrix": SQL_strategy_matrix,

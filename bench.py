@@ -34,7 +34,7 @@ HEADLINE = [
     "breakpoint_resample",
     "zscore_inliers",
     "tpch_q1",
-    "revenue_by_nation",
+    "tpch_q5_like",
     "top3_customers_per_nation",
     "dedup_exact",
     "minhash_lsh",
