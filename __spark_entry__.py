@@ -1296,23 +1296,52 @@ WHERE window_start + INTERVAL '1 hour' <= mx - INTERVAL '10 minutes'
 
 
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end LLM-corpus filtering pipeline: quality scoring + language
-    ID + exact dedup composed as one lazy plan — keep English docs with
-    quality ≥ 0.45 that are their duplicate-group representative. The
-    canonical pretraining-data shape: all three stages share one scan of
-    the documents table (two groupBy-free projections + one digest
-    groupBy)."""
+    """End-to-end LLM-corpus filtering pipeline: PII scrub → quality
+    scoring + language ID + exact dedup composed as one lazy plan — keep
+    English docs with quality ≥ 0.45 that are their duplicate-group
+    representative, with the per-doc redaction count carried through. The
+    canonical pretraining-data shape: scrub first, then every filter
+    stage shares one scan of the scrubbed text.
+
+    The synthetic corpus contains no PII, so deterministic PII spans
+    (email + phone + IPv4, doc_id-derived; skipped when doc_id % 5 == 0)
+    are grafted onto the text before the pipeline — the oracle rebuilds
+    the same graft, so a scrubber that misses or over-matches a span
+    breaks both n_pii and every downstream hash."""
     _prep(spark)
     from time_series_loader_spark.operators.dedup import dedup_exact
-    from time_series_loader_spark.operators.text import language_id, quality_features
+    from time_series_loader_spark.operators.text import (
+        language_id,
+        quality_features,
+        redact_pii,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    q = quality_features(docs, "text", "doc_id")
-    lang = language_id(docs, "text", "doc_id").select("doc_id", "lang_pred")
-    reps = dedup_exact(docs, ["text"], "doc_id").select("doc_id", "n_dups")
+    graft = F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +123 456 789"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        )
+    )
+    grafted = docs.withColumn("text", F.concat(F.col("text"), graft))
+    clean = (
+        redact_pii(grafted, "text", out_col="text_clean", count_col="n_pii")
+        .drop("text")
+        .withColumnRenamed("text_clean", "text")
+    )
+    q = quality_features(clean, "text", "doc_id")
+    lang = language_id(clean, "text", "doc_id").select("doc_id", "lang_pred")
+    reps = dedup_exact(clean, ["text"], "doc_id").select("doc_id", "n_dups")
+    pii = clean.select("doc_id", "n_pii")
     return (
         q.join(lang, "doc_id")
         .join(reps, "doc_id")  # inner join keeps only representatives
+        .join(pii, "doc_id")
         .where((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.45))
         .select(
             "doc_id",
@@ -1320,6 +1349,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             _r6(F.col("quality_score"), "quality_score"),
             "n_dups",
+            "n_pii",
         )
     )
 
@@ -1341,8 +1371,30 @@ def _sql_corpus_filter() -> str:
             "WHEN " + (" AND ".join(conds) if conds else "TRUE") + f" THEN '{lang}'"
         )
     greatest = "greatest({})".format(", ".join(f"score_{lang}" for lang in langs))
+    from time_series_loader_spark.operators.text import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    email, ipv4, phone = pats["EMAIL"], pats["IPV4"], pats["PHONE"]
     return f"""
-WITH tok AS (SELECT doc_id, text, {_SQL_TOKENS} AS t FROM documents),
+WITH grafted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0 THEN '' ELSE
+           ' reach user' || doc_id || '@example.com or +123 456 789'
+           || (doc_id % 10) || ' at 10.0.' || (doc_id % 256) || '.1' END AS text
+  FROM documents
+),
+clean AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '{email}', '<EMAIL>', 'g'), '{ipv4}', '<IPV4>', 'g'),
+      '{phone}', '<PHONE>', 'g') AS text,
+    len(regexp_extract_all(text, '{email}'))
+    + len(regexp_extract_all(regexp_replace(text, '{email}', '<EMAIL>', 'g'), '{ipv4}'))
+    + len(regexp_extract_all(regexp_replace(regexp_replace(text,
+        '{email}', '<EMAIL>', 'g'), '{ipv4}', '<IPV4>', 'g'), '{phone}')) AS n_pii
+  FROM grafted
+),
+tok AS (SELECT doc_id, text, {_SQL_TOKENS} AS t FROM clean),
 lang AS (
   SELECT doc_id,
          CASE WHEN {greatest} = 0 THEN 'und' {' '.join(cases)} END AS lang_pred
@@ -1370,15 +1422,77 @@ scored AS (
 ),
 reps AS (
   SELECT min(doc_id) AS doc_id, count(*) AS n_dups
-  FROM documents GROUP BY coalesce(text, ' ')
+  FROM clean GROUP BY coalesce(text, ' ')
 )
 SELECT s.doc_id, l.lang_pred, s.n_tokens,
        floor((s.quality_score)*1000000 + 0.5)/1000000 AS quality_score,
-       r.n_dups
+       r.n_dups, c.n_pii
 FROM scored s
 JOIN lang l ON l.doc_id = s.doc_id
 JOIN reps r ON r.doc_id = s.doc_id
+JOIN clean c ON c.doc_id = s.doc_id
 WHERE l.lang_pred = 'en' AND s.quality_score >= 0.45
+"""
+
+
+_SQL_HEXD = "instr('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py): keep
+    fraction per language stratum decided by an md5 hash bucket of the
+    doc key — reproducible across runs, engines, and partitionings (no
+    rand()), pure map-side filter with zero shuffle. en 50% / de 25% /
+    fr 10% / default 5%."""
+    _prep(spark)
+    from time_series_loader_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.1}, default_rate=0.05
+    )
+    return out.select("doc_id", "lang", "sample_bucket")
+
+
+def _sql_stratified_sample() -> str:
+    d = [_SQL_HEXD.format(h="h", i=i) for i in (1, 2, 3, 4)]
+    return f"""
+WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+b AS (SELECT doc_id, lang,
+        CAST(4096*({d[0]}) + 256*({d[1]}) + 16*({d[2]}) + ({d[3]}) AS INT) AS sample_bucket
+      FROM h)
+SELECT doc_id, lang, sample_bucket FROM b
+WHERE sample_bucket < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384
+                                WHEN 'fr' THEN 6554 ELSE 3277 END
+"""
+
+
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (operators/sampling.py): documents in
+    doc_id order packed into ~1000-token shards via the distributed
+    prefix-scan (range-bucketed partial sums + broadcast offsets +
+    within-bucket window) — no single-partition running-sum funnel. The
+    oracle is the sequential definition: a global window cumsum."""
+    _prep(spark)
+    from time_series_loader_spark.operators.sampling import shard_pack
+    from time_series_loader_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    out = shard_pack(docs, "doc_id", "n_tokens", budget=1000)
+    return out.select("doc_id", "n_tokens", "cum_weight", "shard_id")
+
+
+SQL_shard_pack = f"""
+WITH w AS (SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens FROM documents)
+SELECT doc_id, n_tokens,
+  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_weight,
+  CAST(floor((CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens)
+       / 1000.0) AS BIGINT) AS shard_id
+FROM w
 """
 
 
@@ -2770,6 +2884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk_ivf": q_cosine_topk_ivf,
+        "stratified_sample": q_stratified_sample,
+        "shard_pack": q_shard_pack,
         "multimodal_decode": q_multimodal_decode,
         # streaming + additional relational coverage
         "streaming_hourly": q_streaming_hourly,
@@ -2827,6 +2943,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_lsh": _sql_cosine_topk_lsh(),
         "cosine_topk_ivf": _sql_cosine_topk_ivf(),
         "embedding_near_dup": _sql_embedding_near_dup(),
+        "stratified_sample": _sql_stratified_sample(),
+        "shard_pack": SQL_shard_pack,
         "multimodal_decode": SQL_multimodal_decode,
         # streaming + additional relational coverage
         "streaming_hourly": SQL_streaming_hourly,

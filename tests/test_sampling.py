@@ -1,0 +1,111 @@
+"""Tests for deterministic sampling, shard packing, PII redaction, and the
+composite text profile."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.operators.sampling import (
+    BUCKETS,
+    hash_bucket,
+    shard_pack,
+    stratified_sample,
+)
+from time_series_loader_spark.operators.text import redact_pii, text_profile
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, "lang%d" % (i % 3), "tok " * (i % 17 + 1)) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+
+
+def test_hash_bucket_range_and_determinism(spark, docs):
+    b = docs.select(hash_bucket("doc_id").alias("b")).toPandas()["b"]
+    assert b.between(0, BUCKETS - 1).all()
+    b2 = docs.repartition(7).select(hash_bucket("doc_id").alias("b")).toPandas()["b"]
+    assert sorted(b) == sorted(b2)
+
+
+def test_stratified_sample_deterministic_and_stratified(spark, docs):
+    rates = {"lang0": 0.8, "lang1": 0.2}
+    out = stratified_sample(docs, "doc_id", "lang", rates, default_rate=0.0)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # re-running on a different partitioning keeps the SAME rows
+    ids2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(13), "doc_id", "lang", rates, default_rate=0.0
+        ).collect()
+    )
+    assert ids == ids2
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert "lang2" not in by_lang  # default_rate=0 drops the whole stratum
+    # loose rate sanity on ~67 rows per stratum
+    assert by_lang["lang0"] > by_lang.get("lang1", 0)
+    # salt changes the selection
+    salted = stratified_sample(docs, "doc_id", "lang", rates, 0.0, salt="v2")
+    assert sorted(r["doc_id"] for r in salted.collect()) != ids
+
+
+@pytest.mark.parametrize("num_buckets", [1, 4, 256])
+def test_shard_pack_matches_sequential(spark, docs, num_buckets):
+    weighted = docs.select("doc_id", F.size(F.split("text", " ")).alias("w"))
+    out = shard_pack(weighted, "doc_id", "w", budget=50, num_buckets=num_buckets)
+    pdf = out.orderBy("doc_id").toPandas()
+    seq = weighted.orderBy("doc_id").toPandas()
+    seq["cum"] = seq["w"].cumsum()
+    assert list(pdf["cum_weight"]) == list(seq["cum"])
+    assert list(pdf["shard_id"]) == [int((c - w) // 50) for c, w in zip(seq["cum"], seq["w"])]
+    # shards are contiguous in key order and start at 0
+    assert pdf["shard_id"].iloc[0] == 0
+    assert (pdf["shard_id"].diff().dropna() >= 0).all()
+
+
+def test_shard_pack_empty(spark):
+    empty = spark.createDataFrame([], "doc_id LONG, w LONG")
+    assert shard_pack(empty, "doc_id", "w", budget=10).count() == 0
+
+
+def test_redact_pii(spark):
+    rows = [
+        (1, "mail me at a.b-c%x@foo-bar.co.uk now"),
+        (2, "server 192.168.0.1 and phone +1 415 555 0000 ok"),
+        (3, "clean text with no pii at all"),
+        (4, "two mails x@y.io and z@w.ai"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, text STRING")
+    out = {r["id"]: r for r in redact_pii(df, "text").collect()}
+    assert out[1]["n_pii"] == 1 and "<EMAIL>" in out[1]["redacted"]
+    assert "@" not in out[1]["redacted"].replace("<EMAIL>", "")
+    assert out[2]["n_pii"] == 2
+    assert "<IPV4>" in out[2]["redacted"] and "<PHONE>" in out[2]["redacted"]
+    assert out[3]["n_pii"] == 0 and out[3]["redacted"] == rows[2][1]
+    assert out[4]["n_pii"] == 2
+
+
+def test_text_profile_matches_standalone_ops(spark, docs):
+    from time_series_loader_spark.operators.text import (
+        fingerprint,
+        quality_features,
+        simhash16,
+        token_stats,
+    )
+
+    prof = {r["doc_id"]: r for r in text_profile(docs, "text", "doc_id").collect()}
+    toks = {r["doc_id"]: r for r in token_stats(docs, "text", "doc_id").collect()}
+    qual = {r["doc_id"]: r for r in quality_features(docs, "text", "doc_id").collect()}
+    fps = {r["doc_id"]: r for r in fingerprint(docs, "text", "doc_id").collect()}
+    sh = {r["doc_id"]: r for r in simhash16(docs, "text", "doc_id").collect()}
+    for i in (0, 7, 199):
+        assert prof[i]["n_tokens"] == toks[i]["n_tokens"]
+        assert prof[i]["mean_token_len"] == toks[i]["mean_token_len"]
+        assert prof[i]["quality_score"] == qual[i]["quality_score"]
+        assert prof[i]["fingerprint"] == fps[i]["fingerprint"]
+        assert prof[i]["simhash"] == sh[i]["simhash"]
+    # repetition signals: "tok tok ... tok" repeats one token entirely
+    assert prof[7]["dup_token_ratio"] > 0.8
+    assert prof[7]["top_bigram_frac"] == 1.0

@@ -1,0 +1,130 @@
+"""Deterministic sampling and shard packing for training-data pipelines.
+
+Beyond-reference capability (BASELINE.json north star): the two ops every
+100 TB corpus pipeline needs between "filter" and "write shards":
+
+- **Stratified sampling** that is deterministic and engine-independent:
+  keep/drop decided by an md5-derived bucket of the row key, NOT ``rand()``
+  — re-running the pipeline (or running it on another engine) selects the
+  SAME rows, so downstream shards are reproducible and the decision is a
+  pure map-side filter with zero shuffle and no seed-state coordination
+  across executors.
+
+- **Token-budget shard packing**: assign documents (ordered by a
+  deterministic key) to consecutive shards of ~``budget`` tokens. The
+  naive form is a single-partition running sum over the whole corpus; here
+  it is the distributed prefix-scan shape (same as operators/fill.py):
+  range-bucket the key space, per-bucket token sums (tiny — one row per
+  bucket) collected and prefix-summed on the driver, broadcast offsets,
+  then a WITHIN-bucket window cumsum. No global-order exchange; the only
+  single-point state is bucket_count rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 16-bit bucket from the first 4 hex digits of md5(key) — arithmetic that
+# both Spark and any SQL oracle reproduce exactly (no engine hash functions,
+# which differ between Spark's xxhash64 and DuckDB's hash).
+_HEX = "0123456789abcdef"
+BUCKETS = 65536
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 65536) from md5 of the (salted) key."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    # conv(hex, 16, 10): first 4 hex digits → 0..65535 (the SQL oracle
+    # rebuilds the same value with instr('0123..f', digit) arithmetic)
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row iff its hash bucket falls under its stratum's rate.
+
+    ``rates``: {stratum value: keep fraction in [0,1]}; unlisted strata use
+    ``default_rate``. Adds a ``sample_bucket`` column (the row's bucket) so
+    the decision is auditable. Pure narrow filter — scales linearly,
+    reproducible under any partitioning.
+    """
+    bucket = hash_bucket(key_col, salt)
+    threshold = F.lit(int(round(default_rate * BUCKETS)))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(round(rate * BUCKETS)))
+        ).otherwise(threshold)
+    return df.withColumn("sample_bucket", bucket).where(
+        F.col("sample_bucket") < threshold
+    )
+
+
+def shard_pack(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Pack rows (in ``key_col`` order) into shards of ~``budget`` weight.
+
+    Returns the input plus ``cum_weight`` (running total INCLUSIVE of the
+    row, in key order) and ``shard_id`` = floor((cum_weight - weight) /
+    budget): a shard closes when its running total crosses the budget, and
+    oversized single rows take a shard alone — the greedy rule a
+    sequential packer applies.
+
+    Distributed prefix-scan: range-bucket the key domain into
+    ``num_buckets`` contiguous slices; aggregate per-bucket weight sums
+    (bucket_count rows — the ONLY data collected); exclusive-prefix-sum
+    them on the driver; broadcast the offsets back; window-cumsum WITHIN
+    each bucket and add the bucket's offset. The window partitions by
+    bucket, so no single-partition funnel exists at any width.
+    """
+    kmin, kmax = df.agg(
+        F.min(key_col).cast("double"), F.max(key_col).cast("double")
+    ).collect()[0]
+    if kmin is None:
+        return df.withColumn("cum_weight", F.lit(None).cast("bigint")).withColumn(
+            "shard_id", F.lit(None).cast("bigint")
+        )
+    span = max(kmax - kmin, 1.0)
+    bucket = F.least(
+        F.floor((F.col(key_col).cast("double") - F.lit(kmin)) / F.lit(span / num_buckets)),
+        F.lit(num_buckets - 1),
+    ).alias("_bucket")
+
+    b = df.select(bucket, F.col(weight_col)).groupBy("_bucket").agg(
+        F.sum(weight_col).alias("_w")
+    )
+    sums = {int(r["_bucket"]): int(r["_w"]) for r in b.collect()}
+    offsets, acc = {}, 0
+    for k in sorted(sums):
+        offsets[k] = acc
+        acc += sums[k]
+    off_map = F.create_map(
+        *[F.lit(x) for k in sorted(offsets) for x in (k, offsets[k])]
+    )
+
+    w = Window.partitionBy("_bucket").orderBy(key_col)
+    out = (
+        df.withColumn("_bucket", bucket)
+        .withColumn(
+            "cum_weight",
+            F.sum(weight_col).over(w) + F.element_at(off_map, F.col("_bucket")),
+        )
+        .withColumn(
+            "shard_id",
+            F.floor((F.col("cum_weight") - F.col(weight_col)) / F.lit(budget)),
+        )
+        .drop("_bucket")
+    )
+    return out

@@ -215,6 +215,33 @@ def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, *_repetition_exprs(text_col))
 
 
+# (tag, regex) — applied sequentially, each on the already-redacted text,
+# so overlapping matches (an email whose domain is an IP) count once.
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IPV4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("PHONE", r"\+\d[\d \-]{7,}\d"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str = "redacted", count_col: str = "n_pii"
+) -> DataFrame:
+    """Scrub emails / IPv4 addresses / phone numbers to ``<TAG>`` markers.
+
+    Pure ``regexp_extract_all``/``regexp_replace`` expressions (JVM-side,
+    whole-stage codegen, zero shuffle) — the standard pre-training scrub
+    pass. ``count_col`` counts redacted spans so downstream filters can
+    drop PII-dense documents.
+    """
+    red = F.col(text_col)
+    n = F.lit(0)
+    for tag, pat in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
+        red = F.regexp_replace(red, pat, f"<{tag}>")
+    return df.withColumn(out_col, red).withColumn(count_col, n)
+
+
 def _simhash_signatures(texts, n_bits: int):
     """md5-digit SimHash signatures for an iterable of strings (None-safe)."""
     import hashlib
