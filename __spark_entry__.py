@@ -1663,8 +1663,10 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXCEPT ALL / INTERSECT scalar counts (round-1 except_intersect)
     cross-joined onto every row."""
     _prep(spark)
+    # broadcast the 1-row scalar side: keeps the join a BroadcastNestedLoop
+    # over the 5-row left rather than a partition-product cartesian
     return q_semi_anti_join(spark, sf_dir).crossJoin(
-        q_except_intersect(spark, sf_dir)
+        F.broadcast(q_except_intersect(spark, sf_dir))
     )
 
 
@@ -2792,13 +2794,20 @@ def q_load_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries) — the operator calls are unchanged; their reports become one
     wide row."""
     _prep(spark)
-    cov = q_file_coverage(spark, sf_dir)
-    summ = q_processing_summary(spark, sf_dir)
-    meta = q_concat_metadata(spark, sf_dir).select(
-        "total_rows",
-        "total_files",
-        F.col("start_time").alias("meta_start"),
-        F.col("end_time").alias("meta_end"),
+    # coalesce(1): createDataFrame spreads even a 1-row frame over
+    # defaultParallelism partitions, and CartesianProduct partition counts
+    # MULTIPLY (32³ = 32768 tasks for three 1-row frames otherwise)
+    cov = q_file_coverage(spark, sf_dir).coalesce(1)
+    summ = q_processing_summary(spark, sf_dir).coalesce(1)
+    meta = (
+        q_concat_metadata(spark, sf_dir)
+        .select(
+            "total_rows",
+            "total_files",
+            F.col("start_time").alias("meta_start"),
+            F.col("end_time").alias("meta_end"),
+        )
+        .coalesce(1)
     )
     return cov.crossJoin(summ).crossJoin(meta)
 
@@ -2862,56 +2871,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "resample_1h_mean": q_resample_1h_mean,
         "resample_skipna_false": q_resample_skipna_false,
+        "breakpoint_resample": q_breakpoint_resample,
         "gaps": q_gaps,
         "continuity_stats": q_continuity_stats,
         "reindex_ffill_30min": q_reindex_ffill_30min,
         "bfill_limit1_30min": q_bfill_limit1_30min,
         "interpolate_30min": q_interpolate_30min,
         "asof_nearest_1h": q_asof_nearest_1h,
-        "breakpoint_resample": q_breakpoint_resample,
         "zscore_inliers": q_zscore_inliers,
         "interval_validation": q_interval_validation,
-        "tpch_q1": q_tpch_q1,
-        "top3_customers_per_nation": q_top3_customers_per_nation,
-        "rollup_lineitem": q_rollup_lineitem,
-        # LLM-data-pipeline operators
+        "sessionize": q_sessionize,
+        "resample_by_user": q_resample_by_user,
+        "gaps_by_user": q_gaps_by_user,
+        "rolling_by_user": q_rolling_by_user,
+        "csv_pipeline": q_csv_pipeline,
+        "csv_errors": q_csv_errors,
+        "csv_introspect": q_csv_introspect,
+        "load_report": q_load_report,
+        "parse_matrix": q_parse_matrix,
+        "strategy_matrix": q_strategy_matrix,
+        "pipeline_hooks": q_pipeline_hooks,
+        "streaming_hourly": q_streaming_hourly,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_gap_detector": q_streaming_gap_detector,
         "dedup_exact": q_dedup_exact,
         "text_profile": q_text_profile,
+        "tfidf_top3": q_tfidf_top3,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dup": q_simhash_near_dup,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
-        "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk_ivf": q_cosine_topk_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
         "stratified_sample": q_stratified_sample,
         "shard_pack": q_shard_pack,
         "multimodal_decode": q_multimodal_decode,
-        # streaming + additional relational coverage
-        "streaming_hourly": q_streaming_hourly,
-        "streaming_sessionize": q_streaming_sessionize,
         "corpus_filter": q_corpus_filter,
-        "set_ops": q_set_ops,
-        "pivot_status_priority": q_pivot_status_priority,
-        "distinct_agg": q_distinct_agg,
-        "sessionize": q_sessionize,
-        "resample_by_user": q_resample_by_user,
-        "gaps_by_user": q_gaps_by_user,
-        "unpivot_events": q_unpivot_events,
-        "rolling_by_user": q_rolling_by_user,
-        "tfidf_top3": q_tfidf_top3,
-        "quantiles": q_quantiles,
+        "tpch_q1": q_tpch_q1,
         "tpch_q3_like": q_tpch_q3_like,
         "tpch_q5_like": q_tpch_q5_like,
         "tpch_q6_like": q_tpch_q6_like,
-        "csv_pipeline": q_csv_pipeline,
-        "csv_errors": q_csv_errors,
-        "strategy_matrix": q_strategy_matrix,
-        "pipeline_hooks": q_pipeline_hooks,
-        "csv_introspect": q_csv_introspect,
-        "load_report": q_load_report,
-        "parse_matrix": q_parse_matrix,
-        "streaming_gap_detector": q_streaming_gap_detector,
+        "top3_customers_per_nation": q_top3_customers_per_nation,
+        "rollup_lineitem": q_rollup_lineitem,
+        "pivot_status_priority": q_pivot_status_priority,
+        "unpivot_events": q_unpivot_events,
+        "distinct_agg": q_distinct_agg,
+        "set_ops": q_set_ops,
+        "quantiles": q_quantiles,
     }
 
 
@@ -2919,26 +2926,35 @@ def oracle_sql() -> dict[str, str]:
     return {
         "resample_1h_mean": SQL_resample_1h_mean,
         "resample_skipna_false": SQL_resample_skipna_false,
+        "breakpoint_resample": SQL_breakpoint_resample,
         "gaps": SQL_gaps,
         "continuity_stats": SQL_continuity_stats,
         "reindex_ffill_30min": SQL_reindex_ffill_30min,
         "bfill_limit1_30min": SQL_bfill_limit1_30min,
         "interpolate_30min": SQL_interpolate_30min,
         "asof_nearest_1h": SQL_asof_nearest_1h,
-        "breakpoint_resample": SQL_breakpoint_resample,
         "zscore_inliers": SQL_zscore_inliers,
         "interval_validation": SQL_interval_validation,
-        "tpch_q1": SQL_tpch_q1,
-        "top3_customers_per_nation": SQL_top3_customers_per_nation,
-        "rollup_lineitem": SQL_rollup_lineitem,
-        # LLM-data-pipeline operators (cosine_topk_lsh/ivf are rows-only:
-        # ANN variants whose recall is characterized against the
-        # oracle-checked `cosine_topk` baseline in tests)
+        "sessionize": SQL_sessionize,
+        "resample_by_user": SQL_resample_by_user,
+        "gaps_by_user": SQL_gaps_by_user,
+        "rolling_by_user": SQL_rolling_by_user,
+        "csv_pipeline": SQL_csv_pipeline,
+        "csv_errors": SQL_csv_errors,
+        "csv_introspect": SQL_csv_introspect,
+        "load_report": SQL_load_report,
+        "parse_matrix": SQL_parse_matrix,
+        "strategy_matrix": SQL_strategy_matrix,
+        "pipeline_hooks": SQL_pipeline_hooks,
+        "streaming_hourly": SQL_streaming_hourly,
+        "streaming_sessionize": SQL_streaming_sessionize,
+        "streaming_gap_detector": SQL_streaming_gap_detector,
         "dedup_exact": SQL_dedup_exact,
         "text_profile": _sql_text_profile(),
+        "tfidf_top3": SQL_tfidf_top3,
         "ngram_jaccard": SQL_ngram_jaccard,
-        "simhash_near_dup": _sql_simhash_near_dup(),
         "minhash_lsh": _sql_minhash_lsh(),
+        "simhash_near_dup": _sql_simhash_near_dup(),
         "cosine_topk": SQL_cosine_topk,
         "cosine_topk_lsh": _sql_cosine_topk_lsh(),
         "cosine_topk_ivf": _sql_cosine_topk_ivf(),
@@ -2946,29 +2962,16 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sql_stratified_sample(),
         "shard_pack": SQL_shard_pack,
         "multimodal_decode": SQL_multimodal_decode,
-        # streaming + additional relational coverage
-        "streaming_hourly": SQL_streaming_hourly,
-        "streaming_sessionize": SQL_streaming_sessionize,
         "corpus_filter": _sql_corpus_filter(),
-        "set_ops": SQL_set_ops,
-        "pivot_status_priority": SQL_pivot_status_priority,
-        "distinct_agg": SQL_distinct_agg,
-        "sessionize": SQL_sessionize,
-        "resample_by_user": SQL_resample_by_user,
-        "gaps_by_user": SQL_gaps_by_user,
-        "unpivot_events": SQL_unpivot_events,
-        "rolling_by_user": SQL_rolling_by_user,
-        "tfidf_top3": SQL_tfidf_top3,
-        "quantiles": SQL_quantiles,
+        "tpch_q1": SQL_tpch_q1,
         "tpch_q3_like": SQL_tpch_q3_like,
         "tpch_q5_like": SQL_tpch_q5_like,
         "tpch_q6_like": SQL_tpch_q6_like,
-        "csv_pipeline": SQL_csv_pipeline,
-        "csv_errors": SQL_csv_errors,
-        "strategy_matrix": SQL_strategy_matrix,
-        "pipeline_hooks": SQL_pipeline_hooks,
-        "csv_introspect": SQL_csv_introspect,
-        "load_report": SQL_load_report,
-        "parse_matrix": SQL_parse_matrix,
-        "streaming_gap_detector": SQL_streaming_gap_detector,
+        "top3_customers_per_nation": SQL_top3_customers_per_nation,
+        "rollup_lineitem": SQL_rollup_lineitem,
+        "pivot_status_priority": SQL_pivot_status_priority,
+        "unpivot_events": SQL_unpivot_events,
+        "distinct_agg": SQL_distinct_agg,
+        "set_ops": SQL_set_ops,
+        "quantiles": SQL_quantiles,
     }
