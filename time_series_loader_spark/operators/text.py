@@ -272,15 +272,20 @@ def text_profile(
     quality features + language ID + repetition signals + fingerprint +
     SimHash.
 
-    Scale shape: every column except the simhash is a built-in expression
-    (whole-stage codegen); the simhash rides a ``mapInPandas`` kernel that
-    PASSES THROUGH the already-computed columns — one scan, zero shuffle,
-    no join to reassemble per-doc outputs. This is the template for "run
-    every per-doc analysis over 100 TB in one pass" rather than one pass
-    per metric.
+    Scale shape: the O(1)-per-row columns are built-in expressions
+    (whole-stage codegen); the per-row O(n) work — simhash AND the
+    repetition signals — rides ONE ``mapInPandas`` kernel that PASSES
+    THROUGH the already-computed columns: one scan, zero shuffle, no join
+    to reassemble per-doc outputs. This is the template for "run every
+    per-doc analysis over 100 TB in one pass" rather than one pass per
+    metric. (The repetition signals deliberately live in the kernel, not
+    in array-lambda expressions: higher-order functions are interpreted
+    per element, and the bigram mode is O(distinct·total) per doc — the
+    expression form measured ~100× slower at 50k docs; see SCALING.md.)
     """
-    import pandas as pd
-    from pyspark.sql.types import StringType, StructField, StructType
+    from collections import Counter
+
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
     t = tokens(text_col)
     n_tokens = F.size(t)
@@ -294,17 +299,41 @@ def text_profile(
         (n_alpha.cast("double") / n_tokens).alias("mean_token_len"),
         token_count_bpeish(text_col).alias("n_tokens_bpeish"),
         *_langid_exprs(text_col),
-        *_repetition_exprs(text_col),
         F.md5(fp).alias("fingerprint"),
     )
 
     passthrough = [f for f in wide.schema.fields if f.name != text_col]
-    out_schema = StructType([*passthrough, StructField("simhash", StringType())])
+    out_schema = StructType(
+        [
+            *passthrough,
+            StructField("dup_token_ratio", DoubleType()),
+            StructField("top_bigram_frac", DoubleType()),
+            StructField("simhash", StringType()),
+        ]
+    )
     keep = [f.name for f in passthrough]
 
     def kernel(batches):
+        import re
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, as in tokens()
         for pdf in batches:
             out = pdf[keep].copy()
+            dup, top = [], []
+            for s in pdf[text_col]:
+                if s is None:
+                    dup.append(None)
+                    top.append(None)
+                    continue
+                toks = ws.split(s.strip().lower())
+                n = len(toks)
+                dup.append(1.0 - len(set(toks)) / n)
+                if n >= 2:
+                    top.append(max(Counter(zip(toks, toks[1:])).values()) / (n - 1))
+                else:
+                    top.append(0.0)
+            out["dup_token_ratio"] = dup
+            out["top_bigram_frac"] = top
             out["simhash"] = _simhash_signatures(pdf[text_col], n_bits)
             yield out
 
