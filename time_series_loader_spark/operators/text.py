@@ -55,9 +55,18 @@ def token_count_bpeish(text: Column | str) -> Column:
     return F.size(pieces)
 
 
-def _quality_exprs(text_col: str) -> list[Column]:
-    """Quality-feature expressions (shared by quality_features/text_profile)."""
-    t = tokens(text_col)
+def _quality_exprs(text_col: str, toks: Column | None = None) -> list[Column]:
+    """Quality-feature expressions (shared by quality_features/text_profile).
+
+    ``toks``: optional pre-tokenized array column. Each expression embeds
+    its own copy of ``tokens(text_col)`` otherwise, and whole-stage
+    codegen's subexpression elimination does not reach into higher-order
+    function arguments — materializing the token array in a separate
+    upstream projection (which CollapseProject keeps, the expression being
+    non-cheap and multiply-referenced) tokenizes once per row instead of
+    once per derived metric.
+    """
+    t = tokens(text_col) if toks is None else toks
     n_tokens = F.size(t)
     stops = list(STOPWORDS["en"])
     n_stop = F.size(F.filter(t, lambda x: x.isin(*stops)))
@@ -95,9 +104,12 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, *_quality_exprs(text_col))
 
 
-def _langid_exprs(text_col: str) -> list[Column]:
-    """Language-ID expressions (shared by language_id/text_profile)."""
-    t = tokens(text_col)
+def _langid_exprs(text_col: str, toks: Column | None = None) -> list[Column]:
+    """Language-ID expressions (shared by language_id/text_profile).
+
+    ``toks``: optional pre-tokenized array column (see _quality_exprs).
+    """
+    t = tokens(text_col) if toks is None else toks
 
     def _in_set(words):
         # single-arg lambda required: PySpark introspects the signature
@@ -287,18 +299,20 @@ def text_profile(
 
     from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
-    t = tokens(text_col)
+    # tokenize ONCE in a kept projection (see _quality_exprs docstring)
+    t = F.col("__toks")
+    toksed = df.select(id_col, text_col, tokens(text_col).alias("__toks"))
     n_tokens = F.size(t)
     n_alpha = F.length(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", ""))
     fp = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    wide = df.select(
+    wide = toksed.select(
         F.col(id_col),
         F.col(text_col),
         F.length(text_col).alias("n_chars"),
-        *_quality_exprs(text_col),  # n_tokens + ratios + quality_score
+        *_quality_exprs(text_col, toks=t),  # n_tokens + ratios + quality_score
         (n_alpha.cast("double") / n_tokens).alias("mean_token_len"),
         token_count_bpeish(text_col).alias("n_tokens_bpeish"),
-        *_langid_exprs(text_col),
+        *_langid_exprs(text_col, toks=t),
         F.md5(fp).alias("fingerprint"),
     )
 
