@@ -2771,12 +2771,90 @@ WHERE s.sd IS NULL OR s.sd = 0 OR c.value IS NULL
 """
 
 
+def _from_files_section(spark: SparkSession) -> DataFrame:
+    """S2 direct file-list scan (reference ``load_file.py:842-887``):
+    ``TimeSeriesLoader.from_files`` with an EXPLICIT two-file list (no
+    directory discovery) loads exactly those files through the standard
+    pipeline, and a list containing a missing path raises
+    FileNotFoundError (reference errors on unknown explicit files) —
+    recorded as a sentinel boolean row."""
+    import os
+
+    from time_series_loader_spark.config import ColumnNamingConfig, LoadingConfig
+    from time_series_loader_spark.plans.loader import TimeSeriesLoader
+    from time_series_loader_spark.sources.metadata import TimeMetadataExtractor
+
+    d = _csv_fixture_dir()
+    names = sorted(_CSV_FIXTURE_FILES)
+    pair = [os.path.join(d, names[0]), os.path.join(d, names[2])]
+    loader = TimeSeriesLoader.from_files(
+        spark,
+        pair,
+        loading=LoadingConfig(timestamp_column="Time"),
+        naming=ColumnNamingConfig(clean_names=True, rename_map={"note": "label"}),
+        extractor=TimeMetadataExtractor(),
+    )
+    df = loader.initialize()
+    rows = df.select(
+        F.lit("from_files").alias("section"),
+        (F.row_number().over(Window.orderBy("Time")) - 1).alias("pos"),
+        F.element_at(F.split(F.col("source_file"), "/"), -1).alias("name"),
+        _r6(F.col("value"), "v_num"),
+        F.col("Time").alias("v_ts"),
+        F.lit(None).cast("boolean").alias("ok1"),
+        F.lit(None).cast("boolean").alias("ok2"),
+    )
+    try:
+        TimeSeriesLoader.from_files(
+            spark, [pair[0], os.path.join(d, "no_such_file.csv")]
+        ).initialize()
+        raised = False
+    except FileNotFoundError:
+        raised = True
+    sentinel = _one_row_df(
+        spark,
+        ("from_files", 99, "missing_file_raises", None, None, raised, None),
+        "section STRING, pos INT, name STRING, v_num DOUBLE, v_ts TIMESTAMP, "
+        "ok1 BOOLEAN, ok2 BOOLEAN",
+    )
+    return rows.unionByName(sentinel)
+
+
+def _bad_records_section(spark: SparkSession) -> DataFrame:
+    """PERMISSIVE row-level bad-record capture (SURVEY §7.7 — a capability
+    the reference LACKS: it rejects whole files, ``load_file.py:1593-1622``).
+    Typed schema over three fixture files; the 'x!' value row and the
+    'oops' note row keep their parseable fields, null the malformed one,
+    and land the raw line in ``_corrupt_record``."""
+    import os
+
+    from time_series_loader_spark.sources.csv import load_csv_with_bad_records
+
+    d = _csv_fixture_dir()
+    files = [os.path.join(d, n) for n in sorted(_CSV_FIXTURE_FILES)[:3]]
+    df = load_csv_with_bad_records(spark, files, "value DOUBLE, Time STRING, note DOUBLE")
+    ts = F.to_timestamp("Time", "dd/MM/yyyy HH:mm")
+    # ok2 surfaces note's parse result — and, crucially, keeps `note` in
+    # the required schema: PERMISSIVE only detects corruption in columns
+    # the query actually reads (column pruning would otherwise silently
+    # un-flag the 'oops' row)
+    return df.select(
+        F.lit("badrecords").alias("section"),
+        (F.row_number().over(Window.orderBy(ts)) - 1).alias("pos"),
+        F.col("_corrupt_record").alias("name"),
+        _r6(F.col("value"), "v_num"),
+        ts.alias("v_ts"),
+        F.col("_corrupt_record").isNotNull().alias("ok1"),
+        F.col("note").isNotNull().alias("ok2"),
+    )
+
+
 def q_csv_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-introspection report (S5 header-only scan + O5 limit/peek +
-    S8 content validator + O4 column-set algebra) normalized to one
-    report schema — the four round-2 standalone queries in one driver
-    slot, each section's rows produced by the same underlying operator
-    calls."""
+    S8 content validator + O4 column-set algebra + S2 direct file-list
+    scan + PERMISSIVE bad-record capture) normalized to one report
+    schema — the round-2 standalone queries in one driver slot, each
+    section's rows produced by the same underlying operator calls."""
     _prep(spark)
     from pyspark.sql import Window
 
@@ -2821,7 +2899,13 @@ def q_csv_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("col").alias("name"),
         *nul,
     )
-    return hdr.unionByName(peek).unionByName(content).unionByName(colsets)
+    return (
+        hdr.unionByName(peek)
+        .unionByName(content)
+        .unionByName(colsets)
+        .unionByName(_from_files_section(spark))
+        .unionByName(_bad_records_section(spark))
+    )
 
 
 SQL_csv_introspect = f"""
@@ -2840,6 +2924,27 @@ SELECT 'content', CAST(row_number() OVER (ORDER BY fname) - 1 AS INT),
        fname, NULL, NULL, min1_ok, min2_ok FROM content
 UNION ALL
 SELECT 'colsets_' || op, pos, col, NULL, NULL, NULL, NULL FROM cs
+UNION ALL
+SELECT * FROM (VALUES
+  ('from_files', 0, 'S1 - Data - 01-01-2024 00_00_00 - 01-01-2024 23_59_59.csv',
+   11.0, TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)),
+  ('from_files', 1, 'S1 - Data - 01-01-2024 00_00_00 - 01-01-2024 23_59_59.csv',
+   12.0, TIMESTAMP '2024-01-01 01:00:00', NULL, NULL),
+  ('from_files', 2, 'S1 - Data - 01-01-2024 00_00_00 - 01-01-2024 23_59_59.csv',
+   10.0, TIMESTAMP '2024-01-01 02:00:00', NULL, NULL),
+  ('from_files', 3, 'S1 - Data - 01-03-2024 00_00_00 - 01-03-2024 23_59_59.csv',
+   30.0, TIMESTAMP '2024-01-03 05:00:00', NULL, NULL),
+  ('from_files', 99, 'missing_file_raises', NULL, NULL, TRUE, NULL)
+) AS ff(section, pos, name, v_num, v_ts, ok1, ok2)
+UNION ALL
+SELECT * FROM (VALUES
+  ('badrecords', 0, CAST(NULL AS VARCHAR), 11.0, TIMESTAMP '2024-01-01 00:00:00', FALSE, TRUE),
+  ('badrecords', 1, NULL, 12.0, TIMESTAMP '2024-01-01 01:00:00', FALSE, TRUE),
+  ('badrecords', 2, NULL, 10.0, TIMESTAMP '2024-01-01 02:00:00', FALSE, TRUE),
+  ('badrecords', 3, NULL, 20.0, TIMESTAMP '2024-01-02 00:00:00', FALSE, TRUE),
+  ('badrecords', 4, 'x!;02/01/2024 01:00;5', NULL, TIMESTAMP '2024-01-02 01:00:00', TRUE, TRUE),
+  ('badrecords', 5, '30;03/01/2024 05:00;oops', 30.0, TIMESTAMP '2024-01-03 05:00:00', TRUE, FALSE)
+) AS br(section, pos, name, v_num, v_ts, ok1, ok2)
 """
 
 
