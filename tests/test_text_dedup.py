@@ -111,6 +111,27 @@ def test_ngram_jaccard_max_df_bounds_candidates(spark):
     assert dfreq.where(F.col("count") > 10).count() >= 3  # universal shingles exist
 
 
+def test_ngram_jaccard_max_df_auto_is_corpus_relative(spark):
+    """Default 'auto' cutoff = max(1000, 0.1%·N): a flat absolute default
+    either never engages (small corpora) or lets boilerplate shingles fan
+    the self-join out quadratically (huge corpora)."""
+    from time_series_loader_spark.operators.dedup import resolve_max_df
+
+    small = spark.range(500).selectExpr("id AS doc_id", "'t' AS text")
+    assert resolve_max_df("auto", small) == 1000  # floor engages below 1M docs
+    assert resolve_max_df(None, small) is None  # explicit: unbounded
+    assert resolve_max_df(77, small) == 77  # explicit: verbatim
+    big = spark.range(5_000_000).selectExpr("id AS doc_id", "'t' AS text")
+    assert resolve_max_df("auto", big) == 5000  # 0.1% of N above the floor
+
+    # the default end-to-end path resolves without error and stays exact
+    common = "c0 c1 c2 c3 c4"
+    rows = [(0, common + " x0 x1 x2 x3"), (1, common + " x0 x1 x2 x9")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5).collect()
+    assert len(got) == 1 and got[0]["id_a"] == 0 and got[0]["id_b"] == 1
+
+
 def test_ngram_jaccard_prefix_variant_identical(spark, docs):
     from time_series_loader_spark.operators.dedup import ngram_jaccard_pairs_prefix
 

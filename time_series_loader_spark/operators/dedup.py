@@ -128,13 +128,28 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     )
 
 
+def resolve_max_df(max_df: int | str | None, df: DataFrame) -> int | None:
+    """Resolve the stop-shingle cutoff. ``"auto"`` → ``max(1000, 0.1%·N)``
+    where N is the corpus row count: an absolute default (the old flat
+    100k) is meaningless across corpus scales — at 10¹⁰ docs a shingle in
+    99,999 docs is boilerplate that detonates the self-join (max_df²
+    candidate rows per shingle), while at 10⁵ docs the same flat cutoff
+    never engages. The relative form keeps worst-case fan-out at
+    (0.001·N)² only for shingles that are genuinely corpus-boilerplate.
+    The one count() job is metadata-cheap next to the self-join it bounds.
+    """
+    if max_df == "auto":
+        return max(1000, int(0.001 * df.count()))
+    return max_df  # int or None (explicitly unbounded)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = 100_000,
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 indexed shingle.
 
@@ -151,13 +166,16 @@ def ngram_jaccard_pairs(
     detonating on hot shingles (a shingle in m docs contributes m²/2
     candidate rows): shingles whose document frequency exceeds it are
     dropped from the inverted index, so the join fans out at most
-    max_df² per shingle. Reported ``n_common``/``jaccard`` stay EXACT —
+    max_df² per shingle. Default ``"auto"`` = ``max(1000, 0.1%·N)`` (see
+    :func:`resolve_max_df`) so the bound tracks corpus scale instead of
+    an absolute doc count. Reported ``n_common``/``jaccard`` stay EXACT —
     each doc's (few) hot shingles ride along as a small sorted array and
     the per-pair hot intersection is added back to the cold count. The
     one loss mode: a pair whose EVERY common shingle is hotter than
     max_df is never generated (standard trade; such pairs share only
     boilerplate). ``None`` disables the cutoff entirely.
     """
+    max_df = resolve_max_df(max_df, df)
     sh = shingle_table(df, text_col, id_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
