@@ -70,6 +70,32 @@ def test_shard_pack_empty(spark):
     assert shard_pack(empty, "doc_id", "w", budget=10).count() == 0
 
 
+def test_shard_pack_all_null_weight_bucket(spark):
+    """A bucket whose every weight is NULL must pack as weightless, not
+    crash the driver-side prefix scan (F.sum over all-null is NULL)."""
+    # num_buckets=2 over keys 0..3 → bucket 0 = {0,1} (weights NULL),
+    # bucket 1 = {2,3} (weights 5, 6)
+    rows = [(0, None), (1, None), (2, 5), (3, 6)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w LONG")
+    out = {
+        r["doc_id"]: r
+        for r in shard_pack(df, "doc_id", "w", budget=10, num_buckets=2).collect()
+    }
+    assert out[2]["cum_weight"] == 5 and out[3]["cum_weight"] == 11
+    assert out[3]["shard_id"] == 0  # (11-6)//10
+
+
+def test_shard_pack_rows_frame_no_tie_collapse(spark):
+    """Duplicate key values must accumulate row-by-row (ROWS frame), not
+    receive one collapsed cumulative value (the default RANGE frame)."""
+    rows = [(1, 10), (1, 10), (2, 10)]
+    df = spark.createDataFrame(rows, "k LONG, w LONG")
+    cums = sorted(
+        r["cum_weight"] for r in shard_pack(df, "k", "w", budget=100, num_buckets=1).collect()
+    )
+    assert cums == [10, 20, 30]  # RANGE frame would yield [20, 20, 30]
+
+
 def test_redact_pii(spark):
     rows = [
         (1, "mail me at a.b-c%x@foo-bar.co.uk now"),
@@ -109,3 +135,17 @@ def test_text_profile_matches_standalone_ops(spark, docs):
     # repetition signals: "tok tok ... tok" repeats one token entirely
     assert prof[7]["dup_token_ratio"] > 0.8
     assert prof[7]["top_bigram_frac"] == 1.0
+
+
+def test_text_profile_drops_null_text_like_simhash_bits(spark):
+    """Null-text docs are excluded from the profile, matching
+    simhash_bits (whose kernel filters them) — the two surfaces must
+    agree row-for-row on nullable corpora."""
+    from time_series_loader_spark.operators.text import simhash_bits
+
+    df = spark.createDataFrame(
+        [(1, "some real text here"), (2, None)], "doc_id LONG, text STRING"
+    )
+    prof_ids = {r["doc_id"] for r in text_profile(df, "text", "doc_id").collect()}
+    sh_ids = {r["doc_id"] for r in simhash_bits(df, "text", "doc_id").collect()}
+    assert prof_ids == sh_ids == {1}

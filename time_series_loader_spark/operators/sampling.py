@@ -103,7 +103,10 @@ def shard_pack(
     ).alias("_bucket")
 
     b = df.select(bucket, F.col(weight_col)).groupBy("_bucket").agg(
-        F.sum(weight_col).alias("_w")
+        # coalesce: F.sum over an all-null bucket is NULL, which would
+        # crash the driver-side int() below instead of packing the bucket
+        # as weightless
+        F.coalesce(F.sum(weight_col), F.lit(0)).alias("_w")
     )
     sums = {int(r["_bucket"]): int(r["_w"]) for r in b.collect()}
     offsets, acc = {}, 0
@@ -114,7 +117,16 @@ def shard_pack(
         *[F.lit(x) for k in sorted(offsets) for x in (k, offsets[k])]
     )
 
-    w = Window.partitionBy("_bucket").orderBy(key_col)
+    # ROWS frame, not the default RANGE frame: RANGE tie-collapses rows
+    # with equal key values into one cumulative step, diverging from
+    # sequential greedy packing (and from a ROWS BETWEEN oracle). With
+    # duplicate keys the within-tie order — hence each dup's cum_weight —
+    # is arbitrary; key_col should be unique for fully deterministic output.
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     out = (
         df.withColumn("_bucket", bucket)
         .withColumn(

@@ -299,6 +299,10 @@ def text_profile(
 
     from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
+    # null-text docs are dropped, matching simhash_bits (whose kernel
+    # filters them) — so profile and standalone-simhash agree row-for-row
+    # on any corpus, nullable or not
+    df = df.where(F.col(text_col).isNotNull())
     # tokenize ONCE in a kept projection (see _quality_exprs docstring)
     t = F.col("__toks")
     toksed = df.select(id_col, text_col, tokens(text_col).alias("__toks"))

@@ -108,16 +108,42 @@ def normalize_timestamps(df):
     return df
 
 
+_READ_CONFS = (
+    # TIMESTAMP(NANOS) → bigint instead of an illegal-type error
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    # naive TIMESTAMP(MICROS) → TimestampType directly (no cast node);
+    # normalize_timestamps below stays as the fallback
+    ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver parquet table, normalizing timestamp physical types."""
+    """Read one driver parquet table, normalizing timestamp physical types.
+
+    The two parquet confs are pinned only around the ``spark.read`` call
+    (schema conversion happens there; execution uses the schema baked into
+    the plan — verified with a NANOS file) and restored after, so reading
+    a table does not silently change parquet semantics for unrelated
+    subsequent reads in a shared session. Neither conf is honored as a
+    per-DataFrameReader option, or this would be scoped that way.
+    """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Read naive TIMESTAMP(MICROS) as TimestampType directly (no cast node
-    # in the plan); normalize_timestamps below stays as the fallback for
-    # sessions where this conf is pinned.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    prev: dict[str, str | None] = {}
+    for k, v in _READ_CONFS:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
     for c in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
             # integer DIV keeps full precision (double division would not)
