@@ -58,6 +58,18 @@ def main() -> None:
     spark.range(1).count()
     for t in TABLES:
         read_table(spark, sf_dir, t).limit(1).count()
+    # Arrow-path warmup: the first pandas_udf/mapInPandas in a session pays
+    # ~2s of Python-worker-pool startup, which otherwise lands on whichever
+    # kernel query runs first and makes its number swing round-to-round
+    # (see SCALING.md bench-variance caveat)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(64).select(_warm(F.col("id"))).count()
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [
