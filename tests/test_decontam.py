@@ -1,0 +1,82 @@
+"""Benchmark-decontamination operator tests (operators/decontam.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.operators.decontam import (
+    contamination,
+    contamination_expr_text,
+    ngram_set,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    eval_q = "what is the capital of france paris is the answer here"
+    rows = [
+        # 0: verbatim copy of the eval prompt inside a longer doc
+        (0, "intro words then " + eval_q + " trailing words"),
+        # 1: paraphrase sharing no 8-gram
+        (1, "paris is france's capital city as everyone knows quite well"),
+        # 2: unrelated
+        (2, "completely unrelated text about distributed query engines at scale"),
+        # 3: null text
+        (3, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING"), eval_q
+
+
+def test_contamination_broadcast_join_form(spark, corpus):
+    docs, eval_q = corpus
+    bench = spark.createDataFrame([(100, eval_q)], "bid LONG, text STRING")
+    out = {
+        r["doc_id"]: r["n_contam"]
+        for r in contamination(
+            docs, "text", "doc_id", bench, bench_id_col="bid", n=8
+        ).collect()
+    }
+    assert out[0] > 0  # verbatim copy flagged
+    assert out[1] == 0 and out[2] == 0  # paraphrase/unrelated clean
+    assert out[3] == 0  # null text → no shingles → clean
+
+
+def test_contamination_expr_agrees_with_join_form(spark, corpus):
+    docs, eval_q = corpus
+    bench_list = ngram_set([eval_q], n=8)
+    assert len(bench_list) == len(set(bench_list)) > 0
+    via_expr = {
+        r["doc_id"]: r["n"]
+        for r in docs.where(F.col("text").isNotNull())
+        .select("doc_id", contamination_expr_text("text", bench_list, n=8).alias("n"))
+        .collect()
+    }
+    bench = spark.createDataFrame([(100, eval_q)], "bid LONG, text STRING")
+    via_join = {
+        r["doc_id"]: r["n_contam"]
+        for r in contamination(docs, "text", "doc_id", bench, bench_id_col="bid", n=8)
+        .where(F.col("text").isNotNull())
+        .collect()
+    }
+    assert via_expr == via_join
+
+
+def test_ngram_set_matches_spark_tokenization(spark):
+    # mixed whitespace + case: driver-side helper must agree with the
+    # Spark shingle expression token-for-token
+    text = "A  B\tC\nD e f G h"
+    bench_list = ngram_set([text], n=3)
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    spark_n = df.select(
+        contamination_expr_text("text", bench_list, n=3).alias("n")
+    ).collect()[0]["n"]
+    # every one of the doc's own 3-grams hits its own benchmark set
+    assert spark_n == len(bench_list) == 6
+
+
+def test_contamination_plan_broadcasts_benchmark(spark, corpus):
+    docs, eval_q = corpus
+    bench = spark.createDataFrame([(100, eval_q)], "bid LONG, text STRING")
+    plan = contamination(
+        docs, "text", "doc_id", bench, bench_id_col="bid", n=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

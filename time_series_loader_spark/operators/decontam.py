@@ -1,0 +1,133 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation benchmark set.
+
+Beyond-reference capability (BASELINE.json north star): the standard
+pretraining-pipeline step that keeps eval prompts/answers out of the
+training corpus (GPT-3 §C / PaLM / Llama style: exact n-gram collision
+against the benchmark, n chosen large enough — typically 8-13 words —
+that a hit means real contamination, not shared phrasing).
+
+Two forms, chosen by benchmark size:
+
+- :func:`contamination` — the scale path. Benchmark n-grams become a
+  DataFrame that is **broadcast**; each doc's distinct n-grams
+  (Arrow-kernel shingles, see ``dedup.shingle_arrays``) semi-join against
+  it map-side, so only HIT n-grams enter the per-doc count shuffle. At
+  100 TB the corpus side stays partitioned; the benchmark side is
+  eval-suite-sized (thousands of prompts → at most a few million
+  n-grams) and ships once per executor.
+- :func:`contamination_expr` — the zero-join path for small benchmark
+  sets (≤ a few thousand n-grams): the set rides the plan as an array
+  literal and the per-doc hit count is one ``array_intersect`` in an
+  existing projection — no extra scan, no join, no shuffle. This is how
+  the flagship ``corpus_filter`` pipeline embeds decontamination without
+  giving up its one-scan shape.
+
+Tokenization matches ``text.tokens`` exactly (lowercase, trim, split on
+Java ``\\s`` runs) in both the Spark expressions and the driver-side
+helper, so flags are engine-reproducible.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.operators.dedup import _shingles_of, shingle_table
+from time_series_loader_spark.operators.text import tokens
+
+# Java \s (what F.split uses), NOT python \s (which adds unicode spaces)
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def ngram_set(texts: Iterable[str | None], n: int = 8) -> list[str]:
+    """Driver-side distinct word n-grams of a small text collection,
+    token-for-token identical to the Spark shingle expressions — for
+    building literal benchmark sets from an eval suite."""
+    out: set[str] = set()
+    for s in texts:
+        if not s:
+            continue
+        t = _WS.split(s.strip().lower())
+        out.update(" ".join(t[i : i + n]) for i in range(len(t) - n + 1))
+    return sorted(out)
+
+
+def benchmark_ngrams(
+    bench_df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """Distinct n-grams of the benchmark set as a 1-column ``ngram`` frame."""
+    return (
+        shingle_table(bench_df, text_col, id_col, n)
+        .select(F.col("shingle").alias("ngram"))
+        .distinct()
+    )
+
+
+def contamination(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_df: DataFrame,
+    bench_text_col: str = "text",
+    bench_id_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Per-doc contamination counts against a benchmark DataFrame.
+
+    Returns the input plus ``n_contam`` = number of the doc's DISTINCT
+    n-grams that appear anywhere in the benchmark set (0 = clean).
+    Broadcast semi-join shape: non-hit n-grams die map-side; the count
+    shuffle carries only (id, hit) rows.
+    """
+    bng = benchmark_ngrams(bench_df, bench_text_col, bench_id_col or id_col, n)
+    sh = shingle_table(df, text_col, id_col, n)
+    hits = (
+        sh.join(F.broadcast(bng), sh["shingle"] == bng["ngram"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    return df.join(hits, id_col, "left").withColumn(
+        "n_contam", F.coalesce(F.col("n_contam"), F.lit(0)).cast("long")
+    )
+
+
+def contamination_expr(
+    toks: Column, benchmark: Sequence[str], n: int = 8
+) -> Column:
+    """Hit count as a pure Column over a pre-tokenized array — the
+    zero-join form for literal benchmark sets. ``toks`` MUST be a
+    materialized ``tokens(text)`` column (see text._quality_exprs on why
+    pre-tokenizing matters).
+
+    Shingles are built with ``transform(sequence, i -> array_join(
+    slice(toks, i, n)))`` rather than ``dedup._shingles_of``'s zip_with
+    chain: over a materialized ATTRIBUTE the lambda only slices (no
+    re-evaluation of the tokenizer, which is what makes the inline form
+    quadratic), and it measured 2× faster than the n-1 chained zip_with
+    passes at n=8 (0.92 s vs 1.93 s over 5k docs).
+    """
+    if not benchmark:
+        return F.lit(0).cast("long")
+    bench_arr = F.array(*[F.lit(s) for s in sorted(set(benchmark))])
+    m = F.size(toks) - (n - 1)
+    shingles = F.when(
+        m >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.size(F.array_intersect(shingles, bench_arr)).cast("long")
+
+
+def contamination_expr_text(
+    text: Column | str, benchmark: Sequence[str], n: int = 8
+) -> Column:
+    """Convenience wrapper tokenizing inline (single-use projections)."""
+    return contamination_expr(tokens(text), benchmark, n)

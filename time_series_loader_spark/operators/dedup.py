@@ -112,7 +112,10 @@ def shingle_arrays(
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
-                    "_arr": arrs,
+                    # explicit object dtype: an EMPTY list otherwise becomes
+                    # a float64 column, which Arrow cannot convert to
+                    # list<string> (all-null or sparse partitions hit this)
+                    "_arr": pd.Series(arrs, dtype="object"),
                     "_sz": pd.Series(szs, dtype="int32"),
                 }
             )
