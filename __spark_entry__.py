@@ -2894,12 +2894,39 @@ def _bad_records_section(spark: SparkSession) -> DataFrame:
     )
 
 
+def _resample_gapx_section(spark: SparkSession) -> DataFrame:
+    """Facade ``loader.resample`` gap-exclusion path (the documented
+    divergence from the reference's inverted comparison at
+    ``load_file.py:2309-2329``): with include_all_gaps=False and
+    max_gap_size=2h, the analyzed >2h gaps become excluded segments, so
+    the 1h grid re-emits exactly the observed fixture points (the 'x!'
+    coercion row keeps its null) instead of spanning the gaps."""
+    loader, _ = _csv_loader_ready(spark)
+    out = loader.resample(
+        time_column="Time",
+        frequency=3600,
+        method_resample="mean",
+        include_all_gaps=False,
+        max_gap_size=7200,
+    )
+    return out.select(
+        F.lit("resample_gapx").alias("section"),
+        (F.row_number().over(Window.orderBy("Time")) - 1).alias("pos"),
+        F.lit(None).cast("string").alias("name"),
+        _r6(F.col("value"), "v_num"),
+        F.col("Time").alias("v_ts"),
+        F.lit(None).cast("boolean").alias("ok1"),
+        F.lit(None).cast("boolean").alias("ok2"),
+    )
+
+
 def q_csv_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-introspection report (S5 header-only scan + O5 limit/peek +
     S8 content validator + O4 column-set algebra + S2 direct file-list
-    scan + PERMISSIVE bad-record capture) normalized to one report
-    schema — the round-2 standalone queries in one driver slot, each
-    section's rows produced by the same underlying operator calls."""
+    scan + PERMISSIVE bad-record capture + facade resample gap-exclusion)
+    normalized to one report schema — the round-2 standalone queries in
+    one driver slot, each section's rows produced by the same underlying
+    operator calls."""
     _prep(spark)
     from pyspark.sql import Window
 
@@ -2950,6 +2977,7 @@ def q_csv_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(colsets)
         .unionByName(_from_files_section(spark))
         .unionByName(_bad_records_section(spark))
+        .unionByName(_resample_gapx_section(spark))
     )
 
 
@@ -2990,6 +3018,17 @@ SELECT * FROM (VALUES
   ('badrecords', 4, 'x!;02/01/2024 01:00;5', NULL, TIMESTAMP '2024-01-02 01:00:00', TRUE, TRUE),
   ('badrecords', 5, '30;03/01/2024 05:00;oops', 30.0, TIMESTAMP '2024-01-03 05:00:00', TRUE, FALSE)
 ) AS br(section, pos, name, v_num, v_ts, ok1, ok2)
+UNION ALL
+SELECT * FROM (VALUES
+  ('resample_gapx', 0, CAST(NULL AS VARCHAR), 11.0, TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)),
+  ('resample_gapx', 1, NULL, 12.0, TIMESTAMP '2024-01-01 01:00:00', NULL, NULL),
+  ('resample_gapx', 2, NULL, 10.0, TIMESTAMP '2024-01-01 02:00:00', NULL, NULL),
+  ('resample_gapx', 3, NULL, 20.0, TIMESTAMP '2024-01-02 00:00:00', NULL, NULL),
+  ('resample_gapx', 4, NULL, CAST(NULL AS DOUBLE), TIMESTAMP '2024-01-02 01:00:00', NULL, NULL),
+  ('resample_gapx', 5, NULL, 30.0, TIMESTAMP '2024-01-03 05:00:00', NULL, NULL),
+  ('resample_gapx', 6, NULL, 40.0, TIMESTAMP '2024-01-04 00:00:00', NULL, NULL),
+  ('resample_gapx', 7, NULL, 41.0, TIMESTAMP '2024-01-04 13:00:00', NULL, NULL)
+) AS rg(section, pos, name, v_num, v_ts, ok1, ok2)
 """
 
 
