@@ -102,6 +102,16 @@ def _one_row_df(spark: SparkSession, row: tuple, schema: str) -> DataFrame:
     return spark.range(0, 1, 1, 1).select(*cols)
 
 
+def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Small driver-built frame in ONE slice. ``createDataFrame`` spreads
+    local rows over defaultParallelism Python-RDD slices (32 here), each
+    with per-slice Python-worker overhead — for report-sized frames a
+    single slice is strictly faster and downstream unions/windows stay
+    1-partition. (1-row frames with literal-expressible values should use
+    ``_one_row_df``, which never leaves the JVM at all.)"""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def _dsum(c):
     return F.sum(F.col(c).cast(_DEC)).cast("double")
 
@@ -2344,8 +2354,8 @@ def q_csv_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         for e in report["errors"]
         if e["severity"] == "WARNING"
     ]
-    warnings_df = spark.createDataFrame(
-        warn_rows, "severity STRING, error_type STRING, fname STRING"
+    warnings_df = _local_df(
+        spark, warn_rows, "severity STRING, error_type STRING, fname STRING"
     )
     totals_map = F.create_map(
         *[F.lit(x) for s, n in sorted(sev_totals.items()) for x in (s, n)]
@@ -2489,7 +2499,7 @@ def q_strategy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     rows.append(("custom", valid, len(msgs)))
-    return spark.createDataFrame(rows, "strategy STRING, valid BOOLEAN, n_messages INT")
+    return _local_df(spark, rows, "strategy STRING, valid BOOLEAN, n_messages INT")
 
 
 SQL_strategy_matrix = """
@@ -2543,9 +2553,7 @@ def q_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _csv_fixture_dir()
     first = sorted(_CSV_FIXTURE_FILES)[0]
     header = read_header(os.path.join(d, first))
-    return spark.createDataFrame(
-        list(enumerate(header)), "pos INT, col_name STRING"
-    )
+    return _local_df(spark, list(enumerate(header)), "pos INT, col_name STRING")
 
 
 SQL_header_scan = """
@@ -2599,7 +2607,7 @@ def q_colsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("exactly_one", columns_in_exactly_one(lists)),
     ):
         rows.extend((op, i, c) for i, c in enumerate(cols))
-    return spark.createDataFrame(rows, "op STRING, pos INT, col STRING")
+    return _local_df(spark, rows, "op STRING, pos INT, col STRING")
 
 
 SQL_colsets = """
@@ -2641,7 +2649,7 @@ def q_content_validator(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (fname, min_rows_ok(p, 1, ";", "utf-8"), min_rows_ok(p, 2, ";", "utf-8"))
         )
-    return spark.createDataFrame(rows, "fname STRING, min1_ok BOOLEAN, min2_ok BOOLEAN")
+    return _local_df(spark, rows, "fname STRING, min1_ok BOOLEAN, min2_ok BOOLEAN")
 
 
 SQL_content_validator = """
@@ -2677,7 +2685,7 @@ def q_lenient_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "garbage",
         "2024-02-29",
     ]
-    df = spark.createDataFrame([(r,) for r in raws], "raw STRING")
+    df = _local_df(spark, [(r,) for r in raws], "raw STRING")
     return df.select(
         "raw",
         parse_timestamp_multi("raw", date_order="DMY").alias("dmy"),
@@ -2727,7 +2735,8 @@ def q_ts_autodetect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(auto).alias("ts_max"),
         F.count(F.lit(1)).alias("n_rows"),
     ).collect()[0]
-    return spark.createDataFrame(
+    return _local_df(
+        spark,
         [(explicit, from_config, auto, agg.ts_min, agg.ts_max, agg.n_rows)],
         "explicit STRING, from_config STRING, auto_detected STRING, "
         "ts_min TIMESTAMP, ts_max TIMESTAMP, n_rows BIGINT",
