@@ -36,7 +36,7 @@ from typing import Iterable, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from time_series_loader_spark.operators.dedup import _shingles_of, shingle_table
+from time_series_loader_spark.operators.dedup import shingle_table
 from time_series_loader_spark.operators.text import tokens
 
 # Java \s (what F.split uses), NOT python \s (which adds unicode spaces)
