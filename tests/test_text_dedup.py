@@ -124,6 +124,17 @@ def test_ngram_jaccard_max_df_auto_is_corpus_relative(spark):
     big = spark.range(5_000_000).selectExpr("id AS doc_id", "'t' AS text")
     assert resolve_max_df("auto", big) == 5000  # 0.1% of N above the floor
 
+    # precomputed n_docs short-circuits the count() — derived-frame callers
+    # (post-scrub pipelines) shouldn't pay a full plan execution for the
+    # cutoff. Prove no job runs: hand in a frame that would THROW if counted.
+    poisoned = spark.range(10).where(
+        F.length(F.raise_error(F.lit("must not execute"))) >= 0
+    )
+    with pytest.raises(Exception, match="must not execute"):
+        poisoned.count()  # the poison is real: counting it executes raise_error
+    assert resolve_max_df("auto", poisoned, n_docs=2_000_000) == 2000
+    assert resolve_max_df("auto", poisoned, n_docs=100) == 1000  # floor still applies
+
     # the default end-to-end path resolves without error and stays exact
     common = "c0 c1 c2 c3 c4"
     rows = [(0, common + " x0 x1 x2 x3"), (1, common + " x0 x1 x2 x9")]

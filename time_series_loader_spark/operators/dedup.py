@@ -135,7 +135,9 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     )
 
 
-def resolve_max_df(max_df: int | str | None, df: DataFrame) -> int | None:
+def resolve_max_df(
+    max_df: int | str | None, df: DataFrame, n_docs: int | None = None
+) -> int | None:
     """Resolve the stop-shingle cutoff. ``"auto"`` → ``max(1000, 0.1%·N)``
     where N is the corpus row count: an absolute default (the old flat
     100k) is meaningless across corpus scales — at 10¹⁰ docs a shingle in
@@ -143,10 +145,21 @@ def resolve_max_df(max_df: int | str | None, df: DataFrame) -> int | None:
     candidate rows per shingle), while at 10⁵ docs the same flat cutoff
     never engages. The relative form keeps worst-case fan-out at
     (0.001·N)² only for shingles that are genuinely corpus-boilerplate.
-    The one count() job is metadata-cheap next to the self-join it bounds.
+
+    NOTE the default-change footgun for callers migrating from a flat
+    cutoff: under 1M docs the effective cutoff drops to 1000, so pairs
+    whose ONLY common shingles sit in >1000 docs (pure boilerplate
+    overlap) are no longer reported. Pass an explicit int to restore the
+    old behavior.
+
+    ``n_docs``: precomputed corpus count. ``df.count()`` is
+    metadata-cheap over a parquet scan but a FULL plan execution when
+    ``df`` is a derived frame (post-scrub, post-filter) — callers that
+    already know N (or chain after an agg that produced it) should pass
+    it rather than paying the plan twice.
     """
     if max_df == "auto":
-        return max(1000, int(0.001 * df.count()))
+        return max(1000, int(0.001 * (df.count() if n_docs is None else n_docs)))
     return max_df  # int or None (explicitly unbounded)
 
 
@@ -157,6 +170,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | str | None = "auto",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 indexed shingle.
 
@@ -181,27 +195,43 @@ def ngram_jaccard_pairs(
     one loss mode: a pair whose EVERY common shingle is hotter than
     max_df is never generated (standard trade; such pairs share only
     boilerplate). ``None`` disables the cutoff entirely.
+
+    Storage: NOTHING here is cached. The exploded shingle table is
+    strictly larger than the input corpus — at the 100 TB design point a
+    ``cache()`` (MEMORY_AND_DISK) would materialize >100 TB to executor
+    local disks and pin it in the session cache until unpersist/GC.
+    Instead every consumer (document-frequency window, size agg, hot-set
+    agg, AND the self-join) hangs off ONE window exchange hash-partitioned
+    by shingle: Spark's ReusedExchange (spark.sql.exchange.reuse, on by
+    default) writes that shuffle once and the Arrow shingle kernel runs
+    exactly once, with per-consumer cost limited to re-reading shuffle
+    files — bounded by shuffle-spill capacity that the join needs anyway,
+    never by the cache store.
     """
-    max_df = resolve_max_df(max_df, df)
-    sh = shingle_table(df, text_col, id_col, n).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    max_df = resolve_max_df(max_df, df, n_docs=n_docs)
+    sh = shingle_table(df, text_col, id_col, n)
+
+    # Document frequency via a window over PARTITION BY shingle — the
+    # exact shuffle the self-join below needs anyway, so Spark reuses
+    # one exchange for df computation, index pruning, per-doc sizes, AND
+    # the join (a separate groupBy + anti-join costed an extra agg pass
+    # and join stage that benchmarked ~1.6× the whole query). Hot
+    # postings are few per doc (df > cutoff bounds distinct hot
+    # shingles by total_postings/max_df) so each doc's hot set
+    # collapses to one small sorted array. The window is applied even
+    # when max_df is None so the size agg and the join still share the
+    # one exchange instead of re-running the kernel per consumer.
+    shd = sh.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    # sizes include hot shingles: |S| counts ALL distinct shingles
+    sizes = shd.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     if max_df is None:
-        idx = sh
+        idx = shd.select(id_col, "shingle")
         hot_common = F.lit(0).cast("long")
         join_hot = lambda d: d  # noqa: E731
     else:
-        # Document frequency via a window over PARTITION BY shingle — the
-        # exact shuffle the self-join below needs anyway, so Spark reuses
-        # one exchange for df computation, index pruning, AND the join
-        # (a separate groupBy + anti-join costed an extra agg pass and
-        # join stage that benchmarked ~1.6× the whole query). Hot
-        # postings are few per doc (df > cutoff bounds distinct hot
-        # shingles by total_postings/max_df) so each doc's hot set
-        # collapses to one small sorted array.
-        shd = sh.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        )
         idx = shd.where(F.col("_df") <= max_df).select(id_col, "shingle")
         hot_per_doc = (
             shd.where(F.col("_df") > max_df)
@@ -334,11 +364,18 @@ def minhash_lsh_pairs(
     band key become candidates; estimated Jaccard = fraction of equal
     minhashes; pairs below ``threshold`` dropped. Returns
     (id_a, id_b, est_jaccard), id_a < id_b.
+
+    The signature frame is NOT cached: its three consumers (band explode,
+    sig_a, sig_b) all sit above the same groupBy(id) exchange, so
+    ReusedExchange writes the shuffle once and the shingle kernel runs
+    once; only the cheap reduce-side k-way min() merge repeats per
+    consumer. Bounded as the k-hexes-per-doc cache was, but with zero
+    session-cache footprint and no unpersist lifecycle to manage.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).cache()
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
 
     band_entries = F.array(
         *[
