@@ -1349,7 +1349,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     from time_series_loader_spark.operators.decontam import (
-        contamination_expr,
+        decontaminate,
         ngram_set,
     )
 
@@ -1358,7 +1358,9 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and small in real pipelines; collecting it driver-side is the
     # shape). Memoized per (session, corpus): the suite is static, and
     # re-collecting it per invocation re-scans documents for nothing.
-    bkey = (id(spark), sf_dir)
+    # Keyed by applicationId (id(spark) can alias after a stopped
+    # session's address is reused by CPython).
+    bkey = (spark.sparkContext.applicationId, sf_dir)
     if bkey not in _BENCH_NGRAMS:
         _BENCH_NGRAMS[bkey] = ngram_set(
             (
@@ -1402,12 +1404,21 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the array (subexpr elimination doesn't reach into HOF arguments)
     toksed = clean.select("doc_id", "n_pii", "text", tokens("text").alias("_toks"))
     tk = F.col("_toks")
-    feat = toksed.select(
+    # decontaminate() dispatches on benchmark size: at test/bench scale
+    # the suite is small so the n_contam count rides this projection as a
+    # literal-array intersect (zero joins, the one-scan shape below
+    # survives intact); past EXPR_FORM_MAX_NGRAMS it switches to the
+    # broadcast semi-join and the groupBy simply consumes the joined
+    # frame — both forms are equality-tested at the crossover.
+    decon = decontaminate(
+        toksed, "text", "doc_id", bench, n=8, toks_col="_toks"
+    )
+    feat = decon.select(
         "doc_id",
         "n_pii",
         *_quality_exprs("text", toks=tk),
         _langid_exprs("text", toks=tk)[-1],  # lang_pred (scores are internal)
-        contamination_expr(tk, bench, n=8).alias("n_contam"),
+        "n_contam",
         F.md5(F.coalesce(F.col("text"), F.lit(" "))).alias("key_digest"),
     )
     rep = F.min(
@@ -2259,7 +2270,7 @@ def _csv_loader(spark: SparkSession):
     )
 
 
-_CSV_READY: dict[int, tuple] = {}
+_CSV_READY: dict[str, tuple] = {}
 
 
 def _csv_loader_ready(spark: SparkSession):
@@ -2269,9 +2280,11 @@ def _csv_loader_ready(spark: SparkSession):
     discovery + metadata-extraction + header-validation pass instead of
     re-running the whole source pipeline each. Queries that mutate loader
     state (``q_ts_autodetect``'s ``update_config`` hot-swap) build their
-    own via ``_csv_loader``.
+    own via ``_csv_loader``. Keyed by applicationId, not ``id(spark)``:
+    CPython can reuse a stopped session's address, which would hand back
+    a frame bound to a dead JVM.
     """
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     if key not in _CSV_READY:
         loader = _csv_loader(spark)
         df = loader.initialize()

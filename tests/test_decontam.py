@@ -80,3 +80,70 @@ def test_contamination_plan_broadcasts_benchmark(spark, corpus):
         docs, "text", "doc_id", bench, bench_id_col="bid", n=8
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontaminate_dispatches_at_crossover(spark, corpus):
+    """Form dispatcher: literal-array expr at/below max_expr_ngrams,
+    broadcast join above — IDENTICAL results either side of the boundary
+    (the padding n-grams hit nothing, so the counts cannot move)."""
+    from time_series_loader_spark.operators.decontam import decontaminate
+
+    docs, eval_q = corpus
+    bench_list = ngram_set([eval_q], n=8)
+    # pad with n-grams that can't occur in the corpus, to a size that
+    # straddles an artificially small threshold
+    pad = [f"zz{i} " * 8 for i in range(40)]
+    bench_big = bench_list + pad
+    thr = len(bench_big)  # == threshold → expr form (<=)
+    expr_df = decontaminate(
+        docs, "text", "doc_id", bench_big, n=8, max_expr_ngrams=thr
+    )
+    join_df = decontaminate(
+        docs, "text", "doc_id", bench_big, n=8, max_expr_ngrams=thr - 1
+    )
+    # plan-shape check: expr form has no join, join form broadcasts
+    expr_plan = expr_df._jdf.queryExecution().executedPlan().toString()
+    join_plan = join_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in expr_plan
+    assert "BroadcastHashJoin" in join_plan or "BroadcastExchange" in join_plan
+    # value equality at the crossover
+    key = lambda df: {  # noqa: E731
+        r["doc_id"]: r["n_contam"] for r in df.select("doc_id", "n_contam").collect()
+    }
+    ve, vj = key(expr_df), key(join_df)
+    assert ve == vj
+    assert ve[0] > 0 and ve[1] == 0 and ve[2] == 0 and ve[3] == 0
+
+
+def test_corpus_filter_broadcast_path_equivalence(spark, corpus):
+    """corpus_filter-shaped pipeline (tokenize-once projection → decontam
+    → groupBy representative) produces identical survivors whichever
+    decontam form the dispatcher picks."""
+    from time_series_loader_spark.operators.decontam import decontaminate
+    from time_series_loader_spark.operators.text import tokens
+
+    docs, eval_q = corpus
+    bench_list = ngram_set([eval_q], n=8)
+
+    def pipeline(max_expr_ngrams):
+        toksed = docs.select("doc_id", "text", tokens("text").alias("_toks"))
+        decon = decontaminate(
+            toksed, "text", "doc_id", bench_list,
+            n=8, toks_col="_toks", max_expr_ngrams=max_expr_ngrams,
+        )
+        feat = decon.select(
+            "doc_id",
+            F.size("_toks").alias("n_tokens"),
+            "n_contam",
+            F.md5(F.coalesce(F.col("text"), F.lit(" "))).alias("key_digest"),
+        )
+        rep = F.min(F.struct("doc_id", "n_tokens", "n_contam")).alias("rep")
+        return sorted(
+            (r["rep"]["doc_id"], r["rep"]["n_tokens"], r["n_dups"])
+            for r in feat.groupBy("key_digest")
+            .agg(rep, F.count(F.lit(1)).alias("n_dups"))
+            .where(F.col("rep.n_contam") == 0)
+            .collect()
+        )
+
+    assert pipeline(10_000) == pipeline(0)  # expr form == broadcast form

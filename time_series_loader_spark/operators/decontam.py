@@ -131,3 +131,78 @@ def contamination_expr_text(
 ) -> Column:
     """Convenience wrapper tokenizing inline (single-use projections)."""
     return contamination_expr(tokens(text), benchmark, n)
+
+
+# Crossover between the literal-array form and the broadcast-join form.
+# The expr form embeds every benchmark n-gram as a Literal in each task's
+# codegen: past a few thousand entries, Catalyst analysis time, the
+# serialized plan shipped with every task, and the O(|bench|) per-doc
+# sorted-array intersect all grow linearly, and Janino falls back to
+# interpreted mode on oversized methods. 5000 n-grams ≈ a few hundred KB
+# of literals — comfortably under those cliffs; real eval suites
+# (thousands of prompts → up to millions of 8-grams) take the broadcast
+# path.
+EXPR_FORM_MAX_NGRAMS = 5000
+
+
+def contamination_from_ngrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    benchmark: Sequence[str],
+    n: int = 8,
+    count_col: str = "n_contam",
+) -> DataFrame:
+    """Broadcast-join contamination count against a driver-side n-gram
+    list (the :func:`contamination` shape, but for callers that already
+    hold the benchmark as n-grams rather than as a DataFrame of texts).
+    The benchmark ships once per executor as a broadcast; non-hit
+    n-grams die map-side, so the count shuffle carries only (id, hit)
+    rows and the corpus side never reshuffles."""
+    spark = df.sparkSession
+    bng = spark.createDataFrame(
+        [(g,) for g in sorted(set(benchmark))], "ngram string"
+    )
+    sh = shingle_table(df, text_col, id_col, n)
+    hits = (
+        sh.join(F.broadcast(bng), sh["shingle"] == bng["ngram"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+    return df.join(hits, id_col, "left").withColumn(
+        count_col, F.coalesce(F.col(count_col), F.lit(0)).cast("long")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    benchmark: Sequence[str],
+    n: int = 8,
+    count_col: str = "n_contam",
+    toks_col: str | None = None,
+    max_expr_ngrams: int = EXPR_FORM_MAX_NGRAMS,
+) -> DataFrame:
+    """Form dispatcher: adds ``count_col`` (long) = how many of the doc's
+    distinct word n-grams appear in ``benchmark``.
+
+    Picks the zero-join literal-array expression
+    (:func:`contamination_expr`) while the benchmark fits
+    ``max_expr_ngrams``, else the broadcast semi-join
+    (:func:`contamination_from_ngrams`). Both forms are equality-tested
+    at the crossover (tests/test_decontam.py); nothing but plan shape
+    changes at the boundary.
+
+    ``toks_col``: name of a pre-materialized ``tokens(text)`` array
+    column, if the caller already tokenized (expr form only — the
+    broadcast form's Arrow kernel tokenizes from the raw text).
+    """
+    if len(benchmark) <= max_expr_ngrams:
+        toks = F.col(toks_col) if toks_col else tokens(text_col)
+        return df.withColumn(
+            count_col, contamination_expr(toks, benchmark, n)
+        )
+    return contamination_from_ngrams(
+        df, text_col, id_col, benchmark, n, count_col
+    )
