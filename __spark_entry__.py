@@ -709,7 +709,13 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_loader_spark.operators.text import text_profile
 
     docs = _t(spark, sf_dir, "documents")
-    out = text_profile(docs, "text", "doc_id")
+    # the testdata parquet is ONE file → one partition; the kernel is
+    # per-row, so fan out to the session's cores (tiny shuffle at this
+    # scale; real corpora arrive multi-file and take the None default)
+    out = text_profile(
+        docs, "text", "doc_id",
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
     return out.select(
         "doc_id",
         "n_chars",
@@ -945,6 +951,8 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_loader_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
+    # NOTE: no min_parallelism fan-out here — A/B at sf0.1 showed the
+    # block self-join dominates and the kernel fan-out is timing noise
     return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=1, n_bits=32)
 
 

@@ -425,8 +425,11 @@ def simhash_near_dup_pairs(
     id_col: str,
     max_hamming: int = 3,
     n_bits: int = 32,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup: pairs whose n-bit simhash differs in ≤ k bits.
+    ``min_parallelism`` forwards to the signature kernel (fan-out for
+    single-file inputs; see ``text.simhash_bits``).
 
     Scale path: split the signature into k+1 contiguous blocks — a pair
     within Hamming ≤ k must agree EXACTLY on at least one block
@@ -442,7 +445,7 @@ def simhash_near_dup_pairs(
     # contiguous block boundaries, as even as possible
     bounds = [round(i * n_bits / n_blocks) for i in range(n_blocks + 1)]
 
-    sig = simhash_bits(df, text_col, id_col, n_bits)
+    sig = simhash_bits(df, text_col, id_col, n_bits, min_parallelism=min_parallelism)
     blocks = F.array(
         *[
             F.struct(

@@ -278,7 +278,11 @@ def _simhash_signatures(texts, n_bits: int):
 
 
 def text_profile(
-    df: DataFrame, text_col: str, id_col: str, n_bits: int = 16
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bits: int = 16,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Single-pass per-document profile: token stats + BPE-ish count +
     quality features + language ID + repetition signals + fingerprint +
@@ -294,6 +298,17 @@ def text_profile(
     in array-lambda expressions: higher-order functions are interpreted
     per element, and the bigram mode is O(distinct·total) per doc — the
     expression form measured ~100× slower at 50k docs; see SCALING.md.)
+
+    ``min_parallelism``: if set and the source yields fewer partitions, a
+    round-robin repartition fans the kernel out first. The whole pipeline
+    is per-row, so parallelism comes ENTIRELY from input partitioning —
+    one fat unsplittable file (a single parquet row-group, a gzip member)
+    serializes the kernel no matter how many cores exist (measured: the
+    whole r4 text_profile "slowness" was sf0.1's single-partition input;
+    see SCALING.md r5 breakdown). Leave None (the default) on real
+    multi-file corpora: there the scan already yields ≥cores partitions
+    and an unconditional repartition would reshuffle the full corpus for
+    nothing.
     """
     from collections import Counter
 
@@ -303,6 +318,8 @@ def text_profile(
     # filters them) — so profile and standalone-simhash agree row-for-row
     # on any corpus, nullable or not
     df = df.where(F.col(text_col).isNotNull())
+    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
+        df = df.repartition(min_parallelism)
     # tokenize ONCE in a kept projection (see _quality_exprs docstring)
     t = F.col("__toks")
     toksed = df.select(id_col, text_col, tokens(text_col).alias("__toks"))
@@ -359,7 +376,11 @@ def text_profile(
 
 
 def simhash_bits(
-    df: DataFrame, text_col: str, id_col: str, n_bits: int = 32
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bits: int = 32,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """n-bit SimHash over whitespace tokens (n ≤ 32).
 
@@ -374,12 +395,19 @@ def simhash_bits(
     The expression alternative (explode tokens → 32 substring tests →
     32-column partial-sum groupBy) measured ~10× slower: 32 expr evals ×
     tokens beats codegen, and the explode triples the shuffled volume.
+
+    ``min_parallelism``: opt-in round-robin fan-out when the source
+    yields fewer partitions (single-file inputs serialize the kernel;
+    see :func:`text_profile`). Default None — never reshuffle a corpus
+    that already arrives well-partitioned.
     """
     if not 1 <= n_bits <= 32:
         raise ValueError("n_bits must be in [1, 32] (md5 has 32 hex digits)")
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
 
+    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
+        df = df.repartition(min_parallelism)
     out_schema = StructType([df.schema[id_col], StructField("simhash", StringType())])
 
     def kernel(batches):
