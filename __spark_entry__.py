@@ -94,9 +94,19 @@ def _one_row_df(spark: SparkSession, row: tuple, schema: str) -> DataFrame:
     one task — measured ~4.5 s per frame on local[32]. ``range(1)`` +
     ``lit()`` literals never leave the JVM and the frame is born
     single-partition, so downstream CartesianProduct stays 1×1×1.
+
+    ``schema`` is a comma-separated ``name TYPE`` list; parameterized
+    types containing commas (``DECIMAL(10,2)``, nested structs) are NOT
+    supported here — use ``_local_df`` for those.
     """
+    specs = [p.strip() for p in schema.split(",")]
+    if len(row) != len(specs):
+        raise ValueError(
+            f"_one_row_df: {len(row)} values vs {len(specs)} schema fields "
+            f"(a mismatch would silently truncate columns)"
+        )
     cols = []
-    for v, spec in zip(row, [p.strip() for p in schema.split(",")]):
+    for v, spec in zip(row, specs):
         name, typ = spec.split(None, 1)
         cols.append(F.lit(v).cast(typ).alias(name))
     return spark.range(0, 1, 1, 1).select(*cols)
@@ -1309,7 +1319,7 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sdf = _stream_events(spark, sf_dir)
     res = windowed_resample_stream(sdf, "ts", "1 hour", "value", watermark="10 minutes")
-    out = run_available_now(res, spark)
+    out = run_available_now(res, spark, shuffle_partitions=8)
     return out.select(
         "window_start", "window_end", "n", _r6(F.col("value_mean"), "value_mean")
     )
@@ -1626,7 +1636,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = session_window_stream(
         sdf, "ts", ["user_id"], gap="30 minutes", watermark="10 minutes", value_col="value"
     )
-    out = run_available_now(res, spark)
+    out = run_available_now(res, spark, shuffle_partitions=8)
     return out.select(
         "user_id",
         "session_start",
@@ -2175,7 +2185,7 @@ def q_streaming_gap_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sdf = _stream_events(spark, sf_dir)
     gaps = streaming_gap_detector(sdf, gap_seconds=14400.0)
-    out = run_available_now(gaps, spark)
+    out = run_available_now(gaps, spark, shuffle_partitions=8)
     return out.select(
         "user_id", "gap_start", "gap_end", _r6(F.col("gap_seconds"), "gap_seconds")
     )

@@ -55,7 +55,7 @@ def test_windowed_stream_with_late_data(spark, tmp_path):
         spark, str(tmp_path), SCHEMA, delimiter=";", max_files_per_trigger=1
     )
     res = windowed_resample_stream(sdf, "ts", "1 hour", "value", watermark="1 hour")
-    out = run_available_now(res, spark)
+    out = run_available_now(res, spark, shuffle_partitions=8)
     rows = out.collect()
     by_start = {}
     for r in rows:
@@ -81,7 +81,7 @@ def test_stream_equals_batch_when_single_batch(spark, tmp_path):
     )
     sdf = stream_csv_directory(spark, str(tmp_path), SCHEMA)
     res = windowed_resample_stream(sdf, "ts", "1 hour", "value", watermark="0 seconds")
-    out = run_available_now(res, spark).collect()
+    out = run_available_now(res, spark, shuffle_partitions=8).collect()
     # watermark = max ts (03:30) → windows ending ≤ 03:30: hours 0,1,2
     assert len(out) == 3
     by_start = {r["window_start"]: r for r in out}
@@ -136,13 +136,101 @@ def test_stateful_gap_detector_across_batches(spark, tmp_path):
 
     sdf = sdf.withColumn("user_id", F.lit(7).cast("bigint"))
     gaps = streaming_gap_detector(sdf, gap_seconds=3600.0)
-    out = run_available_now(gaps, spark).collect()
+    out = run_available_now(gaps, spark, shuffle_partitions=8).collect()
     assert len(out) == 1
     g = out[0]
     assert g["user_id"] == 7
     assert g["gap_start"] == datetime(2023, 1, 1, 0, 10)
     assert g["gap_end"] == datetime(2023, 1, 1, 3, 10)
     assert g["gap_seconds"] == pytest.approx(3 * 3600.0)
+
+
+def test_stateful_gap_detector_restart_recovery(spark, tmp_path):
+    """Checkpoint restart contract: stop the stream, add data, restart a
+    NEW query from the same checkpoint — per-key state (last ts) must
+    recover, so a gap whose two sides straddle the restart is still
+    detected, already-processed files are not re-emitted, and the union
+    of the two drains equals a single uninterrupted run."""
+    from time_series_loader_spark.streaming.stateful import streaming_gap_detector
+
+    data = tmp_path / "data"
+    data.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def gaps_stream():
+        sdf = stream_csv_directory(
+            spark, str(data), "ts TIMESTAMP, value DOUBLE", max_files_per_trigger=1
+        )
+        sdf = sdf.withColumn("user_id", F.lit(7).cast("bigint"))
+        return streaming_gap_detector(sdf, gap_seconds=3600.0)
+
+    def drain(ckpt_dir, out_dir):
+        # durable file sink: the memory sink rejects checkpoint recovery
+        # ("does not support recovering"), and restart-recovery is the
+        # very contract under test. Returns only THIS drain's new rows.
+        import glob
+        import json as jsonlib
+
+        before = set(glob.glob(f"{out_dir}/*.json"))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                gaps_stream()
+                .writeStream.format("json")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        rows = []
+        for f in sorted(set(glob.glob(f"{out_dir}/*.json")) - before):
+            with open(f) as fh:
+                rows += [jsonlib.loads(ln) for ln in fh if ln.strip()]
+        return rows
+
+    def emitted(rows):
+        return sorted(
+            (r["user_id"], r["gap_start"][:19], r["gap_end"][:19]) for r in rows
+        )
+
+    def iso(h, m):
+        return f"2023-01-01T{h:02d}:{m:02d}:00"
+
+    # drain 1: one in-batch gap (00:10 → 02:00) ends at the last event
+    _write(
+        data,
+        "a.csv",
+        [("2023-01-01 00:00:00", 1.0), ("2023-01-01 00:10:00", 1.0),
+         ("2023-01-01 02:00:00", 1.0)],
+        mtime=1_700_000_000,
+    )
+    out_dir = str(tmp_path / "out")
+    first = emitted(drain(ckpt, out_dir))
+    assert first == [(7, iso(0, 10), iso(2, 0))]
+
+    # restart: new file whose first event is 3h after drain 1's last —
+    # detectable only if last_ts state survived the restart
+    _write(
+        data,
+        "b.csv",
+        [("2023-01-01 05:00:00", 1.0), ("2023-01-01 05:10:00", 1.0)],
+        mtime=1_700_000_100,
+    )
+    second = emitted(drain(ckpt, out_dir))
+    # only the NEW gap: a.csv's offsets are committed, nothing re-emitted
+    assert second == [(7, iso(2, 0), iso(5, 0))]
+
+    # equivalence: one uninterrupted run over the same files (fresh
+    # checkpoint) emits exactly the union of the two drains
+    single = emitted(
+        drain(str(tmp_path / "ckpt_single"), str(tmp_path / "out_single"))
+    )
+    assert single == sorted(first + second)
 
 
 def test_stream_static_dimension_join(spark, tmp_path):
@@ -162,7 +250,7 @@ def test_stream_static_dimension_join(spark, tmp_path):
     sdf = sdf.withColumn("k", F.col("value").cast("int"))
     dim = spark.createDataFrame([(1, "one"), (2, "two")], "k INT, name STRING")
     enriched = sdf.join(F.broadcast(dim), "k", "left").select("ts", "value", "name")
-    out = {r["value"]: r["name"] for r in run_available_now(enriched, spark).collect()}
+    out = {r["value"]: r["name"] for r in run_available_now(enriched, spark, shuffle_partitions=8).collect()}
     assert out == {1.0: "one", 2.0: "two"}
 
 
@@ -189,7 +277,7 @@ def test_session_window_stream(spark, tmp_path):
     res = session_window_stream(
         sdf, "ts", ["user"], gap="30 minutes", watermark="10 minutes", value_col="value"
     )
-    out = run_available_now(res, spark).collect()
+    out = run_available_now(res, spark, shuffle_partitions=8).collect()
     # final watermark = 09:00 - 10 min = 08:50 → sessions closing 00:40 and
     # 02:35 are emitted; the 09:00 session (close 09:30) is still open
     sess = sorted((r["session_start"], r["session_end"], r["n_events"], r["value_sum"]) for r in out)
@@ -220,6 +308,6 @@ def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
         spark, str(tmp_path), SCHEMA, delimiter=";", max_files_per_trigger=1
     )
     sdf = sdf.withColumn("k", F.lit("series1"))
-    out = run_available_now(dedup_stream(sdf, ["k"], "ts", watermark="10 minutes"), spark)
+    out = run_available_now(dedup_stream(sdf, ["k"], "ts", watermark="10 minutes"), spark, shuffle_partitions=8)
     vals = sorted(r["value"] for r in out.collect())
     assert vals == [1.0, 2.0, 3.0]

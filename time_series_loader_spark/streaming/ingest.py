@@ -160,7 +160,9 @@ def dedup_stream(
 
 
 def run_available_now(
-    result: DataFrame, spark: SparkSession, shuffle_partitions: int | None = 8
+    result: DataFrame,
+    spark: SparkSession,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink and
     return the emitted rows as a batch DataFrame.
@@ -169,13 +171,22 @@ def run_available_now(
     that advances the watermark and flushes closed windows — so the output
     is exactly the set of windows whose end ≤ max(event_time) - delay.
 
-    ``shuffle_partitions`` is pinned around query START (a streaming
-    query's state-store partition count bakes in at start and each state
-    partition pays fixed provider/commit-log setup per micro-batch —
-    32 partitions measured 3.1 s vs 1.4 s at 8 for the same tiny drain;
-    results are partition-count-independent). The session conf is
-    restored after the drain. Pass ``None`` for production streams,
-    where state partitioning should match cluster scale.
+    ``shuffle_partitions``, when set, is pinned around query START (a
+    streaming query's state-store partition count bakes in at start and
+    each state partition pays fixed provider/commit-log setup per
+    micro-batch — 32 partitions measured 3.1 s vs 1.4 s at 8 for the same
+    tiny drain; results are partition-count-independent). The session
+    conf is restored after the drain. Default ``None`` — the safe
+    production value: the session's own setting (sized to cluster scale)
+    is left untouched, and nothing else running in the shared session
+    can inherit a test-sized partition count mid-drain. Tests and the
+    bench opt into 8 explicitly for their tiny fixtures.
+
+    The memory sink here is ephemeral BY DESIGN (it rejects checkpoint
+    recovery); for the durable restart contract — same checkpoint across
+    stop/start, offsets committed, state recovered — drain to a file
+    sink with a ``checkpointLocation``, as
+    ``test_streaming.test_stateful_gap_detector_restart_recovery`` does.
     """
     name = f"tsl_stream_{uuid.uuid4().hex[:12]}"
     key = "spark.sql.shuffle.partitions"
