@@ -857,6 +857,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_loader_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
+    # no min_parallelism fan-out: A/B at sf0.1 showed no win here (the
+    # doc-frequency window exchange redistributes early regardless)
     out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
     return out.select("id_a", "id_b", "n_common", _r6(F.col("jaccard"), "jaccard"))
 
@@ -893,7 +895,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     out = minhash_lsh_pairs(
-        docs, "text", "doc_id", n=3, num_hashes=16, bands=4, threshold=0.5
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=4, threshold=0.5,
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
     return out.select("id_a", "id_b", _r6(F.col("est_jaccard"), "est_jaccard"))
 

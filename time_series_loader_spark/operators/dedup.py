@@ -76,7 +76,11 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def shingle_arrays(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """(id, sorted distinct shingle array, size) per doc with text.
 
@@ -87,7 +91,16 @@ def shingle_arrays(
     set-build measured ~10× faster at 5k docs × 50 tokens and the gap
     widens with doc length. Same token rule as :func:`tokens`
     (lower, trim, split on Java ``\\s+``).
+
+    ``min_parallelism``: opt-in round-robin fan-out when the source
+    yields fewer partitions. The kernel AND everything narrow above it
+    (explode, per-shingle hashing, map-side partial aggregation) inherit
+    the input's partitioning — a single-file source serializes all of it
+    on one core regardless of cluster size (see ``text.text_profile``).
+    Default None: never reshuffle an already well-partitioned corpus.
     """
+    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
+        df = df.repartition(min_parallelism)
     import re
 
     import pandas as pd
@@ -127,10 +140,16 @@ def shingle_arrays(
     return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
 
 
-def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def shingle_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_parallelism: int | None = None,
+) -> DataFrame:
     """(id, shingle) long table — distinct shingles per doc (Arrow kernel
-    + explode; see :func:`shingle_arrays`)."""
-    return shingle_arrays(df, text_col, id_col, n).select(
+    + explode; see :func:`shingle_arrays`, incl. ``min_parallelism``)."""
+    return shingle_arrays(df, text_col, id_col, n, min_parallelism).select(
         F.col(id_col), F.explode("_arr").alias("shingle")
     )
 
@@ -171,6 +190,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | str | None = "auto",
     n_docs: int | None = None,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 indexed shingle.
 
@@ -209,7 +229,7 @@ def ngram_jaccard_pairs(
     never by the cache store.
     """
     max_df = resolve_max_df(max_df, df, n_docs=n_docs)
-    sh = shingle_table(df, text_col, id_col, n)
+    sh = shingle_table(df, text_col, id_col, n, min_parallelism)
 
     # Document frequency via a window over PARTITION BY shingle — the
     # exact shuffle the self-join below needs anyway, so Spark reuses
@@ -334,14 +354,18 @@ def minhash_signatures(
     id_col: str,
     n: int = 3,
     num_hashes: int = 16,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """k min-wise hashes per doc: minhash_i = min(md5(i ':' shingle)).
 
     One explode + one groupBy with k narrow min() aggregates — partial
     aggregation happens map-side, so the shuffle carries k hex strings per
-    doc regardless of doc length.
+    doc regardless of doc length. The k·shingles md5 computations happen
+    BEFORE the exchange, so they parallelize only as far as the input
+    partitioning — ``min_parallelism`` (see :func:`shingle_arrays`) is
+    the opt-in fan-out for single-file sources.
     """
-    sh = shingle_table(df, text_col, id_col, n)
+    sh = shingle_table(df, text_col, id_col, n, min_parallelism)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -357,6 +381,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs.
 
@@ -365,17 +390,23 @@ def minhash_lsh_pairs(
     minhashes; pairs below ``threshold`` dropped. Returns
     (id_a, id_b, est_jaccard), id_a < id_b.
 
-    The signature frame is NOT cached: its three consumers (band explode,
-    sig_a, sig_b) all sit above the same groupBy(id) exchange, so
-    ReusedExchange writes the shuffle once and the shingle kernel runs
-    once; only the cheap reduce-side k-way min() merge repeats per
-    consumer. Bounded as the k-hexes-per-doc cache was, but with zero
-    session-cache footprint and no unpersist lifecycle to manage.
+    Single-consumer shape: the full signature RIDES the band explode, so
+    the band self-join delivers both sides' minhashes and the estimate is
+    computed on the joined row directly — no candidate `distinct` +
+    signature re-joins, and the signature frame (kernel + groupBy) is
+    consumed exactly once. The r4 form cached the signatures and
+    re-joined them twice after a distinct; the r5 no-cache rule made that
+    re-execution visible (2.9 s vs 1.0 s at sf0.1), and carrying the
+    k hex strings through the explode (k·32 B · bands per doc of shuffle)
+    is cheaper than either caching or recomputing: the pair-level
+    ``est_jaccard`` is deterministic, so ``distinct`` on
+    (id_a, id_b, est) AFTER scoring dedups multi-band collisions exactly
+    as the candidate-distinct did.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, min_parallelism)
 
     band_entries = F.array(
         *[
@@ -390,31 +421,35 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.explode(band_entries).alias("e")).select(
-        id_col, F.col("e.band_id").alias("band_id"), F.col("e.band_key").alias("band_key")
+    banded = sig.select(
+        F.col(id_col), F.explode(band_entries).alias("e"), *[F.col(f"mh{i}") for i in range(num_hashes)]
+    ).select(
+        id_col,
+        F.col("e.band_id").alias("band_id"),
+        F.col("e.band_key").alias("band_key"),
+        *[F.col(f"mh{i}") for i in range(num_hashes)],
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
-    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
-    cand = (
-        a.join(b, ["band_id", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        "band_id",
+        "band_key",
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
     )
-    sig_a = sig.select(
-        F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)]
-    )
-    sig_b = sig.select(
-        F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)]
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        "band_id",
+        "band_key",
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
     )
     eq = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
     )
     est = eq.cast("double") / float(num_hashes)
     return (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", est.alias("est_jaccard"))
+        .distinct()
         .where(F.col("est_jaccard") >= threshold)
     )
 
