@@ -1402,6 +1402,14 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".1"),
         )
     )
+    # fan out before the heavy projection: every per-row signal (scrub,
+    # tokenize, quality, langid, decontam intersect, digest) runs BELOW
+    # the one groupBy exchange and so inherits the scan's partitioning —
+    # the single-file bench corpus would serialize all of it on one core
+    # (same root cause as text_profile, SCALING.md r5). Real multi-file
+    # corpora already arrive partitioned and skip this.
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     grafted = docs.withColumn("text", F.concat(F.col("text"), graft))
     clean = (
         redact_pii(grafted, "text", out_col="text_clean", count_col="n_pii")

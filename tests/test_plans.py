@@ -125,3 +125,24 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_facts_b")
         spark.sql("DROP TABLE IF EXISTS t_dims_b")
+
+
+def test_min_parallelism_fanout_is_opt_in(spark):
+    """The r5 kernel fan-out must be surgical: absent by default (a real
+    corpus must never be reshuffled just to run a kernel), present as a
+    round-robin exchange when requested on an under-partitioned source."""
+    from time_series_loader_spark.operators.text import text_profile
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert docs.rdd.getNumPartitions() == 1  # the premise: single-file scan
+
+    default_plan = _plan(text_profile(docs, "text", "doc_id"))
+    assert "RoundRobinPartitioning" not in default_plan  # no silent reshuffle
+
+    fanned = text_profile(docs, "text", "doc_id", min_parallelism=8)
+    assert "RoundRobinPartitioning" in _plan(fanned)
+    # already-parallel input: fan-out is a no-op even when requested
+    wide = docs.repartition(16)
+    assert "16" in str(wide.rdd.getNumPartitions())
+    noop = text_profile(wide, "text", "doc_id", min_parallelism=8)
+    assert _plan(noop).count("RoundRobinPartitioning") == 1  # only the explicit 16
