@@ -147,3 +147,25 @@ def test_corpus_filter_broadcast_path_equivalence(spark, corpus):
         )
 
     assert pipeline(10_000) == pipeline(0)  # expr form == broadcast form
+
+
+def test_flagship_corpus_filter_identical_under_both_forms(spark, monkeypatch):
+    """The REAL q_corpus_filter (PII graft, scrub, quality, langid, exact
+    dedup, decontam, representative agg) must emit identical rows
+    whichever decontam form the dispatcher picks — forcing the broadcast
+    form module-wide via EXPR_FORM_MAX_NGRAMS=0 must change only the plan
+    shape."""
+    import __spark_entry__ as entry
+    from time_series_loader_spark.operators import decontam
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        df = entry.q_corpus_filter(spark, sf)
+        return sorted(tuple(r) for r in df.collect())
+
+    base = run()
+    assert len(base) > 0
+    monkeypatch.setattr(decontam, "EXPR_FORM_MAX_NGRAMS", 0)
+    forced = run()
+    assert forced == base

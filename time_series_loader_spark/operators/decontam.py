@@ -182,7 +182,7 @@ def decontaminate(
     n: int = 8,
     count_col: str = "n_contam",
     toks_col: str | None = None,
-    max_expr_ngrams: int = EXPR_FORM_MAX_NGRAMS,
+    max_expr_ngrams: int | None = None,
 ) -> DataFrame:
     """Form dispatcher: adds ``count_col`` (long) = how many of the doc's
     distinct word n-grams appear in ``benchmark``.
@@ -197,7 +197,11 @@ def decontaminate(
     ``toks_col``: name of a pre-materialized ``tokens(text)`` array
     column, if the caller already tokenized (expr form only — the
     broadcast form's Arrow kernel tokenizes from the raw text).
+    ``max_expr_ngrams=None`` (default) reads ``EXPR_FORM_MAX_NGRAMS`` at
+    call time, so tests can force either form module-wide.
     """
+    if max_expr_ngrams is None:
+        max_expr_ngrams = EXPR_FORM_MAX_NGRAMS
     if len(benchmark) <= max_expr_ngrams:
         toks = F.col(toks_col) if toks_col else tokens(text_col)
         return df.withColumn(
