@@ -889,16 +889,31 @@ WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (16 hashes, 4 bands, est ≥ 0.5)."""
+    """MinHash-LSH near-dup candidates (16 hashes, 4 bands, est ≥ 0.5),
+    each pair labeled with its duplicate CLUSTER (connected component of
+    the pair graph, label = min doc_id reachable — `operators/graph.py`
+    min-label propagation; the oracle rebuilds the identical labels with
+    a recursive transitive closure). id_a and id_b share a component by
+    construction, so one cluster column is well-defined per pair."""
     _prep(spark)
     from time_series_loader_spark.operators.dedup import minhash_lsh_pairs
+    from time_series_loader_spark.operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(
+    # pair set materialized ONCE (executor-local; pair sets are
+    # output-sized, the clustering working set either way): both the
+    # component iteration and the final labeling join consume it, and
+    # without the checkpoint each would re-run the whole LSH pipeline
+    pairs = minhash_lsh_pairs(
         docs, "text", "doc_id", n=3, num_hashes=16, bands=4, threshold=0.5,
         min_parallelism=spark.sparkContext.defaultParallelism,
+    ).localCheckpoint(eager=True)
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("id_a"), F.col("component").alias("cluster")
     )
-    return out.select("id_a", "id_b", _r6(F.col("est_jaccard"), "est_jaccard"))
+    return pairs.join(comp, "id_a").select(
+        "id_a", "id_b", _r6(F.col("est_jaccard"), "est_jaccard"), "cluster"
+    )
 
 
 def _sql_minhash_lsh(num_hashes: int = 16, bands: int = 4) -> str:
@@ -917,7 +932,7 @@ def _sql_minhash_lsh(num_hashes: int = 16, bands: int = 4) -> str:
         f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
     )
     return f"""
-WITH sh AS ({_SQL_SHINGLES}),
+WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 banded AS (
   SELECT doc_id, band_id, CASE band_id {band_cases} END AS band_key
@@ -927,13 +942,26 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b USING (band_id, band_key)
   WHERE a.doc_id < b.doc_id
-)
-SELECT id_a, id_b,
-       floor((CAST({eqs} AS DOUBLE) / {num_hashes})*1000000 + 0.5)/1000000 AS est_jaccard
-FROM cand
-JOIN sig sa ON sa.doc_id = id_a
-JOIN sig sb ON sb.doc_id = id_b
-WHERE CAST({eqs} AS DOUBLE) / {num_hashes} >= 0.5
+),
+pairs AS (
+  SELECT id_a, id_b, CAST({eqs} AS DOUBLE) / {num_hashes} AS est
+  FROM cand
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+  WHERE CAST({eqs} AS DOUBLE) / {num_hashes} >= 0.5
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT p.id_a, p.id_b,
+       floor((p.est)*1000000 + 0.5)/1000000 AS est_jaccard,
+       c.component AS cluster
+FROM pairs p JOIN comp c ON c.node = p.id_a
 """
 
 

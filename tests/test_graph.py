@@ -12,26 +12,28 @@ from time_series_loader_spark.operators.graph import (
 SF = "/root/testdata/sf0.001"
 
 
-def _cc(spark, edge_list):
+def _cc(spark, edge_list, **kw):
     edges = spark.createDataFrame(edge_list, "id_a LONG, id_b LONG")
     return {
         r["node"]: r["component"]
-        for r in connected_components(edges, max_iter=25).collect()
+        for r in connected_components(edges, max_iter=25, **kw).collect()
     }
 
 
 def test_two_components_and_transitive_closure(spark):
     # A~B, B~C (no A~C pair — the non-transitive emission the operator
     # exists to close) plus a disjoint D~E
-    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # both dispatcher forms: driver union-find and distributed propagation
+    assert _cc(spark, [(1, 2), (2, 3), (10, 11)]) == want
+    assert _cc(spark, [(1, 2), (2, 3), (10, 11)], driver_max_edges=None) == want
 
 
 def test_long_chain_converges(spark):
     # a 12-hop path needs diameter-many rounds — exercises the loop and
     # the mid-loop localCheckpoint boundary (checkpoint_every=5 < rounds)
     n = 13
-    got = _cc(spark, [(i, i + 1) for i in range(n - 1)])
+    got = _cc(spark, [(i, i + 1) for i in range(n - 1)], driver_max_edges=None)
     assert got == {i: 0 for i in range(n)}
 
 
@@ -43,7 +45,7 @@ def test_empty_edges(spark):
 def test_non_convergence_raises(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(9)], "id_a LONG, id_b LONG")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, driver_max_edges=None)
 
 
 def test_dedup_clusters_rollup(spark):
@@ -72,6 +74,11 @@ def test_components_match_duckdb_recursive_closure(spark):
         r["node"]: r["component"]
         for r in connected_components(pairs).collect()
     }
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, driver_max_edges=None).collect()
+    }
+    assert got == got_dist  # dispatcher forms agree on the real graph
 
     con = duckdb.connect()
     con.execute("CREATE TABLE edges (u BIGINT, v BIGINT)")

@@ -39,6 +39,8 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     checkpoint_every: int | None = 5,
+    min_rounds: int = 3,
+    driver_max_edges: int | None = 100_000,
 ) -> DataFrame:
     """(node, component) for every node incident to an edge; component =
     min node id reachable through the undirected pair graph.
@@ -48,29 +50,91 @@ def connected_components(
     (differential-tested against DuckDB WITH RECURSIVE in
     tests/test_graph.py). Raises after ``max_iter`` non-converged rounds
     rather than returning partial labels.
+
+    ``min_rounds``: rounds composed LAZILY before the first convergence
+    probe. Every probe is a driver action, and near-dup graphs have tiny
+    diameter (clusters are clique-ish), so probing after every round
+    spends more wall on job launch than on the joins — with the default,
+    a diameter ≤ ``min_rounds`` graph costs exactly two probe actions
+    (the fixpoint sum and its confirmation).
+
+    ``driver_max_edges``: size dispatcher (same pattern as
+    ``decontam.decontaminate``). A pair graph at or under this many
+    edges is collected and union-found on the driver — identical labels,
+    microseconds of CPU, ONE job — because iterating Spark jobs over a
+    few hundred edges spends everything on job launch. Above it (or with
+    ``None``), the distributed label-propagation path runs. 100k edges
+    ≈ a few MB driver memory; pair sets at corpus scale exceed it and
+    take the distributed path automatically.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize the edge set ONCE (executor-local, sized by the pair
+    # set — the algorithm's working set either way): every round and the
+    # convergence probe are actions, and without this each would re-run
+    # the full upstream plan that PRODUCED the pairs (an LSH pipeline,
+    # a join...) — diameter × that cost. localCheckpoint, not cache():
+    # lineage is truncated too, and nothing pins the session cache.
+    sym = sym.localCheckpoint(eager=True)
+
+    if driver_max_edges is not None:
+        # sym is checkpointed: the count and the (possible) collect read
+        # materialized partitions, not the upstream pair pipeline
+        if sym.count() <= 2 * driver_max_edges:
+            rows = sym.collect()
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in rows:
+                u, v = r["u"], r["v"]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by MIN id so the root IS the component label
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+            out = [(n, find(n)) for n in parent]
+            spark = edges.sparkSession
+            id_type = edges.schema[src].dataType.simpleString()
+            return spark.createDataFrame(
+                spark.sparkContext.parallelize(sorted(out), 1),
+                f"node {id_type}, component {id_type}",
+            )
+
     labels = sym.select("u").distinct().withColumn("label", F.col("u"))
 
-    prev_sum = None
-    for it in range(max_iter):
+    def one_round(lbl: DataFrame) -> DataFrame:
         nbr = (
             sym.join(
-                labels.select(F.col("u").alias("v"), F.col("label").alias("_nl")),
+                lbl.select(F.col("u").alias("v"), F.col("label").alias("_nl")),
                 "v",
             )
             .groupBy("u")
             .agg(F.min("_nl").alias("_nbr"))
         )
-        labels = labels.join(nbr, "u", "left").select(
+        return lbl.join(nbr, "u", "left").select(
             "u",
             F.least(F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))).alias(
                 "label"
             ),
         )
+
+    prev_sum = None
+    for it in range(max_iter):
+        labels = one_round(labels)
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
+        if it + 1 < min_rounds:
+            continue  # compose lazily; no probe action yet
         # monotone convergence probe: labels only ever decrease, so the
         # DECIMAL-exact sum is a fixpoint certificate (one narrow agg —
         # no second join to diff old vs new labels)
