@@ -99,3 +99,19 @@ def test_components_match_duckdb_recursive_closure(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_keep_representatives_filters_corpus(spark):
+    """Given pairs {1~2~3}, {10~11}: survivors = representatives (1, 10)
+    plus every unpaired doc."""
+    from time_series_loader_spark.operators.graph import keep_representatives
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 10, 11, 20)],
+        "doc_id LONG, text STRING",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a LONG, id_b LONG")
+    got = sorted(
+        r["doc_id"] for r in keep_representatives(corpus, pairs, "doc_id").collect()
+    )
+    assert got == [1, 7, 10, 20]

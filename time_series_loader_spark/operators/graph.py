@@ -155,6 +155,28 @@ def connected_components(
     )
 
 
+def keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """The dedup ACTION: drop every near-dup cluster member except its
+    representative (min id). Docs in no pair are untouched.
+
+    Shape: components → non-representative ids → ``left_anti`` join. The
+    drop list is duplicate-count-sized (≪ corpus); AQE broadcasts it when
+    small, so the corpus side never reshuffles.
+    """
+    comp = connected_components(pairs, src, dst, max_iter)
+    drop = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def dedup_clusters(
     pairs: DataFrame,
     src: str = "id_a",
