@@ -12,3 +12,8 @@ def spark():
 
 
 SF_DIR = os.environ.get("TSL_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

@@ -373,6 +373,32 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
+def _band_key_entries(num_hashes: int, bands: int, prefix: str = "mh") -> Column:
+    """array<struct<band_id,band_key>> over ``prefix{i}`` signature columns:
+    band b's key = md5 of its ``num_hashes/bands`` minhashes joined with
+    '|'. Shared by :func:`minhash_lsh_pairs` (pair mining) and
+    :func:`incremental_dedup` (batch-vs-store probe) so both sides of an
+    incremental join derive bit-identical keys from stored signatures."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"{prefix}{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -405,22 +431,9 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, min_parallelism)
 
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_entries = _band_key_entries(num_hashes, bands)
     banded = sig.select(
         F.col(id_col), F.explode(band_entries).alias("e"), *[F.col(f"mh{i}") for i in range(num_hashes)]
     ).select(
@@ -517,3 +530,178 @@ def simhash_near_dup_pairs(
     return cand.select("id_a", "id_b", dist.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def doc_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Per-document dedup signature record: (id, digest, mh0..mh{k-1}).
+
+    This is the SIGNATURE STORE schema for :func:`incremental_dedup` —
+    the compact state a 100 TB pipeline persists between ingest batches:
+    one md5 of the text (exact-dup key, same rule as :func:`dedup_exact`
+    on a single text column) plus k min-wise hashes (near-dup key). Per
+    doc that is id + 17 × 32-byte hexes regardless of document length, so
+    the store is orders of magnitude smaller than the corpus and is the
+    ONLY thing the next batch ever joins against.
+
+    Docs with fewer than ``n`` tokens (incl. null/empty text) produce no
+    shingles and carry NULL mh columns — they still participate in exact
+    dedup via the digest, and :func:`incremental_dedup` excludes them
+    from band joins (matching :func:`minhash_lsh_pairs`, which never
+    emits them).
+
+    Persistence at scale: write the store bucketed by ``digest``
+    (``sources.sink.write_bucketed``) so the exact anti-join of the next
+    batch never reshuffles the store; if batches are large enough that
+    the band join dominates, additionally persist the banded projection
+    (explode of :func:`_band_key_entries`) bucketed by ``band_key``.
+
+    Two scans of ``df`` (digest expression + shingle kernel, joined on
+    id) — fine for the incremental use case where ``df`` is one batch.
+    """
+    digest = F.md5(F.coalesce(F.col(text_col).cast("string"), F.lit(" ")))
+    digests = df.select(F.col(id_col), digest.alias("digest"))
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, min_parallelism)
+    return digests.join(sig, id_col, "left")
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    store: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_iter: int = 25,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus signature store — the
+    daily operating mode of a crawl pipeline: the 100 TB corpus is never
+    re-deduped; each increment is adjudicated against the compact
+    :func:`doc_signatures` store and the survivors' signatures are
+    appended to it.
+
+    Returns the surviving batch rows with ``digest`` and ``mh*`` columns
+    appended, so the caller extends the store WITHOUT recomputing:
+    ``store.unionByName(survivors.select(id, "digest", "mh0", ...))``.
+
+    A batch doc is DROPPED iff any of:
+
+    1. exact: another batch doc with the same digest and a smaller id,
+       or any store doc with the same digest;
+    2. near-dup vs store: its estimated Jaccard (fraction of equal
+       minhashes) against any store doc sharing an LSH band is ≥
+       ``threshold``;
+    3. near-dup within batch: it is not the representative (min id) of
+       its within-batch near-dup connected component, or its component
+       contains ANY doc dropped by rule 2 (the component is
+       "contaminated": in a full-corpus rerun the store doc would be the
+       component representative, evicting every batch member).
+
+    Rule 3's contamination clause is what makes the increment EXACTLY
+    equivalent to a full-corpus rerun for the batch docs, provided ids
+    are monotone across batches (store ids < batch ids — the natural
+    ingest order) — differential-tested in tests/test_incremental_dedup.
+    Store-internal edges (possible when the store was bootstrapped from
+    an undeduplicated corpus) cannot change any batch doc's fate: every
+    store id is smaller than every batch id, so a batch doc loses to its
+    component's store members regardless of how those interconnect.
+
+    Join shapes at scale (store ≫ batch): the exact anti-join touches
+    only the store's digest column (shuffle-free when the store is
+    bucketed by digest); the band probe explodes ``bands`` rows per doc
+    on both sides but carries only (band_id, band_key, k hexes); every
+    drop list is batch-derived (increment-sized), so AQE broadcasts it
+    and the batch frame never wide-shuffles. Nothing here scans store
+    TEXT — only signatures.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+
+    sig_b = doc_signatures(batch, text_col, id_col, n, num_hashes, min_parallelism)
+    enriched = batch.join(sig_b, id_col)
+
+    # rule 1a: within-batch exact — keep the min id per digest
+    w = Window.partitionBy("digest").orderBy(id_col)
+    enriched = (
+        enriched.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # rule 1b: exact vs store (digest-only projection of the store)
+    enriched = enriched.join(store.select("digest"), "digest", "left_anti")
+    # survivors of rule 1 feed both band probes; executor-local
+    # materialization so the store probe, the self-join, and the final
+    # anti-joins don't each re-run the shingle kernel (batch-sized)
+    enriched = enriched.localCheckpoint(eager=True)
+
+    entries = _band_key_entries(num_hashes, bands)
+
+    def banded(df_sig: DataFrame, idc: str, prefix: str) -> DataFrame:
+        return (
+            df_sig.where(F.col("mh0").isNotNull())
+            .select(F.col(idc), F.explode(entries).alias("e"), *mh_cols)
+            .select(
+                F.col(idc).alias(f"{prefix}id"),
+                F.col("e.band_id").alias("band_id"),
+                F.col("e.band_key").alias("band_key"),
+                *[F.col(c).alias(f"{prefix}{c}") for c in mh_cols],
+            )
+        )
+
+    # rule 2: batch-vs-store band probe — est Jaccard on the joined row
+    bb = banded(enriched.select(id_col, *mh_cols), id_col, "b_")
+    bs = banded(store, id_col, "s_")
+    eq_bs = sum(
+        F.when(F.col(f"b_mh{i}") == F.col(f"s_mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    hits = (
+        bb.join(bs, ["band_id", "band_key"])
+        .where(eq_bs.cast("double") / float(num_hashes) >= threshold)
+        .select(F.col("b_id").alias("node"))
+        .distinct()
+    )
+
+    # rule 3: within-batch pairs (same single-consumer shape as
+    # minhash_lsh_pairs) → components → contamination
+    b2 = banded(enriched.select(id_col, *mh_cols), id_col, "x_")
+    b3 = b2.select(
+        F.col("x_id").alias("y_id"),
+        "band_id",
+        "band_key",
+        *[F.col(f"x_mh{i}").alias(f"y_mh{i}") for i in range(num_hashes)],
+    )
+    eq_bb = sum(
+        F.when(F.col(f"x_mh{i}") == F.col(f"y_mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    pairs = (
+        b2.join(b3, ["band_id", "band_key"])
+        .where(F.col("x_id") < F.col("y_id"))
+        .where(eq_bb.cast("double") / float(num_hashes) >= threshold)
+        .select(F.col("x_id").alias("id_a"), F.col("y_id").alias("id_b"))
+        .distinct()
+    )
+    from time_series_loader_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, "id_a", "id_b", max_iter)
+    bad_comp = comp.join(hits, "node").select("component").distinct()
+    drop = (
+        comp.where(F.col("node") != F.col("component"))
+        .select("node")
+        .union(comp.join(bad_comp, "component").select("node"))
+        .union(hits.select("node"))
+        .distinct()
+        .withColumnRenamed("node", id_col)
+    )
+    return enriched.join(drop, id_col, "left_anti")
