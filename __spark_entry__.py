@@ -690,19 +690,151 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 _SQL_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
 
 
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy representative + duplicate count."""
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite dedup slot, two sections in one gate query:
+
+    - ``exact``: full-corpus exact dedup — hash-groupBy representative +
+      duplicate count (`dedup_exact`, the round-1..4 `dedup_exact` slot).
+    - ``incr``: incremental batch-vs-store dedup
+      (`operators/dedup.py::incremental_dedup`) — the daily operating
+      mode at 100 TB: docs with ``doc_id % 4 == 3`` arrive as the new
+      batch and are adjudicated against the signature STORE
+      (`doc_signatures`: text digest + 16 minhashes) of the other 75%,
+      via exact digest anti-join, LSH band probe vs store (est ≥ 0.5),
+      and within-batch connected components with the
+      contaminated-component eviction rule. Rows = surviving batch docs.
+
+    The oracle reproduces the incremental rules in SQL (recursive
+    transitive closure for the components), so every drop decision is
+    differential-checked, not just the happy path."""
     _prep(spark)
-    from time_series_loader_spark.operators.dedup import dedup_exact
+    from time_series_loader_spark.operators.dedup import (
+        dedup_exact,
+        doc_signatures,
+        incremental_dedup,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return dedup_exact(docs, ["text"], "doc_id")
+    exact = dedup_exact(docs, ["text"], "doc_id").select(
+        F.lit("exact").alias("section"),
+        "key_digest",
+        "doc_id",
+        "n_dups",
+    )
+    batch = docs.where(F.col("doc_id") % 4 == 3).select("doc_id", "text")
+    past = docs.where(F.col("doc_id") % 4 != 3).select("doc_id", "text")
+    # the store is PERSISTED state in the incremental contract (a parquet
+    # table between batches); materialize it once here so its two
+    # consumers (digest anti-join + band probe) read signatures instead
+    # of each re-running the shingle kernel over the historical corpus.
+    # min_parallelism: the testdata parquet is ONE file → one partition;
+    # fan the per-row kernels out to the session's cores (real corpora
+    # arrive multi-file and take the None default)
+    par = spark.sparkContext.defaultParallelism
+    store = doc_signatures(
+        past, "text", "doc_id", n=3, num_hashes=16, min_parallelism=par
+    ).localCheckpoint(eager=True)
+    surv = incremental_dedup(
+        batch, store, "text", "doc_id", n=3, num_hashes=16, bands=4,
+        threshold=0.5, min_parallelism=par,
+    )
+    incr = surv.select(
+        F.lit("incr").alias("section"),
+        F.col("digest").alias("key_digest"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_dups"),
+    )
+    return exact.unionByName(incr)
 
 
-SQL_dedup_exact = """
-SELECT md5(coalesce(text, ' ')) AS key_digest,
+def _sql_shingles_of(src: str) -> str:
+    """Parameterized form of _SQL_SHINGLES over a named CTE/table."""
+    return f"""SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' ') AS shingle
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM {src}),
+       LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 1, 1))) AS i)"""
+
+
+def _sql_dedup_incremental(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_cases = " ".join(
+        "WHEN {} THEN md5({})".format(
+            b, " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    eqs = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH RECURSIVE
+batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3),
+store AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
+b1 AS (
+  SELECT doc_id, text, md5(coalesce(text, ' ')) AS digest,
+         row_number() OVER (PARTITION BY md5(coalesce(text, ' '))
+                            ORDER BY doc_id) AS rn
+  FROM batch
+),
+b2 AS (
+  SELECT doc_id, text, digest FROM b1
+  WHERE rn = 1
+    AND digest NOT IN (SELECT md5(coalesce(text, ' ')) FROM store)
+),
+shb AS ({_sql_shingles_of("b2")}),
+shs AS ({_sql_shingles_of("store")}),
+sigb AS (SELECT doc_id, {mins} FROM shb GROUP BY doc_id),
+sigs AS (SELECT doc_id, {mins} FROM shs GROUP BY doc_id),
+bandb AS (
+  SELECT doc_id, band_id, CASE band_id {band_cases} END AS band_key
+  FROM sigb, (SELECT UNNEST(range({bands})) AS band_id)
+),
+bandst AS (
+  SELECT doc_id, band_id, CASE band_id {band_cases} END AS band_key
+  FROM sigs, (SELECT UNNEST(range({bands})) AS band_id)
+),
+hits AS (
+  SELECT DISTINCT c.bid AS doc_id
+  FROM (SELECT DISTINCT a.doc_id AS bid, s.doc_id AS sid
+        FROM bandb a JOIN bandst s USING (band_id, band_key)) c
+  JOIN sigb sa ON sa.doc_id = c.bid
+  JOIN sigs sb ON sb.doc_id = c.sid
+  WHERE CAST({eqs} AS DOUBLE) / {num_hashes} >= 0.5
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandb a JOIN bandb b USING (band_id, band_key)
+        WHERE a.doc_id < b.doc_id) c
+  JOIN sigb sa ON sa.doc_id = c.id_a
+  JOIN sigb sb ON sb.doc_id = c.id_b
+  WHERE CAST({eqs} AS DOUBLE) / {num_hashes} >= 0.5
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+badc AS (SELECT DISTINCT component FROM comp
+         JOIN hits ON comp.node = hits.doc_id),
+dropids AS (
+  SELECT doc_id FROM hits
+  UNION SELECT node FROM comp WHERE node <> component
+  UNION SELECT node FROM comp WHERE component IN (SELECT component FROM badc)
+)
+SELECT 'exact' AS section, md5(coalesce(text, ' ')) AS key_digest,
        min(doc_id) AS doc_id, count(*) AS n_dups
-FROM documents GROUP BY 1
+FROM documents GROUP BY 2
+UNION ALL
+SELECT 'incr' AS section, digest AS key_digest, doc_id,
+       CAST(NULL AS BIGINT) AS n_dups
+FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
 """
 
 
@@ -3213,7 +3345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly": q_streaming_hourly,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_gap_detector": q_streaming_gap_detector,
-        "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         "text_profile": q_text_profile,
         "tfidf_top3": q_tfidf_top3,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3268,7 +3400,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hourly": SQL_streaming_hourly,
         "streaming_sessionize": SQL_streaming_sessionize,
         "streaming_gap_detector": SQL_streaming_gap_detector,
-        "dedup_exact": SQL_dedup_exact,
+        "dedup_incremental": _sql_dedup_incremental(),
         "text_profile": _sql_text_profile(),
         "tfidf_top3": SQL_tfidf_top3,
         "ngram_jaccard": SQL_ngram_jaccard,

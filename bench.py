@@ -46,7 +46,7 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q5_like",
     "top3_customers_per_nation",
-    "dedup_exact",
+    "dedup_incremental",
     "minhash_lsh",
     "text_profile",
     "cosine_topk",

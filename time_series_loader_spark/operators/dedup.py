@@ -665,11 +665,15 @@ def incremental_dedup(
         F.when(F.col(f"b_mh{i}") == F.col(f"s_mh{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
+    # materialized once (increment-sized): the drop set consumes hits
+    # THREE times (contamination probe, component join, union) and each
+    # consumer would otherwise re-run the store band probe
     hits = (
         bb.join(bs, ["band_id", "band_key"])
         .where(eq_bs.cast("double") / float(num_hashes) >= threshold)
         .select(F.col("b_id").alias("node"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     # rule 3: within-batch pairs (same single-consumer shape as
