@@ -85,6 +85,18 @@ def _r6(c, name):
     return (F.floor(c * 1000000.0 + 0.5) / 1000000.0).alias(name)
 
 
+def _r6n(c, name):
+    # _r6 with a boundary nudge (+1e-4 in scaled units): for columns whose
+    # Spark and oracle values are computed via DIFFERENT fp paths (e.g.
+    # closed-form vs sequential EWMA, equal only to ~1e-13), a value
+    # sitting exactly on a .5 floor boundary — systematic here, because
+    # 2-decimal-quantized inputs make EWM chains land on exact short
+    # decimals — would round by each engine's ±1ulp noise. The nudge is
+    # ≫ the inter-engine diff and ≪ the rounding step, so both engines
+    # take the boundary consistently upward. Mirror in SQL: +0.5001.
+    return (F.floor(c * 1000000.0 + 0.5001) / 1000000.0).alias(name)
+
+
 def _one_row_df(spark: SparkSession, row: tuple, schema: str) -> DataFrame:
     """One-row driver-computed report frame, built entirely JVM-side.
 
@@ -2079,12 +2091,22 @@ FROM d WHERE ds > 28800
 
 def q_rolling_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-window stats per series key: last-5-rows mean/min/max over
-    each user's event stream (beyond-reference TS surface)."""
+    each user's event stream (beyond-reference TS surface), plus an
+    EWMA column (`operators/ewm.py::ewm_mean`, α=0.3, adjust=False —
+    the y=(1-α)y+αx recursion computed CLOSED-FORM via block-decay
+    scaled prefix sums, no per-row recursion; the oracle replays the
+    recursion literally with a recursive CTE, so the 1e-30 block
+    truncation is differential-checked against sequential evaluation)."""
     _prep(spark)
+    from time_series_loader_spark.operators.ewm import ewm_mean
     from time_series_loader_spark.operators.rolling import rolling_stats
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
     out = rolling_stats(ev, "ts", "value", window=5, group_cols=["user_id"])
+    out = ewm_mean(
+        out, "ts", "value", 0.3, group_cols=["user_id"], adjust=False,
+        out_col="_ewm",
+    )
     return out.select(
         "user_id",
         "ts",
@@ -2093,18 +2115,31 @@ def q_rolling_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("value_roll_min"), "roll_min"),
         _r6(F.col("value_roll_max"), "roll_max"),
         F.col("value_roll_n").alias("roll_n"),
+        _r6n(F.col("_ewm"), "ewm03"),
     )
 
 
 SQL_rolling_by_user = """
-SELECT user_id, ts,
-  floor((value)*1000000 + 0.5)/1000000 AS value,
-  floor((CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) / COUNT(value) OVER w)*1000000 + 0.5)/1000000 AS roll_mean,
-  floor((MIN(value) OVER w)*1000000 + 0.5)/1000000 AS roll_min,
-  floor((MAX(value) OVER w)*1000000 + 0.5)/1000000 AS roll_max,
-  COUNT(value) OVER w AS roll_n
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+WITH RECURSIVE base AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+ew(user_id, rn, y) AS (
+  SELECT user_id, rn, CAST(value AS DOUBLE) FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, 0.7 * ew.y + 0.3 * b.value
+  FROM ew JOIN base b ON b.user_id = ew.user_id AND b.rn = ew.rn + 1
+)
+SELECT b.user_id, b.ts,
+  floor((b.value)*1000000 + 0.5)/1000000 AS value,
+  floor((CAST(SUM(CAST(b.value AS DECIMAL(27,6))) OVER w AS DOUBLE) / COUNT(b.value) OVER w)*1000000 + 0.5)/1000000 AS roll_mean,
+  floor((MIN(b.value) OVER w)*1000000 + 0.5)/1000000 AS roll_min,
+  floor((MAX(b.value) OVER w)*1000000 + 0.5)/1000000 AS roll_max,
+  COUNT(b.value) OVER w AS roll_n,
+  floor((ew.y)*1000000 + 0.5001)/1000000 AS ewm03
+FROM base b JOIN ew ON ew.user_id = b.user_id AND ew.rn = b.rn
+WINDOW w AS (PARTITION BY b.user_id ORDER BY b.ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
 
 
