@@ -146,3 +146,66 @@ def test_min_parallelism_fanout_is_opt_in(spark):
     assert "16" in str(wide.rdd.getNumPartitions())
     noop = text_profile(wide, "text", "doc_id", min_parallelism=8)
     assert _plan(noop).count("RoundRobinPartitioning") == 1  # only the explicit 16
+
+
+def test_ewm_keyed_one_wide_exchange_no_single_partition(spark):
+    """EWMA keyed plan (SCALING.md r5 row): the (key, block) prefix
+    window must reuse the (key) exchange (subset-key clustering), the
+    block-summary stitch must come back as a broadcast, and nothing may
+    collapse to a single partition."""
+    from time_series_loader_spark.operators.ewm import ewm_mean
+    from time_series_loader_spark.session import read_table
+
+    ev = read_table(spark, SF, "events").select("user_id", "ts", "value")
+    plan = _plan(ewm_mean(ev, "ts", "value", 0.3, group_cols=["user_id"]))
+    assert "Exchange SinglePartition" not in plan
+    # main pass + summary re-scan pass: at most 2 hash exchanges
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastHashJoin" in plan  # summary stitch broadcast, not SMJ
+    assert "SortMergeJoin" not in plan
+
+
+def test_ewm_unkeyed_stays_bucketed(spark):
+    """Unkeyed EWMA must take the time-bucket + carry-table path: no
+    single-partition window over the whole timeline."""
+    from time_series_loader_spark.operators.ewm import ewm_mean
+    from time_series_loader_spark.session import read_table
+
+    ev = (
+        read_table(spark, SF, "events")
+        .where(F.col("user_id") == 1)
+        .select("ts", "value")
+    )
+    plan = _plan(ewm_mean(ev, "ts", "value", 0.3, num_buckets=4))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_incremental_dedup_store_side_stays_narrow(spark):
+    """The batch-vs-store band probe must not wide-shuffle the batch
+    frame itself: drop lists are increment-sized (broadcast by AQE) and
+    the store side is consumed as signatures only."""
+    from time_series_loader_spark.operators.dedup import (
+        doc_signatures,
+        incremental_dedup,
+    )
+    from time_series_loader_spark.session import read_table
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    store = doc_signatures(
+        docs.where(F.col("doc_id") % 4 != 3), "text", "doc_id"
+    ).localCheckpoint(eager=True)
+    out = incremental_dedup(
+        docs.where(F.col("doc_id") % 4 == 3), store, "text", "doc_id"
+    )
+    # AQE sizes the drop list at runtime; collect() executes THIS df's
+    # QueryExecution (count() would plan a separate one) so the adaptive
+    # FINAL plan is inspectable afterwards
+    out.collect()
+    plan = _plan(out)
+    assert "isFinalPlan=true" in plan
+    # final survivors = checkpointed batch anti-joined against the
+    # increment-sized drop list — AQE must have broadcast it, never SMJ
+    assert any(
+        "BroadcastHashJoin" in line and "LeftAnti" in line
+        for line in plan.splitlines()
+    )
