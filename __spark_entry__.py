@@ -2036,8 +2036,15 @@ FROM s GROUP BY user_id, session_id
 
 def q_resample_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 with a series key (SURVEY.md §7 hard-part (d)): per-user daily
-    resample — the keyed shape whose shuffle distributes at 100 TB."""
+    resample — the keyed shape whose shuffle distributes at 100 TB —
+    plus a TIME-WEIGHTED mean column (`operators/twa.py`, r5): the LOCF
+    step-function integral per bucket, with all overlap weights in
+    integer microseconds and DECIMAL accumulation so the oracle's
+    arithmetic is bit-identical. Buckets stay the resample's (left
+    join); twa is null where only the zero-width last sample lands."""
     _prep(spark)
+    from time_series_loader_spark.operators.twa import time_weighted_mean
+
     ev = _t(spark, sf_dir, "events")
     out = resample(
         ev,
@@ -2048,15 +2055,48 @@ def q_resample_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["user_id"],
         extra_aggs={"n": ("value", "count")},
     )
-    return out.select("user_id", "ts", _r6(F.col("value"), "value_mean"), "n")
+    tw = time_weighted_mean(ev, "ts", "value", 86400, group_cols=["user_id"])
+    out = out.join(tw, ["user_id", "ts"], "left")
+    return out.select(
+        "user_id", "ts", _r6(F.col("value"), "value_mean"), "n",
+        _r6n(F.col("twa"), "twa"),
+    )
 
 
 SQL_resample_by_user = """
-SELECT user_id,
-       TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) * INTERVAL '1 second' AS ts,
-       floor((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value))*1000000 + 0.5)/1000000 AS value_mean,
-       COUNT(value) AS n
-FROM events GROUP BY 1, 2
+WITH iv AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s, value,
+         lead(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts) AS e
+  FROM events WHERE value IS NOT NULL
+),
+pieces AS (
+  SELECT user_id, value, s, e,
+         UNNEST(range(s // 86400000000, (e - 1) // 86400000000 + 1)) AS b
+  FROM iv WHERE e IS NOT NULL AND e > s
+),
+tw AS (
+  -- exact scaled-integer arithmetic (HUGEINT): round(value·1e6) matches
+  -- Spark's CAST(value AS DECIMAL(_,6)) half-up; the extra /1e6 double
+  -- division vs Spark's single decimal→double cast differs by ≤1 ulp,
+  -- absorbed by the nudged rounding below
+  SELECT user_id, b,
+         CAST(SUM(CAST(round(value * 1000000) AS HUGEINT)
+                  * (least(e, (b+1)*86400000000) - greatest(s, b*86400000000))) AS DOUBLE)
+         / 1000000.0
+         / CAST(SUM(least(e, (b+1)*86400000000) - greatest(s, b*86400000000)) AS DOUBLE) AS twa
+  FROM pieces GROUP BY 1, 2
+),
+rs AS (
+  SELECT user_id,
+         TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) * INTERVAL '1 second' AS ts,
+         floor((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value))*1000000 + 0.5)/1000000 AS value_mean,
+         COUNT(value) AS n,
+         CAST(floor(epoch(ts)/86400) AS BIGINT) AS b
+  FROM events GROUP BY 1, 2, 5
+)
+SELECT rs.user_id, rs.ts, rs.value_mean, rs.n,
+       floor((tw.twa)*1000000 + 0.5001)/1000000 AS twa
+FROM rs LEFT JOIN tw ON tw.user_id = rs.user_id AND tw.b = rs.b
 """
 
 
