@@ -100,7 +100,13 @@ def main() -> None:
             synth(spark, factor, out_dir)
             open(marker, "w").close()
             print(f"# synth {factor}x: {time.time() - t0:.1f}s", file=sys.stderr)
-        for qname in ("minhash_lsh", "gaps", "text_profile", "corpus_filter"):
+        probe_qs = tuple(
+            os.environ.get(
+                "SPARK_GRAFT_PROBE_QUERIES",
+                "minhash_lsh,gaps,text_profile,corpus_filter",
+            ).split(",")
+        )
+        for qname in probe_qs:
             fn = qs[qname]
             fn(spark, out_dir).count()  # discarded warm-up
             best, rows = None, 0
