@@ -167,3 +167,11 @@ def test_differential_vs_full_rerun(spark, sf_dir, split):
     incr = _incr_survivors(spark, past_kept, batch)
     full = _full_survivors(docs)
     assert incr == {i for i in full if i >= cut}
+
+
+def test_signature_column_clash_raises(spark):
+    df = spark.createDataFrame(
+        [(1, "some text here", "x")], "doc_id BIGINT, text STRING, digest STRING"
+    )
+    with pytest.raises(ValueError, match="digest"):
+        doc_signatures(df, "text", "doc_id")

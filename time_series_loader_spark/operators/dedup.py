@@ -565,6 +565,13 @@ def doc_signatures(
     Two scans of ``df`` (digest expression + shingle kernel, joined on
     id) — fine for the incremental use case where ``df`` is one batch.
     """
+    reserved = {"digest", *(f"mh{i}" for i in range(num_hashes))}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"doc_signatures emits columns {sorted(clash)} that already "
+            "exist on the input — rename them first"
+        )
     digest = F.md5(F.coalesce(F.col(text_col).cast("string"), F.lit(" ")))
     digests = df.select(F.col(id_col), digest.alias("digest"))
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, min_parallelism)
