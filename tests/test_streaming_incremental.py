@@ -1,0 +1,101 @@
+"""Streaming incremental dedup: per-micro-batch store growth, restart
+with checkpoint, idempotent batch-keyed writes."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from time_series_loader_spark.streaming.incremental import incremental_dedup_stream
+
+SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+B0 = [
+    (1, "pack my box with five dozen liquor jugs today friend"),
+    (2, "pack my box with five dozen liquor jugs today friend"),  # in-batch dup
+]
+B1 = [
+    (10, "pack my box with five dozen liquor jugs today friend"),  # dup of store 1
+    (11, "the quick brown fox jumps over the lazy dog today"),
+]
+B2 = [
+    (20, "the quick brown fox jumps over the lazy cat today"),  # near-dup of 11
+    (21, "one more genuinely novel document body for batch two"),
+]
+B3 = [
+    (30, "one more genuinely novel document body for batch two"),  # dup of 21
+    (31, "the final fresh document of the restart increment run"),
+]
+
+
+def _write_file(path, rows, mtime):
+    tbl = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows], pa.string())}
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def _drain(spark, inp, store, surv, ckpt):
+    q = incremental_dedup_stream(
+        spark, inp, SCHEMA, store, surv, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination()
+
+
+def _surv_ids(spark, surv):
+    df = spark.read.parquet(surv)
+    return {
+        r["batch_id"]: set()
+        for r in df.select("batch_id").distinct().collect()
+    } | {
+        b: {r["doc_id"] for r in df.where(df.batch_id == b).collect()}
+        for b in [r["batch_id"] for r in df.select("batch_id").distinct().collect()]
+    }
+
+
+def test_stream_dedups_against_growing_store_and_restarts(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    surv = str(tmp_path / "surv")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp)
+
+    t0 = 1_700_000_000
+    for i, rows in enumerate((B0, B1, B2)):
+        _write_file(f"{inp}/f{i}.parquet", rows, t0 + i)
+    _drain(spark, inp, store, surv, ckpt)
+
+    got = _surv_ids(spark, surv)
+    assert got == {0: {1}, 1: {11}, 2: {21}}
+
+    # store = exactly the survivors' signatures, one row each
+    st = spark.read.parquet(store)
+    assert {r["doc_id"] for r in st.select("doc_id").collect()} == {1, 11, 21}
+    assert st.where(st.mh0.isNull()).count() == 0
+
+    # RESTART with the same checkpoint: only the new file is processed,
+    # prior batch outputs are untouched, and the new batch dedups
+    # against the full accumulated store (30 is a dup of batch-2's 21)
+    _write_file(f"{inp}/f3.parquet", B3, t0 + 3)
+    _drain(spark, inp, store, surv, ckpt)
+    got = _surv_ids(spark, surv)
+    assert got == {0: {1}, 1: {11}, 2: {21}, 3: {31}}
+    st = spark.read.parquet(store)
+    assert {r["doc_id"] for r in st.select("doc_id").collect()} == {1, 11, 21, 31}
+
+
+def test_first_batch_bootstrap_empty_store(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    _write_file(f"{inp}/f0.parquet", B0, 1_700_000_000)
+    store = str(tmp_path / "store")
+    surv = str(tmp_path / "surv")
+    _drain(spark, inp, store, surv, str(tmp_path / "ckpt"))
+    df = spark.read.parquet(surv)
+    assert {r["doc_id"] for r in df.collect()} == {1}
