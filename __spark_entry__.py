@@ -715,6 +715,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       via exact digest anti-join, LSH band probe vs store (est ≥ 0.5),
       and within-batch connected components with the
       contaminated-component eviction rule. Rows = surviving batch docs.
+      NB the %4 split interleaves store and batch ids, so this gate
+      checks the incremental RULES (Spark vs SQL replica); the
+      full-corpus-rerun equivalence claim additionally needs monotone
+      ids and is differential-tested in test_incremental_dedup.
 
     The oracle reproduces the incremental rules in SQL (recursive
     transitive closure for the components), so every drop decision is
@@ -1007,12 +1011,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "n_common", _r6(F.col("jaccard"), "jaccard"))
 
 
-_SQL_SHINGLES = f"""
-  SELECT DISTINCT doc_id,
-         array_to_string(t[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' ') AS shingle
-  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
-       LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 1, 1))) AS i)
-"""
+# single source of truth for the shingle SQL: the parameterized
+# generator (defined above) instantiated over the documents table
+_SQL_SHINGLES = _sql_shingles_of("documents")
 
 SQL_ngram_jaccard = f"""
 WITH sh AS ({_SQL_SHINGLES}),

@@ -109,3 +109,22 @@ def test_output_schema_preserved(spark):
     out = ewm_mean(df, "ts", "value", 0.4, group_cols=["user_id"], out_col="sm")
     assert set(out.columns) == {"user_id", "ts", "value", "sm"}
     assert out.count() == 3
+
+
+@pytest.mark.parametrize("keyed", [True, False])
+def test_nulls_adjust_false_poison(spark, keyed):
+    """adjust=False is undefined past a null input: rows from the first
+    null onward must be NULL, never silently-wrong numbers (the
+    docstring's no-silent-approximation contract)."""
+    vals = [10.0, 20.0, None, 10.0, 30.0]
+    df = _series_df(spark, vals, key="k" if keyed else None)
+    out = ewm_mean(
+        df, "ts", "value", 0.5,
+        group_cols=["user_id"] if keyed else (),
+        adjust=False,
+        num_buckets=None if keyed else 2,
+    )
+    got = _collect_ewm(out)
+    exp = _pd_ewm([10.0, 20.0], 0.5, False)
+    np.testing.assert_allclose(got[:2], exp, rtol=1e-9)
+    assert got[2] is None and got[3] is None and got[4] is None

@@ -99,3 +99,28 @@ def test_first_batch_bootstrap_empty_store(spark, tmp_path):
     _drain(spark, inp, store, surv, str(tmp_path / "ckpt"))
     df = spark.read.parquet(surv)
     assert {r["doc_id"] for r in df.collect()} == {1}
+
+
+def test_replayed_batch_does_not_self_dedup(spark, tmp_path):
+    """Exactly-once under at-least-once replay: if batch 0 crashed AFTER
+    its store write but before the checkpoint committed, the replay must
+    not read its own partial output (it would self-dedup to empty and
+    overwrite its survivors away). _read_store filters batch_id < N."""
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    surv = str(tmp_path / "surv")
+    os.makedirs(inp)
+    _write_file(f"{inp}/f0.parquet", B0, 1_700_000_000)
+
+    # simulate the crashed batch-0 store write: its survivors' signature
+    # rows are already on disk under batch_id=0, checkpoint is fresh
+    from time_series_loader_spark.operators.dedup import doc_signatures
+
+    b0 = spark.createDataFrame(B0, "doc_id BIGINT, text STRING").where("doc_id = 1")
+    doc_signatures(b0, "text", "doc_id").write.mode("overwrite").parquet(
+        f"{store}/batch_id=0"
+    )
+
+    _drain(spark, inp, store, surv, str(tmp_path / "ckpt"))
+    df = spark.read.parquet(surv)
+    assert {r["doc_id"] for r in df.collect()} == {1}  # NOT empty

@@ -38,10 +38,12 @@ unlike intra-bucket blocks, which are full-length by construction).
 
 Null handling: ``adjust=True`` skips nulls with decay still advancing
 per row (pandas ``ignore_na=False``) — the denominator is the same
-scaled prefix over the validity indicator. ``adjust=False`` requires
+scaled prefix over the validity indicator. ``adjust=False`` expects
 non-null values (pre-fill with ``operators.fill.ffill``); pandas'
 NaN-under-recursion semantics are a different weighting scheme, and
-silently approximating it would be wrong.
+silently approximating it would be wrong — so every row from the first
+null onward yields NULL (null poisoning), making the violated
+precondition visible instead of producing plausible wrong numbers.
 """
 
 from __future__ import annotations
@@ -146,7 +148,15 @@ def ewm_mean(
                 .rowsBetween(Window.unboundedPreceding, 0)
             )
             x0 = F.first(value_col).over(w0)
-            ewm = alpha * F.col("_num") + F.pow(F.lit(q), F.col("_rel") + 1) * x0
+            # null poisoning, not silent approximation (docstring
+            # contract): the recursion is undefined past a null input, so
+            # every row from the first null onward emits null — the
+            # prefix non-null count lagging rel+1 is the detector
+            clean = F.count(value_col).over(w0) == F.col("_rel") + 1
+            ewm = F.when(
+                clean,
+                alpha * F.col("_num") + F.pow(F.lit(q), F.col("_rel") + 1) * x0,
+            )
         return out.withColumn(name, ewm).drop("_rel", "_num", "_den")
 
     return _ewm_unkeyed(df, ts_col, value_col, alpha, adjust, name, num_buckets)
@@ -183,6 +193,7 @@ def _ewm_unkeyed(
     # already included), first value (for the adjust=False x0 term)
     stats = local.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("_cnt"),
+        F.count(value_col).alias("_nnb"),
         F.max_by("_num", "_rel").alias("_en"),
         F.max_by("_den", "_rel").alias("_ed"),
         F.min_by(F.col(value_col).cast("double"), "_rel").alias("_x0"),
@@ -191,16 +202,18 @@ def _ewm_unkeyed(
     # driver prefix scan — EXACT recursion (buckets may be short, so
     # cross-bucket decay (1-α)^{cnt} is not negligible): one row per
     # bucket, same scale posture as fill.py's carry table
-    carry_rows, cn, cd, cum = [], 0.0, 0.0, 0
+    carry_rows, cn, cd, cum, cumnn = [], 0.0, 0.0, 0, 0
     x0g = rows[0]["_x0"] if rows else None
     for rr in rows:
-        carry_rows.append((rr["_pid"], cn, cd, float(q**cum), cum))
+        carry_rows.append((rr["_pid"], cn, cd, float(q**cum), cum, cumnn))
         dec = q ** rr["_cnt"]  # underflows to exactly 0.0 for long buckets
         cn = (rr["_en"] or 0.0) + dec * cn
         cd = (rr["_ed"] or 0.0) + dec * cd
         cum += rr["_cnt"]
+        cumnn += rr["_nnb"]
     carry = spark.createDataFrame(
-        carry_rows, "_pid INT, _cn DOUBLE, _cd DOUBLE, _qcum DOUBLE, _cumprev BIGINT"
+        carry_rows,
+        "_pid INT, _cn DOUBLE, _cd DOUBLE, _qcum DOUBLE, _cumprev BIGINT, _cumnn BIGINT",
     )
     out = local.join(F.broadcast(carry), "_pid")
     qr1 = F.pow(F.lit(q), F.col("_rel") + 1)
@@ -209,10 +222,20 @@ def _ewm_unkeyed(
     if adjust:
         ewm = F.when(den_g > 0, num_g / den_g)
     else:
+        # null poisoning past the first null input (see keyed path): the
+        # global prefix non-null count must equal the global row index + 1
+        w0b = (
+            Window.partitionBy("_pid")
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        clean = (F.col("_cumnn") + F.count(value_col).over(w0b)) == (
+            F.col("_cumprev") + F.col("_rel") + 1
+        )
         # (1-α)^{gidx+1} = (1-α)^{cumprev} · (1-α)^{rel+1}
-        ewm = alpha * num_g + F.col("_qcum") * qr1 * F.lit(x0g)
+        ewm = F.when(clean, alpha * num_g + F.col("_qcum") * qr1 * F.lit(x0g))
     return out.withColumn(name, ewm).drop(
-        "_pid", "_rel", "_num", "_den", "_cn", "_cd", "_qcum", "_cumprev"
+        "_pid", "_rel", "_num", "_den", "_cn", "_cd", "_qcum", "_cumprev", "_cumnn"
     )
 
 
@@ -229,5 +252,8 @@ def _finish_unkeyed_degenerate(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         x0 = F.first(value_col).over(w0)
-        ewm = alpha * F.col("_num") + F.pow(F.lit(q), F.col("_rel") + 1) * x0
+        clean = F.count(value_col).over(w0) == F.col("_rel") + 1
+        ewm = F.when(
+            clean, alpha * F.col("_num") + F.pow(F.lit(q), F.col("_rel") + 1) * x0
+        )
     return out.withColumn(name, ewm).drop("_pid", "_rel", "_num", "_den")

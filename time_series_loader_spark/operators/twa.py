@@ -39,6 +39,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from time_series_loader_spark.functions.bucketing import time_bucket_column, time_span
 from time_series_loader_spark.functions.frequency import freq_to_seconds
 
 
@@ -58,15 +59,13 @@ def _with_next_us(
 
     spark = df.sparkSession
     n = num_buckets or spark.sparkContext.defaultParallelism
-    b = out.agg(F.min("_s").alias("lo"), F.max("_s").alias("hi")).collect()[0]
-    if b["lo"] is None or b["hi"] is None or b["hi"] <= b["lo"] or n <= 1:
+    lo, hi = time_span(out, ts_col)
+    if lo is None or hi is None or hi <= lo or n <= 1:
         w = Window.orderBy("_s")
         return out.withColumn("_e", F.lead("_s").over(w))
-    span = b["hi"] - b["lo"]
-    pid = F.least(
-        F.lit(n - 1), F.floor((F.col("_s") - F.lit(b["lo"])) * n / F.lit(span))
-    ).alias("_pid")
-    bucketed = out.withColumn("_pid", pid)
+    bucketed = out.withColumn(
+        "_pid", time_bucket_column(ts_col, lo, hi - lo, n)
+    )
     bounds = bucketed.groupBy("_pid").agg(F.min("_s").alias("_pmin"))
     w_b = Window.orderBy("_pid")  # n rows — trivially single-partition
     boundary = bounds.select(

@@ -39,13 +39,29 @@ def _read_store(
     store_path: str,
     id_field,
     num_hashes: int,
+    before_batch_id: int,
 ) -> DataFrame:
+    """Signatures of every batch STRICTLY BEFORE ``before_batch_id``.
+
+    The filter is load-bearing for exactly-once: a micro-batch that
+    crashed after its store write and is REPLAYED would otherwise read
+    its own previous partial output, self-dedup to empty, and overwrite
+    its survivors away. Only a genuinely-missing store path takes the
+    bootstrap branch — any other read failure must surface, because
+    deduping against a silently-empty store admits duplicates
+    irreversibly."""
+    from pyspark.errors import AnalysisException
+
     mh_cols = [f"mh{i}" for i in range(num_hashes)]
     try:
-        return spark.read.parquet(store_path).select(
-            id_field.name, "digest", *mh_cols
+        return (
+            spark.read.parquet(store_path)
+            .where(F.col("batch_id") < before_batch_id)
+            .select(id_field.name, "digest", *mh_cols)
         )
-    except Exception:  # first batch: no store yet
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         schema = StructType([id_field])
         empty = spark.createDataFrame([], schema)
         out = empty.withColumn("digest", F.lit(None).cast("string"))
@@ -83,7 +99,7 @@ def incremental_dedup_stream(
     id_field = schema[id_col]
 
     def process(bdf: DataFrame, batch_id: int) -> None:
-        store = _read_store(spark, store_path, id_field, num_hashes)
+        store = _read_store(spark, store_path, id_field, num_hashes, batch_id)
         surv = incremental_dedup(
             bdf, store, text_col, id_col,
             n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,

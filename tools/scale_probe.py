@@ -101,11 +101,18 @@ def main() -> None:
             open(marker, "w").close()
             print(f"# synth {factor}x: {time.time() - t0:.1f}s", file=sys.stderr)
         probe_qs = tuple(
-            os.environ.get(
+            name.strip()
+            for name in os.environ.get(
                 "SPARK_GRAFT_PROBE_QUERIES",
                 "minhash_lsh,gaps,text_profile,corpus_filter",
             ).split(",")
+            if name.strip()
         )
+        unknown = [name for name in probe_qs if name not in qs]
+        if unknown:
+            raise SystemExit(
+                f"unknown probe queries {unknown}; declared: {sorted(qs)}"
+            )
         for qname in probe_qs:
             fn = qs[qname]
             fn(spark, out_dir).count()  # discarded warm-up
