@@ -78,10 +78,14 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
 
     if driver_max_edges is not None:
-        # sym is checkpointed: the count and the (possible) collect read
-        # materialized partitions, not the upstream pair pipeline
-        if sym.count() <= 2 * driver_max_edges:
-            rows = sym.collect()
+        # ONE action decides AND fetches: collect limit N+1 (reading the
+        # checkpointed partitions, not the upstream pair pipeline) — a
+        # result within the limit IS the edge set; one row over means
+        # "too big, go distributed" with only ~N rows of driver traffic.
+        # A separate count() probe would cost a second job per call, and
+        # this path runs inside every clustering/dedup gate query.
+        rows = sym.limit(2 * driver_max_edges + 1).collect()
+        if len(rows) <= 2 * driver_max_edges:
             parent: dict = {}
 
             def find(x):
