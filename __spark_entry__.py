@@ -284,10 +284,19 @@ def q_continuity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone infer_freq query folds into this slot — the oracle
     recomputes the exact median in SQL, so the inference stays checked)."""
     _prep(spark)
+    from time_series_loader_spark.operators.rate import counter_increase
+
     ev = _t(spark, sf_dir, "events")
     med = float(infer_frequency_seconds(ev, "ts").collect()[0][0])
     s = continuity_stats(ev, "ts", expected_freq=med, min_gap=9 * med)
-    return s.select(
+    # reset-aware counter totals over the UNKEYED global timeline
+    # (`operators/rate.py`, r5 — exercises the bucketed-lag + broadcast
+    # boundary path): one 10-year bucket holds the whole fixture, so the
+    # per-bucket sums collapse to the global increase/reset counts
+    ci = counter_increase(ev, "ts", "value", "3650D").agg(
+        F.sum("increase").alias("_inc"), F.sum("n_resets").alias("_nr")
+    )
+    return s.crossJoin(ci).select(
         "start_time",
         "end_time",
         "n_rows",
@@ -296,6 +305,8 @@ def q_continuity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("span_seconds"), "span_seconds"),
         _r6(F.col("coverage_pct"), "coverage_pct"),
         _r6(F.lit(med), "freq_seconds"),
+        _r6(F.col("_inc"), "counter_increase_total"),
+        F.col("_nr").cast("long").alias("counter_resets"),
     )
 
 
@@ -309,14 +320,23 @@ WITH d AS (
 ), b AS (
   SELECT min(ts) AS start_time, max(ts) AS end_time, count(*) AS n_rows,
          epoch(max(ts)) - epoch(min(ts)) AS span FROM events
+), ci AS (
+  SELECT CAST(SUM(CASE WHEN v < pv THEN CAST(v AS DECIMAL(27,6))
+                       ELSE CAST(v AS DECIMAL(27,6)) - CAST(pv AS DECIMAL(27,6)) END) AS DOUBLE) AS inc,
+         SUM(CASE WHEN v < pv THEN 1 ELSE 0 END) AS n_resets
+  FROM (SELECT value AS v, lag(value) OVER (ORDER BY ts) AS pv
+        FROM events WHERE value IS NOT NULL)
+  WHERE pv IS NOT NULL
 )
 SELECT b.start_time, b.end_time, b.n_rows, g.n_gaps,
        floor((g.gap_total)*1000000 + 0.5)/1000000 AS gap_seconds_total,
        floor((b.span)*1000000 + 0.5)/1000000 AS span_seconds,
        floor((CASE WHEN b.span > 0 THEN (1.0 - g.gap_total / b.span) * 100.0 ELSE 100.0 END)*1000000 + 0.5)/1000000
          AS coverage_pct,
-       floor((m.med)*1000000 + 0.5)/1000000 AS freq_seconds
-FROM b, g, m
+       floor((m.med)*1000000 + 0.5)/1000000 AS freq_seconds,
+       floor((ci.inc)*1000000 + 0.5)/1000000 AS counter_increase_total,
+       ci.n_resets AS counter_resets
+FROM b, g, m, ci
 """
 
 

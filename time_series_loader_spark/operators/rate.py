@@ -1,0 +1,122 @@
+"""Reset-aware counter increase / rate per time bucket — the telemetry
+aggregate (PromQL ``increase()``/``rate()``, Influx ``non_negative_
+difference``) for MONOTONE COUNTERS that occasionally restart from zero
+(process restarts, rollovers).
+
+Semantics: per consecutive sample pair (prev, cur) within a series,
+the contribution is ``cur - prev`` when the counter advanced, and
+``cur`` when it went BACKWARD (a reset: the counter restarted near
+zero, so everything accumulated since the restart is ``cur``; anything
+lost between the last pre-reset sample and the restart is
+unobservable — the standard under-estimate every monitoring system
+accepts). Each contribution is attributed to the bucket of the LATER
+sample (exact sum of observed deltas; no PromQL-style window
+extrapolation — that is a presentation choice layered on top, not an
+aggregation property).
+
+Scale shape: keyed series hash-partition by key (one lag window + one
+groupBy, both on the key). Unkeyed input follows the fill.py/
+continuity.py discipline — deterministic time buckets, local lag per
+bucket, and a broadcast (bucket → previous bucket's last sample) table
+stitches boundaries; never a single-partition window. Sums accumulate
+in DECIMAL (the house rule: partition-order-independent).
+
+Null-valued samples are dropped first (a null counter reading observes
+nothing); deltas then span across them.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.functions.bucketing import time_bucket_column, time_span
+from time_series_loader_spark.functions.frequency import freq_to_seconds
+
+
+def _with_prev_value(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: Sequence[str],
+    num_buckets: int | None,
+) -> DataFrame:
+    """Adds ``_prev`` = previous sample's ``_v`` in time order (null for
+    each series' first sample)."""
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(ts_col)
+        return df.withColumn("_prev", F.lag("_v").over(w))
+
+    spark = df.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism
+    lo, hi = time_span(df, ts_col)
+    if lo is None or hi is None or hi <= lo or n <= 1:
+        w = Window.orderBy(ts_col)
+        return df.withColumn("_prev", F.lag("_v").over(w))
+    bucketed = df.withColumn("_pid", time_bucket_column(ts_col, lo, hi - lo, n))
+    bounds = bucketed.groupBy("_pid").agg(
+        F.max_by("_v", F.col(ts_col)).alias("_plast")
+    )
+    w_b = Window.orderBy("_pid")  # n rows — trivially single-partition
+    boundary = bounds.select(
+        "_pid", F.lag("_plast").over(w_b).alias("_boundary_prev")
+    )
+    w_local = Window.partitionBy("_pid").orderBy(ts_col)
+    return (
+        bucketed.withColumn("_local_prev", F.lag("_v").over(w_local))
+        .join(F.broadcast(boundary), "_pid", "left")
+        .withColumn("_prev", F.coalesce("_local_prev", "_boundary_prev"))
+        .drop("_pid", "_local_prev", "_boundary_prev")
+    )
+
+
+def counter_increase(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    freq: str | int,
+    group_cols: Sequence[str] = (),
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Per-bucket counter increase and per-second rate.
+
+    Returns (group_cols..., ``ts_col`` = bucket left edge, ``increase``
+    DOUBLE, ``rate`` DOUBLE = increase / bucket seconds, ``n_resets``
+    BIGINT) for every bucket containing at least one delta.
+    """
+    step_s = freq_to_seconds(freq)
+    step_us = int(round(step_s * 1_000_000))
+    if step_us <= 0:
+        raise ValueError("freq must be a positive duration")
+
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols, ts_col, F.col(value_col).cast("double").alias("_v")
+    )
+    lagged = _with_prev_value(base, ts_col, group_cols, num_buckets).where(
+        F.col("_prev").isNotNull()
+    )
+    reset = F.col("_v") < F.col("_prev")
+    contrib = F.when(reset, F.col("_v")).otherwise(F.col("_v") - F.col("_prev"))
+    bucket = F.floor(F.unix_micros(F.col(ts_col)) / step_us)
+    out = (
+        lagged.select(
+            *group_cols,
+            bucket.alias("_b"),
+            contrib.alias("_c"),
+            reset.cast("int").alias("_r"),
+        )
+        .groupBy(*group_cols, "_b")
+        .agg(
+            F.sum(F.col("_c").cast("decimal(27,6)")).alias("_inc"),
+            F.sum("_r").alias("n_resets"),
+        )
+    )
+    inc = F.col("_inc").cast("double")
+    return out.select(
+        *group_cols,
+        F.timestamp_micros((F.col("_b") * step_us).cast("long")).alias(ts_col),
+        inc.alias("increase"),
+        (inc / F.lit(float(step_s))).alias("rate"),
+        "n_resets",
+    )
