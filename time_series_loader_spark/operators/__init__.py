@@ -11,10 +11,20 @@ from time_series_loader_spark.operators.asof import asof_nearest
 from time_series_loader_spark.operators.outliers import remove_outliers_zscore
 from time_series_loader_spark.operators.dedup import (
     dedup_exact,
+    doc_signatures,
+    incremental_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
+from time_series_loader_spark.operators.ewm import ewm_mean
+from time_series_loader_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+    keep_representatives,
+)
+from time_series_loader_spark.operators.rate import counter_increase
+from time_series_loader_spark.operators.twa import time_weighted_mean
 from time_series_loader_spark.operators.text import (
     fingerprint,
     language_id,
@@ -33,6 +43,14 @@ from time_series_loader_spark.operators.relational import salted_join, top_k
 
 __all__ = [
     "dedup_exact",
+    "doc_signatures",
+    "incremental_dedup",
+    "ewm_mean",
+    "connected_components",
+    "dedup_clusters",
+    "keep_representatives",
+    "counter_increase",
+    "time_weighted_mean",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_near_dup_pairs",

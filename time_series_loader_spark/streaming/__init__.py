@@ -5,6 +5,7 @@ from time_series_loader_spark.streaming.ingest import (
     stream_parquet,
     windowed_resample_stream,
 )
+from time_series_loader_spark.streaming.incremental import incremental_dedup_stream
 from time_series_loader_spark.streaming.stateful import streaming_gap_detector
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "stream_parquet",
     "windowed_resample_stream",
     "streaming_gap_detector",
+    "incremental_dedup_stream",
 ]
