@@ -909,6 +909,13 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_es",
         "score_fr",
         "lang_pred",
+        _r6(F.col("symbol_token_ratio"), "symbol_token_ratio"),
+        _r6(F.col("bullet_line_frac"), "bullet_line_frac"),
+        _r6(F.col("ellipsis_line_frac"), "ellipsis_line_frac"),
+        _r6(F.col("dup_line_frac"), "dup_line_frac"),
+        _r6(F.col("alpha_word_frac"), "alpha_word_frac"),
+        "n_req_stopwords",
+        "pass_gopher",
         _r6(F.col("dup_token_ratio"), "dup_token_ratio"),
         _r6(F.col("top_bigram_frac"), "top_bigram_frac"),
         "fingerprint",
@@ -998,6 +1005,44 @@ li AS (SELECT * FROM ({{LANGID}}) _li),
 sh AS (SELECT * FROM ({{SIMHASH}}) _sh),
 bp AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
          AS n_tokens_bpeish FROM documents),
+gln AS (SELECT doc_id, text, {_SQL_TOKENS} AS t,
+          list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                      l -> l <> '') AS lines
+        FROM documents),
+gq AS (SELECT doc_id,
+  floor((((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', '')))/3) / len(t))*1000000 + 0.5)/1000000
+    AS symbol_token_ratio,
+  floor((CASE WHEN len(lines) > 0
+         THEN CAST(len(list_filter(lines, l -> substr(l,1,1) IN ('-','*','•'))) AS DOUBLE)/len(lines)
+         ELSE 0.0 END)*1000000 + 0.5)/1000000 AS bullet_line_frac,
+  floor((CASE WHEN len(lines) > 0
+         THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$'))) AS DOUBLE)/len(lines)
+         ELSE 0.0 END)*1000000 + 0.5)/1000000 AS ellipsis_line_frac,
+  floor((CASE WHEN len(lines) > 0
+         THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines)
+         ELSE 0.0 END)*1000000 + 0.5)/1000000 AS dup_line_frac,
+  floor((CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)/len(t))*1000000 + 0.5)/1000000
+    AS alpha_word_frac,
+  len(list_intersect(list_distinct(t),
+      ['the','be','to','of','and','that','have','with'])) AS n_req_stopwords,
+  (len(t) BETWEEN 50 AND 100000)
+    AND (length(regexp_replace(lower(text), '\\s+', '', 'g')) / len(t) BETWEEN 3.0 AND 10.0)
+    AND (((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', '')))/3) / len(t) <= 0.1)
+    AND (CASE WHEN len(lines) > 0
+         THEN CAST(len(list_filter(lines, l -> substr(l,1,1) IN ('-','*','•'))) AS DOUBLE)/len(lines)
+         ELSE 0.0 END <= 0.9)
+    AND (CASE WHEN len(lines) > 0
+         THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$'))) AS DOUBLE)/len(lines)
+         ELSE 0.0 END <= 0.3)
+    AND (CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)/len(t) >= 0.8)
+    AND (len(list_intersect(list_distinct(t),
+         ['the','be','to','of','and','that','have','with'])) >= 2)
+    AND (CASE WHEN len(lines) > 0
+         THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines)
+         ELSE 0.0 END <= 0.3) AS pass_gopher
+  FROM gln),
 tk AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
 bgt AS (SELECT doc_id, t,
           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg FROM tk),
@@ -1013,9 +1058,12 @@ fp AS ({SQL_fingerprint})
 SELECT ts.doc_id, ts.n_chars, qs.n_tokens, ts.mean_token_len, bp.n_tokens_bpeish,
        qs.stopword_ratio, qs.punct_ratio, qs.digit_ratio, qs.quality_score,
        li.score_de, li.score_en, li.score_es, li.score_fr, li.lang_pred,
+       gq.symbol_token_ratio, gq.bullet_line_frac, gq.ellipsis_line_frac,
+       gq.dup_line_frac, gq.alpha_word_frac, gq.n_req_stopwords, gq.pass_gopher,
        rep.dup_token_ratio, rep.top_bigram_frac, fp.fingerprint, sh.simhash
 FROM ts JOIN qs USING(doc_id) JOIN li USING(doc_id) JOIN sh USING(doc_id)
      JOIN bp USING(doc_id) JOIN rep USING(doc_id) JOIN fp USING(doc_id)
+     JOIN gq USING(doc_id)
 """.replace("{LANGID}", _sql_langid()).replace("{SIMHASH}", _sql_simhash())
 
 

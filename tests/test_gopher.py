@@ -1,0 +1,159 @@
+"""Gopher-rule quality flags (operators/text.py::gopher_quality_flags).
+
+The driver testdata corpus is single-line word-salad (no bullets, no
+ellipses, ≤1 required stopword), so the line-level rules get zero
+exercise from the oracle query — these fixtures put every rule on both
+sides of its threshold. Parity with the DuckDB oracle expression set is
+checked in-process too, so the entry-file SQL and the Spark expressions
+can't drift apart on the rules the corpus never triggers.
+"""
+
+import duckdb
+import pytest
+
+from time_series_loader_spark.operators.text import (
+    REQUIRED_STOPWORDS,
+    gopher_quality_flags,
+    text_profile,
+)
+
+# A base paragraph that passes every rule: >50 words, normal word
+# length, ≥2 required stopwords, alphabetic, no bullets/ellipses/dups.
+GOOD = (
+    "the quick brown fox jumps over that lazy dog and keeps running with\n"
+    "steady pace through the forest to find some food and water for the\n"
+    "long winter that is coming soon and everyone must have enough stored\n"
+    "away before the first snow falls on the quiet valley floor tonight\n"
+    "while the wind blows gently across the open meadow near the river"
+)
+
+FIXTURES = {
+    # doc_id: (text, expect_pass, reason)
+    0: (GOOD, True, "baseline good document"),
+    1: ("the cat and dog", False, "word count < 50"),
+    2: (GOOD + " ###### " + "# " * 20, False, "symbol ratio > 0.1"),
+    3: (
+        "\n".join("- bullet item %d with the and that" % i for i in range(10)),
+        False,
+        "all lines bullet-initial (and short)",
+    ),
+    4: (
+        GOOD + "\n" + "\n".join("this line trails off and so..." for _ in range(5)),
+        False,
+        "ellipsis-terminated lines > 0.3",
+    ),
+    5: (
+        "42 17 9000 3.14 " * 20 + "the and of that",
+        False,
+        "alpha word fraction < 0.8",
+    ),
+    6: (
+        " ".join("word%d" % i for i in range(60)),
+        False,
+        "no required stopwords",
+    ),
+    7: (
+        GOOD + "\n" + "\n".join("the same repeated line here" for _ in range(6)),
+        False,
+        "duplicate-line fraction > 0.3",
+    ),
+    8: (
+        "a b c d e " * 15 + "the of and that have",
+        False,
+        "mean word length < 3",
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def gdocs(spark):
+    rows = [(i, t) for i, (t, _, _) in FIXTURES.items()]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_pass_flag_per_rule(spark, gdocs):
+    out = {r["doc_id"]: r for r in gopher_quality_flags(gdocs, "text", "doc_id").collect()}
+    assert len(out) == len(FIXTURES)
+    for i, (_, expect, reason) in FIXTURES.items():
+        assert out[i]["pass_gopher"] is expect, f"doc {i}: {reason}"
+
+
+def test_fraction_columns(spark, gdocs):
+    out = {r["doc_id"]: r for r in gopher_quality_flags(gdocs, "text", "doc_id").collect()}
+    # bullet doc: every line bullet-initial
+    assert out[3]["bullet_line_frac"] == 1.0
+    # ellipsis doc: 5 of 10 lines end with '...'
+    assert abs(out[4]["ellipsis_line_frac"] - 5 / 10) < 1e-12
+    # dup-line doc: 6 identical lines after 5 distinct ones → 5/11 dup
+    assert abs(out[7]["dup_line_frac"] - 5 / 11) < 1e-12
+    # numeric doc: required stopwords all present exactly once
+    assert out[5]["n_req_stopwords"] == 4
+    # good doc: zero special fractions, all 1.0 alpha
+    g = out[0]
+    assert g["symbol_token_ratio"] == 0.0
+    assert g["bullet_line_frac"] == 0.0
+    assert g["ellipsis_line_frac"] == 0.0
+    assert g["dup_line_frac"] == 0.0
+    assert g["alpha_word_frac"] == 1.0
+    assert g["n_req_stopwords"] >= 2
+
+
+def test_required_stopwords_is_distinct_count(spark):
+    # repeating 'the' 50 times still counts as ONE required stopword
+    df = spark.createDataFrame([(0, "the " * 60)], "doc_id LONG, text STRING")
+    row = gopher_quality_flags(df, "text", "doc_id").collect()[0]
+    assert row["n_req_stopwords"] == 1
+    assert row["pass_gopher"] is False
+
+
+def test_profile_carries_gopher_columns(spark, gdocs):
+    prof = {r["doc_id"]: r for r in text_profile(gdocs, "text", "doc_id").collect()}
+    flags = {r["doc_id"]: r for r in gopher_quality_flags(gdocs, "text", "doc_id").collect()}
+    for i in FIXTURES:
+        for c in (
+            "symbol_token_ratio",
+            "bullet_line_frac",
+            "ellipsis_line_frac",
+            "dup_line_frac",
+            "alpha_word_frac",
+            "n_req_stopwords",
+            "pass_gopher",
+        ):
+            assert prof[i][c] == flags[i][c], (i, c)
+
+
+def test_duckdb_parity_on_rule_exercising_fixtures(spark, gdocs):
+    """The same rules rebuilt in DuckDB SQL (the oracle dialect) agree on
+    fixtures that actually trigger the line-level rules."""
+    pdf = gdocs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    req = ", ".join(f"'{w}'" for w in REQUIRED_STOPWORDS)
+    sql = f"""
+    WITH gln AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t,
+      list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                  l -> l <> '') AS lines FROM documents)
+    SELECT doc_id,
+      (len(t) BETWEEN 50 AND 100000)
+      AND (length(regexp_replace(lower(text), '\\s+', '', 'g')) / len(t) BETWEEN 3.0 AND 10.0)
+      AND (((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', '')))/3) / len(t) <= 0.1)
+      AND (CASE WHEN len(lines) > 0
+           THEN CAST(len(list_filter(lines, l -> substr(l,1,1) IN ('-','*','•'))) AS DOUBLE)/len(lines)
+           ELSE 0.0 END <= 0.9)
+      AND (CASE WHEN len(lines) > 0
+           THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$'))) AS DOUBLE)/len(lines)
+           ELSE 0.0 END <= 0.3)
+      AND (CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)/len(t) >= 0.8)
+      AND (len(list_intersect(list_distinct(t), [{req}])) >= 2)
+      AND (CASE WHEN len(lines) > 0
+           THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines)
+           ELSE 0.0 END <= 0.3) AS pass_gopher
+    FROM gln
+    """
+    duck = dict(con.execute(sql).fetchall())
+    sp = {
+        r["doc_id"]: r["pass_gopher"]
+        for r in gopher_quality_flags(gdocs, "text", "doc_id").collect()
+    }
+    assert duck == sp

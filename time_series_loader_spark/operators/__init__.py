@@ -27,6 +27,7 @@ from time_series_loader_spark.operators.rate import counter_increase
 from time_series_loader_spark.operators.twa import time_weighted_mean
 from time_series_loader_spark.operators.text import (
     fingerprint,
+    gopher_quality_flags,
     language_id,
     quality_features,
     simhash_bits,
@@ -55,6 +56,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_near_dup_pairs",
     "fingerprint",
+    "gopher_quality_flags",
     "language_id",
     "quality_features",
     "simhash_bits",

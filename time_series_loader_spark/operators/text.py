@@ -104,6 +104,101 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, *_quality_exprs(text_col))
 
 
+# The "required words" rule from the Gopher paper (Rae et al. 2021,
+# public): a natural-language English document almost surely contains at
+# least 2 of these.
+REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_exprs(text_col: str, toks: Column | None = None) -> list[Column]:
+    """Gopher/C4-style rule-filter expressions (shared by
+    gopher_quality_flags/text_profile).
+
+    All pure built-in expressions (split/filter/replace/regexp) — the
+    whole rule battery stays inside whole-stage codegen, zero shuffle,
+    and is a deterministic pure function of the text (identical across
+    partitionings and engines; the DuckDB oracle rebuilds every rule).
+
+    ``toks``: optional pre-tokenized array column (see _quality_exprs).
+    """
+    t = tokens(text_col) if toks is None else toks
+    n_tokens = F.size(t)
+    txt = F.col(text_col)
+    low = F.lower(txt)
+
+    # symbol-to-word ratio: '#' occurrences + '...' occurrences per token
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = (n_hash + n_ellipsis) / n_tokens
+
+    # line-level rules over non-blank trimmed lines
+    lines = F.filter(
+        F.transform(F.split(txt, "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    n_lines = F.size(lines)
+
+    def _line_frac(pred) -> Column:
+        frac = F.size(F.filter(lines, pred)).cast("double") / n_lines
+        return F.when(n_lines > 0, frac).otherwise(F.lit(0.0))
+
+    bullet_frac = _line_frac(lambda l: F.substring(l, 1, 1).isin("-", "*", "•"))
+    ellipsis_frac = _line_frac(lambda l: l.rlike(r"\.\.\.$"))
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    alpha_frac = F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("double") / n_tokens
+    n_req = F.size(
+        F.array_intersect(
+            F.array_distinct(t), F.array(*[F.lit(w) for w in REQUIRED_STOPWORDS])
+        )
+    )
+    mean_len = (
+        F.length(F.regexp_replace(low, r"\s+", "")).cast("double") / n_tokens
+    )
+
+    passed = (
+        (n_tokens >= 50)
+        & (n_tokens <= 100000)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_req >= 2)
+        & (dup_line_frac <= 0.3)
+    )
+    return [
+        symbol_ratio.alias("symbol_token_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        dup_line_frac.alias("dup_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_req.alias("n_req_stopwords"),
+        passed.alias("pass_gopher"),
+    ]
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-rule document filter signals (Rae et al. 2021, §A1.1 — the
+    standard pre-training heuristic battery) + the combined pass flag.
+
+    Rules: 50 ≤ word count ≤ 100k; 3 ≤ mean word length ≤ 10;
+    symbol-to-word ratio ('#'/'...') ≤ 0.1; ≤ 90% of lines
+    bullet-initial; ≤ 30% of lines ellipsis-terminated; ≥ 80% of words
+    contain an alphabetic character; ≥ 2 of the 8 "required" English
+    stopwords present; duplicate-line fraction ≤ 0.3 (C4-style).
+
+    Emits the raw fractions (for threshold tuning / debugging) plus
+    ``pass_gopher``. Zero shuffle; see :func:`_gopher_exprs` for the
+    scale shape.
+    """
+    return df.select(id_col, *_gopher_exprs(text_col))
+
+
 def _langid_exprs(text_col: str, toks: Column | None = None) -> list[Column]:
     """Language-ID expressions (shared by language_id/text_profile).
 
@@ -285,8 +380,8 @@ def text_profile(
     min_parallelism: int | None = None,
 ) -> DataFrame:
     """Single-pass per-document profile: token stats + BPE-ish count +
-    quality features + language ID + repetition signals + fingerprint +
-    SimHash.
+    quality features + Gopher rule flags + language ID + repetition
+    signals + fingerprint + SimHash.
 
     Scale shape: the O(1)-per-row columns are built-in expressions
     (whole-stage codegen); the per-row O(n) work — simhash AND the
@@ -334,6 +429,7 @@ def text_profile(
         (n_alpha.cast("double") / n_tokens).alias("mean_token_len"),
         token_count_bpeish(text_col).alias("n_tokens_bpeish"),
         *_langid_exprs(text_col, toks=t),
+        *_gopher_exprs(text_col, toks=t),
         F.md5(fp).alias("fingerprint"),
     )
 
