@@ -149,3 +149,64 @@ def test_text_profile_drops_null_text_like_simhash_bits(spark):
     prof_ids = {r["doc_id"] for r in text_profile(df, "text", "doc_id").collect()}
     sh_ids = {r["doc_id"] for r in simhash_bits(df, "text", "doc_id").collect()}
     assert prof_ids == sh_ids == {1}
+
+
+def test_write_packed_shards_layout_and_roundtrip(spark, tmp_path):
+    """shard_pack → write_packed_shards: one file per shard directory,
+    full row round-trip, and reading one shard prunes to its directory."""
+    from time_series_loader_spark.sources.sink import read_shard, write_packed_shards
+
+    rows = [(i, (i % 7) + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id LONG, n_tokens LONG")
+    packed = shard_pack(df, "doc_id", "n_tokens", budget=40)
+    path = str(tmp_path / "shards")
+    manifest = write_packed_shards(packed, path, order_col="doc_id")
+    man = {r["shard_id"]: r for r in manifest.collect()}
+
+    # one physical file per shard directory, even though shards share tasks
+    assert all(r["n_files"] == 1 for r in man.values())
+    # every input row landed in exactly one shard
+    assert sum(r["n_rows"] for r in man.values()) == 100
+
+    back = spark.read.parquet(path)
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(100))
+
+    # per-shard budget honored (greedy close-on-cross: a shard's total may
+    # overshoot by at most one row's weight; max weight here is 7)
+    totals = {
+        r["shard_id"]: r["t"]
+        for r in back.groupBy("shard_id").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert all(t <= 40 + 7 for t in totals.values())
+
+    # shard read prunes: partition filter, not a full scan
+    one = read_shard(spark, path, shard_id=0)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard_id" in plan
+    assert one.count() == man[0]["n_rows"]
+
+
+def test_write_packed_shards_deterministic_bytes(spark, tmp_path):
+    """Same rows, different incoming partitioning → identical shard files
+    (order_col makes the write byte-deterministic)."""
+    import hashlib
+    import pathlib
+
+    from time_series_loader_spark.sources.sink import write_packed_shards
+
+    rows = [(i, 5) for i in range(60)]
+
+    def digest(base: str, df) -> dict:
+        packed = shard_pack(df, "doc_id", "n_tokens", budget=25)
+        write_packed_shards(packed, base, order_col="doc_id")
+        out = {}
+        for p in sorted(pathlib.Path(base).rglob("*.parquet")):
+            out[p.parent.name] = hashlib.sha256(p.read_bytes()).hexdigest()
+        return out
+
+    d1 = digest(str(tmp_path / "a"), spark.createDataFrame(rows, "doc_id LONG, n_tokens LONG"))
+    d2 = digest(
+        str(tmp_path / "b"),
+        spark.createDataFrame(rows, "doc_id LONG, n_tokens LONG").repartition(13),
+    )
+    assert d1 == d2

@@ -74,6 +74,54 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_packed_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard_id",
+    order_col: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize :func:`~time_series_loader_spark.operators.sampling.shard_pack`
+    output as one parquet file per shard — the layout a training-data
+    loader consumes (shard = one reader unit of ~budget tokens).
+
+    Plan shape: ONE hash repartition on ``shard_col`` puts each shard's
+    rows in a single task, and ``partitionBy(shard_col)`` routes them to
+    `shard_id=N/` directories — so every shard directory holds exactly
+    one file, regardless of how many shards share a task (the writer
+    splits per partition value). ``order_col`` sorts rows WITHIN each
+    task before writing, giving byte-deterministic shard files (same
+    rows → same file), which makes reruns diffable and caches stable.
+
+    Returns a manifest DataFrame (shard_id, n_rows, file count) computed
+    from the WRITTEN data — what landed on disk, not what was planned —
+    by scanning only parquet footers plus the partition listing.
+    """
+    spark = df.sparkSession
+    out = df.repartition(F.col(shard_col))
+    if order_col is not None:
+        out = out.sortWithinPartitions(shard_col, order_col)
+    out.write.mode(mode).partitionBy(shard_col).parquet(path)
+
+    written = spark.read.parquet(path)
+    return (
+        written.withColumn("_file", F.input_file_name())
+        .groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("_file").alias("n_files"),
+        )
+    )
+
+
+def read_shard(spark, path: str, shard_id: int) -> DataFrame:
+    """Read ONE shard from a packed layout. The equality filter on the
+    partition column prunes to the single `shard_id=N/` directory at
+    planning time — a reader fleet pulling shard i each touches one
+    file, never the whole dataset."""
+    return spark.read.parquet(path).where(F.col("shard_id") == shard_id)
+
+
 def colocated_join(
     spark, left_table: str, right_table: str, on: list[str], how: str = "inner"
 ) -> DataFrame:
