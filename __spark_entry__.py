@@ -517,20 +517,39 @@ FROM pts p LEFT JOIN agg a ON a.ts = p.lo
 
 
 def q_zscore_inliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P10 z-score outlier removal (reference ts_extensions.py:165-210):
-    rows kept after dropping |z| > 3 on value."""
+    """Composite outlier slot, two sections: (a) P10 z-score removal
+    (reference ts_extensions.py:165-210), rows kept after dropping
+    |z| > 3 on value; (b) beyond-reference Hampel/MAD robust removal
+    (operators/outliers.py::remove_outliers_mad), rows kept after
+    dropping |x − median| / (1.4826·MAD) > 3.5 — the 50%-breakdown
+    variant a contaminated scrape needs (mean/std are dragged by the
+    very outliers they're meant to catch)."""
     _prep(spark)
+    from time_series_loader_spark.operators.outliers import remove_outliers_mad
+
     ev = _t(spark, sf_dir, "events")
-    out = remove_outliers_zscore(ev, ["value"], threshold=3.0)
-    return out.select("event_id", _r6(F.col("value"), "value"))
+    z = remove_outliers_zscore(ev, ["value"], threshold=3.0).select(
+        F.lit("zscore").alias("method"), "event_id", _r6(F.col("value"), "value")
+    )
+    m = remove_outliers_mad(ev, ["value"], threshold=3.5).select(
+        F.lit("mad").alias("method"), "event_id", _r6(F.col("value"), "value")
+    )
+    return z.unionByName(m)
 
 
 SQL_zscore_inliers = """
-WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events)
-SELECT e.event_id, floor((e.value)*1000000 + 0.5)/1000000 AS value
+WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events),
+med AS (SELECT quantile_cont(value, 0.5) AS md FROM events),
+mad AS (SELECT quantile_cont(abs(value - med.md), 0.5) AS mv FROM events, med)
+SELECT 'zscore' AS method, e.event_id, floor((e.value)*1000000 + 0.5)/1000000 AS value
 FROM events e, s
 WHERE s.sd IS NULL OR s.sd = 0 OR e.value IS NULL
    OR abs((e.value - s.m) / s.sd) <= 3.0
+UNION ALL
+SELECT 'mad' AS method, e.event_id, floor((e.value)*1000000 + 0.5)/1000000 AS value
+FROM events e, med, mad
+WHERE mad.mv IS NULL OR mad.mv = 0 OR e.value IS NULL
+   OR abs(e.value - med.md) / (1.4826 * mad.mv) <= 3.5
 """
 
 

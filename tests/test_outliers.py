@@ -1,0 +1,71 @@
+"""Outlier removal: z-score (P10 parity) and Hampel/MAD (robust)."""
+
+import pytest
+
+from time_series_loader_spark.operators.outliers import (
+    MAD_SCALE,
+    remove_outliers_mad,
+    remove_outliers_zscore,
+)
+
+
+def _vals(df):
+    return sorted(r["x"] for r in df.collect() if r["x"] is not None)
+
+
+def test_zscore_drops_tail(spark):
+    rows = [(float(i),) for i in range(20)] + [(1000.0,)]
+    df = spark.createDataFrame(rows, "x DOUBLE")
+    out = _vals(remove_outliers_zscore(df, ["x"], threshold=3.0))
+    assert 1000.0 not in out and len(out) == 20
+
+
+def test_mad_catches_masked_cluster(spark):
+    """A CLUSTER of outliers inflates std enough that z-score keeps all of
+    them (masking); median/MAD is unmoved and drops every one."""
+    base = [(float(i % 10),) for i in range(50)]  # values 0..9
+    junk = [(500.0,)] * 10
+    df = spark.createDataFrame(base + junk, "x DOUBLE")
+    z = _vals(remove_outliers_zscore(df, ["x"], threshold=3.0))
+    m = _vals(remove_outliers_mad(df, ["x"], threshold=3.5))
+    assert 500.0 in z  # masked: the cluster inflates std to ~185 → z ≈ 2.2
+    assert max(m) <= 9.0 and len(m) == 50  # MAD identifies all ten
+
+
+def test_mad_zero_skips_column(spark):
+    """> 50% identical values → MAD == 0 → column skipped (keep all),
+    mirroring the std == 0 rule."""
+    rows = [(5.0,)] * 30 + [(9999.0,)]
+    df = spark.createDataFrame(rows, "x DOUBLE")
+    assert remove_outliers_mad(df, ["x"], threshold=3.5).count() == 31
+
+
+def test_mad_keeps_nulls_and_exact_threshold(spark):
+    rows = [(None,), (1.0,), (2.0,), (3.0,), (4.0,), (5.0,)]
+    df = spark.createDataFrame(rows, "x DOUBLE")
+    out = remove_outliers_mad(df, ["x"], threshold=3.5)
+    assert out.count() == 6  # median 3, MAD 1 → max robust z = 2/1.4826 ≈ 1.35
+
+
+def test_mad_grouped(spark):
+    """Per-group medians: an outlier for series 'a' is a normal value for
+    series 'b'."""
+    rows = [("a", float(v)) for v in range(10)] + [("a", 400.0)] + [
+        ("b", float(v)) for v in range(395, 406)
+    ]
+    df = spark.createDataFrame(rows, "k STRING, x DOUBLE")
+    out = remove_outliers_mad(df, ["x"], threshold=3.5, group_cols=["k"])
+    kept = {(r["k"], r["x"]) for r in out.collect()}
+    assert ("a", 400.0) not in kept
+    assert ("b", 400.0) in kept and ("b", 395.0) in kept
+
+
+def test_mad_matches_manual_hampel(spark):
+    import statistics
+
+    vals = [1.0, 2.0, 2.5, 3.0, 3.5, 4.0, 9.0, 50.0]
+    med = statistics.median(vals)
+    mad = statistics.median(abs(v - med) for v in vals)
+    expect = [v for v in vals if abs(v - med) / (MAD_SCALE * mad) <= 3.5]
+    df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+    assert _vals(remove_outliers_mad(df, ["x"], threshold=3.5)) == sorted(expect)

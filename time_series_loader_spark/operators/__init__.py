@@ -8,7 +8,10 @@ from time_series_loader_spark.operators.grid import time_grid, reindex_to_grid
 from time_series_loader_spark.operators.fill import ffill, bfill
 from time_series_loader_spark.operators.interpolate import interpolate_time
 from time_series_loader_spark.operators.asof import asof_nearest
-from time_series_loader_spark.operators.outliers import remove_outliers_zscore
+from time_series_loader_spark.operators.outliers import (
+    remove_outliers_mad,
+    remove_outliers_zscore,
+)
 from time_series_loader_spark.operators.dedup import (
     dedup_exact,
     doc_signatures,
@@ -80,5 +83,6 @@ __all__ = [
     "bfill",
     "interpolate_time",
     "asof_nearest",
+    "remove_outliers_mad",
     "remove_outliers_zscore",
 ]

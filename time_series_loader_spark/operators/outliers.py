@@ -1,4 +1,4 @@
-"""Z-score outlier removal (P10).
+"""Z-score and robust (MAD) outlier removal (P10).
 
 Parity target: reference ``OutlierRemovalHook`` (``ts_extensions.py:165-210``)
 — per configured numeric column, drop rows where ``|x - mean| / std >
@@ -42,4 +42,61 @@ def remove_outliers_zscore(
         # std null (n<2) or 0 → column skipped (keep all), as in reference
         keep = keep & (std.isNull() | (std == 0) | F.col(c).isNull() | (z <= threshold))
     drop = [f"_mean_{c}" for c in cols] + [f"_std_{c}" for c in cols]
+    return joined.where(keep).drop(*drop)
+
+
+# MAD→σ consistency constant for normal data (1/Φ⁻¹(3/4)); the Hampel
+# identifier's robust z is |x − median| / (1.4826·MAD).
+MAD_SCALE = 1.4826
+
+
+def remove_outliers_mad(
+    df: DataFrame,
+    cols: Sequence[str],
+    threshold: float = 3.5,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Hampel-style robust outlier removal: drop rows where
+    |x − median| / (1.4826·MAD) > ``threshold`` (default 3.5, the
+    standard Hampel cutoff).
+
+    Beyond-reference robustness upgrade to ``remove_outliers_zscore``:
+    mean/std are themselves dragged by the outliers they're meant to
+    catch (masking); median/MAD have a 50% breakdown point, so a heavy
+    contaminated tail — the normal case in scraped training data — can't
+    hide itself. Columns where MAD == 0 (>50% of values identical) are
+    skipped, mirroring the std == 0 rule; null values are kept.
+
+    Scale shape: two aggregation passes (median, then median absolute
+    deviation — MAD is a nested order statistic and cannot be computed in
+    one pass), each producing a 1-row (or 1-per-group) stats frame that
+    broadcasts back; the fact side is never shuffled. Exact
+    ``percentile`` keeps oracle parity; at 100 TB swap for
+    ``approx_percentile`` (t-digest sketch, one pass each) — the cutoff
+    is a heuristic threshold, not an exact-arithmetic contract.
+    """
+    med_aggs = [F.percentile(c, 0.5).alias(f"_med_{c}") for c in cols]
+    med = df.groupBy(*group_cols).agg(*med_aggs)
+
+    def _attach(frame: DataFrame, stats: DataFrame) -> DataFrame:
+        return (
+            frame.join(F.broadcast(stats), list(group_cols), "left")
+            if group_cols
+            else frame.crossJoin(F.broadcast(stats))
+        )
+
+    with_med = _attach(df, med)
+    mad_aggs = [
+        F.percentile(F.abs(F.col(c) - F.col(f"_med_{c}")), 0.5).alias(f"_mad_{c}")
+        for c in cols
+    ]
+    mad = with_med.groupBy(*group_cols).agg(*mad_aggs)
+
+    joined = _attach(with_med, mad)
+    keep = F.lit(True)
+    for c in cols:
+        m = F.col(f"_mad_{c}")
+        z = F.abs(F.col(c) - F.col(f"_med_{c}")) / (F.lit(MAD_SCALE) * m)
+        keep = keep & (m.isNull() | (m == 0) | F.col(c).isNull() | (z <= threshold))
+    drop = [f"_med_{c}" for c in cols] + [f"_mad_{c}" for c in cols]
     return joined.where(keep).drop(*drop)
