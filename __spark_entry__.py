@@ -174,9 +174,19 @@ def q_resample_1h_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation per method joined back). Subsumes the round-1/2
     resample_15min_sum / resample_first_last variants in one driver slot;
     non-hour frequencies stay covered by the 30-min reindex grid, the
-    daily keyed resample, and frequency.py unit tests."""
+    daily keyed resample, and frequency.py unit tests.
+
+    r5: the SAME pass also carries the M4 downsampling aggregates
+    (Jugel et al., VLDB 2014 — min/max with their REAL arg timestamps;
+    ties: min→earliest, max→latest via lexicographic (value, ts) struct
+    order) — the aggregate core of `operators/resample.py::m4_downsample`,
+    whose point-explosion form is equality-tested against these columns
+    in test_resample."""
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
+    _vt = F.when(
+        F.col("value").isNotNull(), F.struct(F.col("value").alias("v"), F.col("ts").alias("t"))
+    )
     out = resample(
         ev,
         "ts",
@@ -188,6 +198,10 @@ def q_resample_1h_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum": ("value", "sum"),
             "value_first": ("value", "first"),
             "value_last": ("value", "last"),
+            "value_min": ("value", "min"),
+            "value_max": ("value", "max"),
+            "ts_min": F.min(_vt).getField("t"),
+            "ts_max": F.max(_vt).getField("t"),
         },
     )
     return out.select(
@@ -197,6 +211,10 @@ def q_resample_1h_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("value_sum"), "value_sum"),
         _r6(F.col("value_first"), "value_first"),
         _r6(F.col("value_last"), "value_last"),
+        _r6(F.col("value_min"), "value_min"),
+        _r6(F.col("value_max"), "value_max"),
+        "ts_min",
+        "ts_max",
     )
 
 
@@ -206,7 +224,11 @@ SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * INT
        COUNT(value) AS n,
        floor((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS value_sum,
        floor((arg_min(value, ts))*1000000 + 0.5)/1000000 AS value_first,
-       floor((arg_max(value, ts))*1000000 + 0.5)/1000000 AS value_last
+       floor((arg_max(value, ts))*1000000 + 0.5)/1000000 AS value_last,
+       floor((MIN(value))*1000000 + 0.5)/1000000 AS value_min,
+       floor((MAX(value))*1000000 + 0.5)/1000000 AS value_max,
+       (min(CASE WHEN value IS NOT NULL THEN {'v': value, 't': ts} END)).t AS ts_min,
+       (max(CASE WHEN value IS NOT NULL THEN {'v': value, 't': ts} END)).t AS ts_max
 FROM events GROUP BY 1
 """
 

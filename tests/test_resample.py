@@ -127,3 +127,77 @@ class TestBreakpointResample:
         assert t[points[2]] == pytest.approx(11.0)
         assert f[points[2]] is None
         assert f[points[5]] is not None  # clean bin unaffected
+
+
+def test_m4_downsample_matches_aggregate_form(spark):
+    """The point-explosion form agrees with min/max/first/last aggregates
+    computed in a single resample pass (the gate query's M4 columns)."""
+    from time_series_loader_spark.operators.resample import m4_downsample
+
+    rows = [
+        (datetime(2023, 1, 1, 0, m), v)
+        for m, v in [(5, 3.0), (10, 9.0), (20, 1.0), (40, 7.0), (50, 5.0)]
+    ] + [(datetime(2023, 1, 1, 1, 15), 2.0)]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, value DOUBLE")
+    pts = m4_downsample(df, "ts", "value", "1h")
+    got = {
+        (r["bucket_ts"], r["role"]): (r["ts"], r["value"]) for r in pts.collect()
+    }
+    b0 = datetime(2023, 1, 1, 0)
+    assert got[(b0, "first")] == (datetime(2023, 1, 1, 0, 5), 3.0)
+    assert got[(b0, "min")] == (datetime(2023, 1, 1, 0, 20), 1.0)
+    assert got[(b0, "max")] == (datetime(2023, 1, 1, 0, 10), 9.0)
+    assert got[(b0, "last")] == (datetime(2023, 1, 1, 0, 50), 5.0)
+    b1 = datetime(2023, 1, 1, 1)
+    # single-point bucket: all four roles collapse onto the same point
+    assert all(got[(b1, r)] == (datetime(2023, 1, 1, 1, 15), 2.0)
+               for r in ("first", "min", "max", "last"))
+
+    agg = resample(
+        df, "ts", "1h", method="min", value_cols=["value"],
+        extra_aggs={"vmax": ("value", "max"),
+                    "vfirst": ("value", "first"), "vlast": ("value", "last")},
+    )
+    for r in agg.collect():
+        b = r["ts"]
+        assert got[(b, "min")][1] == r["value"]
+        assert got[(b, "max")][1] == r["vmax"]
+        assert got[(b, "first")][1] == r["vfirst"]
+        assert got[(b, "last")][1] == r["vlast"]
+
+
+def test_m4_downsample_tie_and_null_rules(spark):
+    from time_series_loader_spark.operators.resample import m4_downsample
+
+    rows = [
+        (datetime(2023, 1, 1, 0, 10), 5.0),   # min tie (earlier)
+        (datetime(2023, 1, 1, 0, 20), None),  # nulls never become points
+        (datetime(2023, 1, 1, 0, 30), 5.0),   # min tie (later) = max tie
+        (datetime(2023, 1, 1, 2, 0), None),   # all-null bucket → no rows
+    ]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, value DOUBLE")
+    got = {
+        (r["bucket_ts"], r["role"]): r["ts"]
+        for r in m4_downsample(df, "ts", "value", "1h").collect()
+    }
+    b0 = datetime(2023, 1, 1, 0)
+    assert got[(b0, "min")] == datetime(2023, 1, 1, 0, 10)   # earliest wins
+    assert got[(b0, "max")] == datetime(2023, 1, 1, 0, 30)   # latest wins
+    assert len(got) == 4  # only bucket 0 emits; the all-null bucket is absent
+
+
+def test_m4_downsample_grouped(spark):
+    from time_series_loader_spark.operators.resample import m4_downsample
+
+    rows = [
+        ("a", datetime(2023, 1, 1, 0, 1), 1.0),
+        ("a", datetime(2023, 1, 1, 0, 2), 9.0),
+        ("b", datetime(2023, 1, 1, 0, 3), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, value DOUBLE")
+    out = m4_downsample(df, "ts", "value", "1h", group_cols=["k"])
+    per_key = {}
+    for r in out.collect():
+        per_key.setdefault(r["k"], set()).add((r["role"], r["value"]))
+    assert per_key["a"] == {("first", 1.0), ("min", 1.0), ("max", 9.0), ("last", 9.0)}
+    assert per_key["b"] == {("first", 4.0), ("min", 4.0), ("max", 4.0), ("last", 4.0)}

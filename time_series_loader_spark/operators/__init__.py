@@ -1,4 +1,8 @@
-from time_series_loader_spark.operators.resample import resample, resample_with_dates
+from time_series_loader_spark.operators.resample import (
+    m4_downsample,
+    resample,
+    resample_with_dates,
+)
 from time_series_loader_spark.operators.continuity import (
     infer_frequency_seconds,
     find_gaps,
@@ -72,6 +76,7 @@ __all__ = [
     "extract_features",
     "salted_join",
     "top_k",
+    "m4_downsample",
     "resample",
     "resample_with_dates",
     "infer_frequency_seconds",

@@ -97,7 +97,7 @@ def resample(
     value_cols: Sequence[str] | None = None,
     group_cols: Sequence[str] = (),
     skipna: bool = True,
-    extra_aggs: dict[str, tuple[str, str]] | None = None,
+    extra_aggs: dict[str, tuple[str, str] | Column] | None = None,
 ) -> DataFrame:
     """A1: tumbling-window resample; returns bucket left edge as ``ts_col``.
 
@@ -106,7 +106,9 @@ def resample(
 
     ``extra_aggs``: {out_col: (src_col, method)} — additional aggregates
     computed in the SAME groupBy pass (one scan, one shuffle) instead of a
-    second aggregation joined back.
+    second aggregation joined back. A value may also be a raw aggregate
+    ``Column`` for shapes the (src, method) form can't express (e.g.
+    arg-min struct aggregates).
     """
     step = freq_to_seconds(freq)
     dtypes = dict(df.dtypes)
@@ -116,10 +118,14 @@ def resample(
         ]
     bucket = bucket_start(ts_col, step).alias(ts_col)
     aggs = [_agg_expr(c, method, ts_col, skipna, dtypes.get(c, "double")) for c in value_cols]
-    for out, (src, m) in (extra_aggs or {}).items():
-        aggs.append(
-            _agg_expr(src, m, ts_col, skipna, dtypes.get(src, "double")).alias(out)
-        )
+    for out, spec in (extra_aggs or {}).items():
+        if isinstance(spec, Column):
+            aggs.append(spec.alias(out))
+        else:
+            src, m = spec
+            aggs.append(
+                _agg_expr(src, m, ts_col, skipna, dtypes.get(src, "double")).alias(out)
+            )
     # NOTE: no trailing orderBy — a total sort is a range exchange that any
     # downstream join/window/agg immediately destroys. Callers that need
     # sorted output (display, file write) order explicitly.
@@ -201,3 +207,57 @@ def resample_with_dates(
             )
         out = out.join(nearest, on=ts_col, how="left")
     return out
+
+
+def m4_downsample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    freq: str | int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014 — public):
+    per tumbling time bucket keep the 4 error-free extrema points —
+    first, min, max, last, each with its REAL timestamp — the minimal
+    point set that renders a pixel-exact line chart at the bucket width.
+
+    Output: (group_cols…, bucket_ts, role, ``ts_col``, ``value_col``)
+    with role ∈ {first, min, max, last}; a point serving several roles
+    appears once per role (callers wanting unique points can
+    ``dropDuplicates([ts_col])``). Null values never become points;
+    all-null buckets emit nothing.
+
+    Determinism under ties: equal minima → the EARLIEST timestamp wins;
+    equal maxima → the LATEST (lexicographic (value, ts) struct order on
+    both engines), so reruns and the SQL oracle agree bit-for-bit.
+
+    Scale shape: ONE groupBy — map-side partial aggregation shrinks each
+    partition to ≤4 struct partials per bucket before the (tiny)
+    exchange; the explode multiplies only the aggregated frame. 100 TB
+    in, (4 × n_buckets) rows out, one shuffle of bucket partials.
+    """
+    step = freq_to_seconds(freq)
+    v, t = F.col(value_col), F.col(ts_col)
+    vt = F.when(v.isNotNull(), F.struct(v.alias("v"), t.alias("t")))
+    agg = df.groupBy(
+        *group_cols, bucket_start(ts_col, step).alias("bucket_ts")
+    ).agg(
+        F.min_by(F.struct(t.alias("t"), v.alias("v")), F.when(v.isNotNull(), t)).alias("_f"),
+        F.min(vt).alias("_mn"),
+        F.max(vt).alias("_mx"),
+        F.max_by(F.struct(t.alias("t"), v.alias("v")), F.when(v.isNotNull(), t)).alias("_l"),
+    )
+
+    def _pt(role: str, src: str) -> Column:
+        return F.struct(
+            F.lit(role).alias("role"),
+            F.col(f"{src}.t").alias(ts_col),
+            F.col(f"{src}.v").alias(value_col),
+        )
+
+    pts = F.array(_pt("first", "_f"), _pt("min", "_mn"), _pt("max", "_mx"), _pt("last", "_l"))
+    return (
+        agg.select(*group_cols, "bucket_ts", F.explode(pts).alias("_p"))
+        .select(*group_cols, "bucket_ts", "_p.*")
+        .where(F.col(value_col).isNotNull())
+    )
