@@ -1856,31 +1856,63 @@ _SQL_HEXD = "instr('0123456789abcdef', substr({h}, {i}, 1)) - 1"
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling (operators/sampling.py): keep
-    fraction per language stratum decided by an md5 hash bucket of the
-    doc key — reproducible across runs, engines, and partitionings (no
-    rand()), pure map-side filter with zero shuffle. en 50% / de 25% /
-    fr 10% / default 5%."""
+    """Composite deterministic-sampling slot (operators/sampling.py),
+    three sections — all md5-bucket decisions, no rand(), reproducible
+    across runs/engines/partitionings:
+
+    - ``stratified``: keep fraction per language stratum (en 50% /
+      de 25% / fr 10% / default 5%), pure map-side filter.
+    - ``weighted``: weighted Bernoulli at target fraction 20% with
+      p ∝ token count (the token-budget-aware corpus sampling step);
+      mean weight accumulates in DECIMAL and broadcasts.
+    - ``exactk``: exactly k=100 rows by (md5(id||'k'), id) order — the
+      deterministic reservoir; TakeOrderedAndProject, no global sort."""
     _prep(spark)
-    from time_series_loader_spark.operators.sampling import stratified_sample
+    from time_series_loader_spark.operators.sampling import (
+        sample_exact_k,
+        stratified_sample,
+        weighted_sample,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    out = stratified_sample(
+    st = stratified_sample(
         docs, "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.1}, default_rate=0.05
+    ).select(F.lit("stratified").alias("section"), "doc_id", "lang", "sample_bucket")
+    wdocs = docs.withColumn("n_tokens", F.size(F.split(F.lower(F.trim("text")), r"\s+")))
+    wt = weighted_sample(wdocs, "doc_id", "n_tokens", fraction=0.2).select(
+        F.lit("weighted").alias("section"), "doc_id", "lang", "sample_bucket"
     )
-    return out.select("doc_id", "lang", "sample_bucket")
+    ek = sample_exact_k(docs, "doc_id", k=100, salt="k").select(
+        F.lit("exactk").alias("section"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("int").alias("sample_bucket"),
+    )
+    return st.unionByName(wt).unionByName(ek)
 
 
 def _sql_stratified_sample() -> str:
     d = [_SQL_HEXD.format(h="h", i=i) for i in (1, 2, 3, 4)]
+    bucket = f"CAST(4096*({d[0]}) + 256*({d[1]}) + 16*({d[2]}) + ({d[3]}) AS INT)"
     return f"""
-WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
-b AS (SELECT doc_id, lang,
-        CAST(4096*({d[0]}) + 256*({d[1]}) + 16*({d[2]}) + ({d[3]}) AS INT) AS sample_bucket
-      FROM h)
-SELECT doc_id, lang, sample_bucket FROM b
+WITH h AS (SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+b AS (SELECT doc_id, lang, text, {bucket} AS sample_bucket FROM h),
+mw AS (SELECT CAST(SUM(CAST(len({_SQL_TOKENS}) AS DECIMAL(27,6))) AS DOUBLE)
+              / COUNT(*) AS mean_w FROM documents),
+w AS (SELECT b.doc_id, b.lang, b.sample_bucket,
+             least(1.0, 0.2 * greatest(len(string_split_regex(lower(trim(b.text)), '\\s+')), 0)
+                        / mw.mean_w) AS p
+      FROM b, mw)
+SELECT 'stratified' AS section, doc_id, lang, sample_bucket FROM b
 WHERE sample_bucket < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384
                                 WHEN 'fr' THEN 6554 ELSE 3277 END
+UNION ALL
+SELECT 'weighted' AS section, doc_id, lang, sample_bucket FROM w
+WHERE sample_bucket < p * 65536
+UNION ALL
+SELECT 'exactk' AS section, doc_id, lang, CAST(NULL AS INT) AS sample_bucket
+FROM (SELECT doc_id, lang FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'k'), doc_id LIMIT 100) _ek
 """
 
 

@@ -210,3 +210,67 @@ def test_write_packed_shards_deterministic_bytes(spark, tmp_path):
         spark.createDataFrame(rows, "doc_id LONG, n_tokens LONG").repartition(13),
     )
     assert d1 == d2
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from time_series_loader_spark.operators.sampling import weighted_sample
+
+    # weights 1 vs 9: heavy rows should be kept ~9x as often
+    rows = [(i, 1 if i % 2 == 0 else 9) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w LONG")
+    out = weighted_sample(df, "doc_id", "w", fraction=0.2)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(7), "doc_id", "w", fraction=0.2).collect()
+    )
+    assert ids == ids2  # partitioning-independent
+    light = sum(1 for i in ids if i % 2 == 0)
+    heavy = len(ids) - light
+    # expected: light p=0.2*1/5=0.04 → ~40; heavy p=0.2*9/5=0.36 → ~360
+    assert heavy > 5 * light
+    assert abs(len(ids) / 2000 - 0.2) < 0.05  # realized ≈ target fraction
+
+    # raising the fraction only ADDs rows (bucket-threshold nesting)
+    more = sorted(
+        r["doc_id"] for r in weighted_sample(df, "doc_id", "w", fraction=0.4).collect()
+    )
+    assert set(ids) <= set(more)
+
+
+def test_weighted_sample_null_and_negative_weights_dropped(spark):
+    from time_series_loader_spark.operators.sampling import weighted_sample
+
+    rows = [(1, None), (2, -5), (3, 100)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w INT")
+    kept = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 0.5).collect()}
+    assert 1 not in kept and 2 not in kept  # null p → dropped; clamped 0 → dropped
+
+
+def test_sample_exact_k(spark):
+    from time_series_loader_spark.operators.sampling import sample_exact_k
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id LONG")
+    s1 = [r["doc_id"] for r in sample_exact_k(df, "doc_id", 50).collect()]
+    assert len(s1) == 50 and len(set(s1)) == 50
+    s2 = [r["doc_id"] for r in sample_exact_k(df.repartition(11), "doc_id", 50).collect()]
+    assert s1 == s2  # deterministic incl. order
+    # independent draw under a different salt
+    s3 = {r["doc_id"] for r in sample_exact_k(df, "doc_id", 50, salt="x").collect()}
+    assert set(s1) != s3
+    # adding rows displaces, never reshuffles: old sample ∩ new sample
+    # == new sample minus newly-ranked-in rows
+    bigger = spark.createDataFrame([(i,) for i in range(600)], "doc_id LONG")
+    s4 = {r["doc_id"] for r in sample_exact_k(bigger, "doc_id", 50).collect()}
+    assert s4 & set(s1) == s4 - (s4 - set(s1))
+    # k > n → every row, no error
+    assert sample_exact_k(df, "doc_id", 10_000).count() == 500
+
+
+def test_sample_exact_k_plan_is_top_k_not_global_sort(spark):
+    from time_series_loader_spark.operators.sampling import sample_exact_k
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id LONG")
+    plan = sample_exact_k(df, "doc_id", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan

@@ -67,6 +67,72 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep row i with
+    probability p_i = min(1, ``fraction`` · w_i / mean(w)) — expected
+    keep fraction ≈ ``fraction`` with selection pressure proportional to
+    weight (the quality-weighted / length-weighted corpus sampling step:
+    weight by quality score and high-quality docs survive
+    preferentially, by token count and the TOKEN budget is met rather
+    than the document count).
+
+    Decision rule: ``hash_bucket(key, salt) < p_i · 65536`` — the same
+    md5-bucket determinism as :func:`stratified_sample` (reproducible
+    under repartition/retry/engine change; raising ``fraction`` only
+    ADDs rows). The mean weight accumulates in DECIMAL (partition-order
+    independent) and broadcasts as a 1-row frame; the fact side stays a
+    narrow filter. Rows with null weight are dropped; weights are
+    clamped at 0.
+
+    Note the p_i = 1 saturation point: rows with w_i ≥ mean/``fraction``
+    are always kept, so the realized fraction can drift below target on
+    heavy-tailed weights — the standard weighted-Bernoulli caveat.
+    """
+    stats = df.agg(
+        (
+            F.sum(F.col(weight_col).cast("decimal(27,6)")).cast("double")
+            / F.count(weight_col)
+        ).alias("_mean_w")
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(fraction) * F.greatest(F.col(weight_col), F.lit(0)) / F.col("_mean_w"),
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("sample_bucket", hash_bucket(key_col, salt))
+        .where(F.col("sample_bucket") < p * BUCKETS)
+        .drop("_mean_w")
+    )
+
+
+def sample_exact_k(df: DataFrame, key_col: str, k: int, salt: str = "") -> DataFrame:
+    """Deterministic uniform sample of exactly min(k, n) rows without
+    replacement: rank every row by ``md5(key || salt)`` (ties broken by
+    key) and take the first ``k`` — a fixed-size "reservoir" that needs
+    no reservoir state, is identical on reruns and other engines, and
+    re-samples consistently when rows are added (a new row displaces at
+    most one old row). Changing ``salt`` draws an independent sample.
+
+    Scale shape: ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — each partition keeps its own top-k and only
+    k-row partials merge, no global sort exchange (guarded in
+    test_sampling). Keep k driver-sized (it's a collect-shaped result).
+    """
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return (
+        df.withColumn("sample_rank", h)
+        .orderBy("sample_rank", key_col)
+        .limit(k)
+    )
+
+
 def shard_pack(
     df: DataFrame,
     key_col: str,
