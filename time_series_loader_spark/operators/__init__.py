@@ -30,6 +30,7 @@ from time_series_loader_spark.operators.graph import (
     dedup_clusters,
     keep_representatives,
 )
+from time_series_loader_spark.operators.profile import profile_table
 from time_series_loader_spark.operators.rate import counter_increase
 from time_series_loader_spark.operators.twa import time_weighted_mean
 from time_series_loader_spark.operators.text import (
@@ -57,6 +58,7 @@ __all__ = [
     "connected_components",
     "dedup_clusters",
     "keep_representatives",
+    "profile_table",
     "counter_increase",
     "time_weighted_mean",
     "minhash_lsh_pairs",
