@@ -274,3 +274,29 @@ def test_sample_exact_k_plan_is_top_k_not_global_sort(spark):
     plan = sample_exact_k(df, "doc_id", 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_compact_parquet_rebins_small_files(spark, tmp_path):
+    from time_series_loader_spark.sources.sink import compact_parquet
+
+    src = str(tmp_path / "frag")
+    # 40 tiny files
+    spark.range(4000).withColumn("v", F.col("id") * 2).repartition(40).write.parquet(src)
+    import pathlib
+
+    n_in = len(list(pathlib.Path(src).glob("*.parquet")))
+    assert n_in == 40
+    total = sum(p.stat().st_size for p in pathlib.Path(src).glob("*.parquet"))
+
+    out = str(tmp_path / "compact")
+    # target = half the table → exactly 2 output files
+    rep = compact_parquet(spark, src, out, target_bytes=(total + 1) // 2)
+    assert rep["in_files"] == 40 and rep["in_bytes"] == total and rep["out_files"] == 2
+    assert len(list(pathlib.Path(out).glob("*.parquet"))) == 2
+    back = spark.read.parquet(out)
+    assert back.count() == 4000
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(4000))
+
+    # refuses to clobber an existing layout unless told to
+    with pytest.raises(Exception):
+        compact_parquet(spark, src, out, target_bytes=total)

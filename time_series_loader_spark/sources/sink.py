@@ -122,6 +122,49 @@ def read_shard(spark, path: str, shard_id: int) -> DataFrame:
     return spark.read.parquet(path).where(F.col("shard_id") == shard_id)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 << 20,
+    mode: str = "error",
+) -> dict:
+    """Compact a small-file parquet layout into ~``target_bytes`` files.
+
+    The 100 TB maintenance op: streaming/incremental writers leave
+    thousands of KB-sized files per table, and every later scan pays one
+    task + one footer read per file (plus NameNode/liststore pressure).
+    This rewrites ``path`` into ``ceil(total_bytes / target_bytes)``
+    files via ONE round-robin repartition — the shuffle is the
+    unavoidable price of re-binning bytes; schedule it off-peak and
+    partition-slice big tables (compact each `date=…/` directory
+    separately) rather than compacting 100 TB in one job.
+
+    Sizes come from the filesystem listing (Hadoop FS API — works for
+    file://, hdfs://, s3a://), so the plan is sized by BYTES, not rows.
+    Writes to ``out_path`` (refusing to overwrite unless
+    ``mode='overwrite'``) — swapping the new layout in place belongs to
+    the table catalog / a rename, never to a live rewrite of the input.
+    Returns {in_files, in_bytes, out_files}.
+    """
+    import math
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    in_files = in_bytes = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        in_files += 1
+        in_bytes += st.getLen()
+    n_out = max(1, math.ceil(in_bytes / target_bytes))
+    spark.read.parquet(path).repartition(n_out).write.mode(mode).parquet(out_path)
+    return {"in_files": in_files, "in_bytes": in_bytes, "out_files": n_out}
+
+
 def colocated_join(
     spark, left_table: str, right_table: str, on: list[str], how: str = "inner"
 ) -> DataFrame:
