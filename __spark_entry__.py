@@ -2326,14 +2326,34 @@ WINDOW w AS (PARTITION BY b.user_id ORDER BY b.ts ROWS BETWEEN 4 PRECEDING AND C
 
 
 def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF (SURVEY.md §7 step 8): top-3 terms per doc by smooth-idf
-    score, ties → lexicographically smaller term."""
+    """Composite term-statistics slot, two sections off the SAME
+    (doc, term) tf frame shape:
+
+    - ``tfidf``: TF-IDF (SURVEY.md §7 step 8) top-3 terms per doc by
+      smooth-idf score, ties → lexicographically smaller term.
+    - ``unigram``: CCNet-style per-doc mean ln P(token) under the
+      corpus's own add-1-smoothed unigram LM
+      (`operators/text.py::unigram_logprob`) — the perplexity-filter
+      quality signal; term is NULL, tf carries the doc token count."""
     _prep(spark)
-    from time_series_loader_spark.operators.text import tfidf
+    from time_series_loader_spark.operators.text import tfidf, unigram_logprob
 
     docs = _t(spark, sf_dir, "documents")
-    out = tfidf(docs, "text", "doc_id", top_k=3)
-    return out.select("doc_id", "term", "tf", _r6(F.col("tfidf"), "tfidf"))
+    ti = tfidf(docs, "text", "doc_id", top_k=3).select(
+        F.lit("tfidf").alias("section"),
+        "doc_id",
+        "term",
+        "tf",
+        _r6(F.col("tfidf"), "score"),
+    )
+    uni = unigram_logprob(docs, "text", "doc_id").select(
+        F.lit("unigram").alias("section"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.col("n_tokens").alias("tf"),
+        _r6(F.col("mean_logprob"), "score"),
+    )
+    return ti.unionByName(uni)
 
 
 SQL_tfidf_top3 = f"""
@@ -2352,9 +2372,27 @@ ranked AS (
   SELECT doc_id, term, tf, tfidf,
          row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
   FROM scored
+),
+tot AS (SELECT term, SUM(tf) AS ct FROM tf GROUP BY 1),
+nv AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nn, CAST(count(*) AS DOUBLE) AS vv FROM tot),
+contrib AS (
+  SELECT doc_id, tf.tf AS tf,
+         tf.tf * ln((tot.ct + 1.0) / (nv.nn + 1.0 * nv.vv)) AS c
+  FROM tf JOIN tot USING(term), nv
+),
+uni AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE) / SUM(tf) AS mean_logprob,
+         SUM(tf) AS n_tokens
+  FROM contrib GROUP BY 1
 )
-SELECT doc_id, term, tf, floor((tfidf)*1000000 + 0.5)/1000000 AS tfidf
+SELECT 'tfidf' AS section, doc_id, term, tf,
+       floor((tfidf)*1000000 + 0.5)/1000000 AS score
 FROM ranked WHERE rn <= 3
+UNION ALL
+SELECT 'unigram' AS section, doc_id, CAST(NULL AS VARCHAR) AS term,
+       n_tokens AS tf, floor((mean_logprob)*1000000 + 0.5)/1000000 AS score
+FROM uni
 """
 
 

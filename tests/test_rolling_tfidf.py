@@ -81,3 +81,42 @@ def test_tfidf_manual(spark):
     top_by_doc = {r["doc_id"]: r["term"] for r in top}
     assert top_by_doc[1] == "apple"
     assert top_by_doc[3] == "durian"
+
+
+def test_unigram_logprob_matches_reference(spark):
+    """Pure-python reference over a hand corpus: add-1 smoothing, mean
+    over token OCCURRENCES (tf-weighted), natural log."""
+    import math
+    from collections import Counter
+
+    from time_series_loader_spark.operators.text import unigram_logprob
+
+    texts = {0: "a a b", 1: "a b c", 2: "d d d d"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id LONG, text STRING")
+    counts = Counter(t for s in texts.values() for t in s.split())
+    N = sum(counts.values())
+    V = len(counts)
+
+    def ref(s):
+        toks = s.split()
+        return sum(math.log((counts[t] + 1.0) / (N + 1.0 * V)) for t in toks) / len(toks)
+
+    got = {r["doc_id"]: r for r in unigram_logprob(df, "text", "doc_id").collect()}
+    for i, s in texts.items():
+        assert abs(got[i]["mean_logprob"] - ref(s)) < 1e-12, i
+        assert got[i]["n_tokens"] == len(s.split())
+    # common-token doc scores higher than the rare-token one
+    assert got[0]["mean_logprob"] > got[1]["mean_logprob"]
+
+
+def test_unigram_logprob_partitioning_invariant(spark):
+    from time_series_loader_spark.operators.text import unigram_logprob
+
+    rows = [(i, "tok%d the and %d" % (i % 20, i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    a = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob(df, "text", "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in unigram_logprob(df.repartition(17), "text", "doc_id").collect()
+    }
+    assert a == b  # DECIMAL accumulation → bit-identical under repartition

@@ -39,6 +39,7 @@ from time_series_loader_spark.operators.text import (
     language_id,
     quality_features,
     simhash_bits,
+    unigram_logprob,
     token_stats,
 )
 from time_series_loader_spark.operators.similarity import (
@@ -69,6 +70,7 @@ __all__ = [
     "language_id",
     "quality_features",
     "simhash_bits",
+    "unigram_logprob",
     "token_stats",
     "cosine_topk",
     "cosine_topk_ivf",

@@ -276,6 +276,47 @@ def tfidf(
     return scored
 
 
+def unigram_logprob(
+    df: DataFrame, text_col: str, id_col: str, k: float = 1.0
+) -> DataFrame:
+    """CCNet-style language-model quality signal: each document's mean
+    ``ln P(token)`` under the corpus's OWN add-k-smoothed unigram
+    distribution — ``logp(t) = ln((C(t)+k)/(N+k·V))``, doc score =
+    Σ_occurrences logp / n_tokens. Very negative = rare-token gibberish;
+    near the corpus ceiling = common-word text. The same
+    perplexity-bucket idea CCNet (Wenzek et al. 2020, public) uses for
+    quality partitioning, with the corpus itself as the reference LM so
+    no external model ships.
+
+    Output: (``id_col``, mean_logprob, n_tokens).
+
+    Scale shape: explode → (doc, term) tf groupBy (the same first
+    exchange TF-IDF pays) → vocabulary-sized term-total aggregate → join
+    back on term (vocab ≪ corpus; AQE broadcasts it when it fits, else
+    a term-hash shuffle join) → per-doc DECIMAL-accumulated sum (merge-
+    order independent, so scores are bit-stable under repartitioning).
+    N and V are two driver scalars (one tiny action).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    totals = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    nv = totals.agg(
+        F.sum("ct").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    denom = float(nv["n"] or 0) + k * float(nv["v"] or 0)
+    logp = F.log((F.col("ct") + F.lit(k)) / F.lit(denom))
+    scored = tf.join(totals, "term").select(
+        id_col, "tf", (F.col("tf") * logp).alias("_contrib")
+    )
+    return scored.groupBy(id_col).agg(
+        (
+            F.sum(F.col("_contrib").cast("decimal(38,18)")).cast("double")
+            / F.sum("tf")
+        ).alias("mean_logprob"),
+        F.sum("tf").cast("long").alias("n_tokens"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
 
