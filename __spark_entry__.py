@@ -1477,20 +1477,44 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-tested in tests/test_similarity.py."""
     _prep(spark)
     from time_series_loader_spark.operators.ivf_pinned import IVF_CENTROIDS
+    from time_series_loader_spark.operators.pq import pq_encode, pq_search
+    from time_series_loader_spark.operators.pq_pinned import PQ_CODEBOOKS
     from time_series_loader_spark.operators.similarity import ivf_search
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = ivf_search(
-        emb.where(F.col("vec_id") < 10),
-        emb.where(F.col("vec_id") >= 10),
+    queries = emb.where(F.col("vec_id") < 10)
+    corpus = emb.where(F.col("vec_id") >= 10)
+    ivf = ivf_search(
+        queries,
+        corpus,
         id_col="vec_id",
         vec_col="embedding",
         centroids=IVF_CENTROIDS,
         k=5,
         n_probe=3,
         fold_assign=True,
+    ).select(
+        F.lit("ivf").alias("section"),
+        "query_id",
+        "neighbor_id",
+        _r6(F.col("cos"), "score"),
+        "rank",
     )
-    return out.select("query_id", "neighbor_id", _r6(F.col("cos"), "cos"), "rank")
+    # r5: PQ/ADC section — same pinned-quantizer contract
+    # (operators/pq_pinned.py): encode the corpus with the frozen
+    # codebooks (fold=True → bit-parity with the generated oracle), then
+    # ADC top-5 per query over the 4-byte code table
+    codes = pq_encode(corpus, "vec_id", "embedding", PQ_CODEBOOKS, fold=True)
+    pq = pq_search(
+        queries, codes, "vec_id", "embedding", PQ_CODEBOOKS, k=5, fold=True
+    ).select(
+        F.lit("pq").alias("section"),
+        "query_id",
+        "neighbor_id",
+        _r6(F.col("adist"), "score"),
+        "rank",
+    )
+    return ivf.unionByName(pq)
 
 
 def _sql_cosine_topk_ivf(n_probe: int = 3, k: int = 5) -> str:
@@ -1545,10 +1569,67 @@ ranked AS (
   SELECT query_id, neighbor_id, cos,
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
-)
-SELECT query_id, neighbor_id, floor((cos)*1000000 + 0.5)/1000000 AS cos, rank
+),
+{_sql_pq_ctes()}
+SELECT 'ivf' AS section, query_id, neighbor_id,
+       floor((cos)*1000000 + 0.5)/1000000 AS score, rank
 FROM ranked WHERE rank <= {k}
+UNION ALL
+SELECT 'pq' AS section, query_id, neighbor_id,
+       floor((adist)*1000000 + 0.5)/1000000 AS score, rank
+FROM pq_ranked WHERE rank <= {k}
 """
+
+
+def _sql_pq_ctes(k: int = 5) -> str:
+    """PQ/ADC oracle CTEs from the pinned codebooks
+    (operators/pq_pinned.py): subspace pseudo-distances
+    ``|c|² − 2·v_j·c`` as ordered list_reduce folds, per-doc codes by
+    (distance, code) rank, ADC as an ORDERED per-(query,doc) fold over
+    the 8 subspace lookups — every float op matches the fold=True Spark
+    kernel bit-for-bit."""
+    from time_series_loader_spark.operators.pq_pinned import PQ_CODEBOOKS
+    from time_series_loader_spark.operators.similarity import fold_sq_norms
+
+    rows = []
+    for j, book in enumerate(PQ_CODEBOOKS):
+        c2 = fold_sq_norms(book)
+        for c, cent in enumerate(book):
+            vec = ", ".join(repr(float(x)) for x in cent)
+            rows.append(f"({j}, {c}, CAST([{vec}] AS DOUBLE[]), {c2[c]!r})")
+    values = ",\n         ".join(rows)
+    sdot = (
+        "list_reduce(list_transform(range(1, 9), i -> "
+        "CAST(e.embedding[CAST(cb.j*8 + i AS BIGINT)] AS DOUBLE) * cb.cvec[CAST(i AS BIGINT)]), "
+        "(x, y) -> x + y)"
+    )
+    return f"""cb(j, c, cvec, c2) AS (
+  VALUES {values}
+),
+sd AS (
+  SELECT e.vec_id, cb.j, cb.c, cb.c2 - 2 * {sdot} AS d
+  FROM embeddings e CROSS JOIN cb
+),
+pq_codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS r
+    FROM sd WHERE vec_id >= 10) _c
+  WHERE r = 1
+),
+adc AS (
+  SELECT q.vec_id AS query_id, dc.vec_id AS neighbor_id,
+         list_reduce(list(q.d ORDER BY q.j), (x, y) -> x + y) AS adist
+  FROM pq_codes dc
+  JOIN sd q ON q.j = dc.j AND q.c = dc.code AND q.vec_id < 10
+  GROUP BY 1, 2
+),
+pq_ranked AS (
+  SELECT query_id, neighbor_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM adc
+)"""
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,6 +30,7 @@ from time_series_loader_spark.operators.graph import (
     dedup_clusters,
     keep_representatives,
 )
+from time_series_loader_spark.operators.pq import pq_encode, pq_search, pq_train
 from time_series_loader_spark.operators.profile import profile_table
 from time_series_loader_spark.operators.rate import counter_increase
 from time_series_loader_spark.operators.twa import time_weighted_mean
@@ -59,6 +60,9 @@ __all__ = [
     "connected_components",
     "dedup_clusters",
     "keep_representatives",
+    "pq_encode",
+    "pq_search",
+    "pq_train",
     "profile_table",
     "counter_increase",
     "time_weighted_mean",
