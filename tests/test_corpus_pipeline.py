@@ -1,0 +1,124 @@
+"""End-to-end CorpusPipeline (plans/corpus.py): the full curation chain
+on a crafted corpus where every stage has something to do."""
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.plans.corpus import CorpusPipeline
+
+GOOD = (
+    "the quick brown fox jumps over that lazy dog and keeps running with "
+    "steady pace through the forest to find some food and water for the "
+    "long winter that is coming soon and everyone must have enough stored "
+    "away before the first snow falls on the quiet valley floor tonight "
+    "while the wind blows gently across the open meadow near the river"
+)
+
+BENCH = "the first snow falls on the quiet valley floor tonight while the wind"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # 0-9: good unique docs (vary a suffix word so they're not dups)
+        *[(i, GOOD + f" marker{i} variant of the story number {i} told here") for i in range(10)],
+        # 10: exact duplicate of 0
+        (10, GOOD + " marker0 variant of the story number 0 told here"),
+        # 11: PII-bearing good doc
+        (11, GOOD + " contact someone at alice@example.com for more details today"),
+        # 12: low-quality short doc
+        (12, "short junk"),
+        # 13: contaminated with the benchmark 8-grams (GOOD contains BENCH)
+        # — all of 0-11 contain it too; doc 13 is junk + bench to show the
+        # filter alone drops it even when quality passes... keep simple:
+        # benchmark decontam is tested with max_hits high enough to keep
+        # GOOD docs out of scope; see test_decontaminate_drops_hits
+        (13, "numbers 1 2 3 4 5 6 7 8 9 10 11 12"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_filters_fuse_into_one_scan(spark, corpus):
+    """scrub + quality + language are projections/filters — the combined
+    plan must still contain exactly one source scan and no exchange."""
+    p = (
+        CorpusPipeline(corpus, "doc_id", "text")
+        .scrub_pii()
+        .quality_filter(min_score=0.2, gopher=True)
+        .keep_languages(["en"])
+    )
+    plan = p.df()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
+    assert "Exchange" not in plan
+
+
+def test_full_chain_end_to_end(spark, corpus, tmp_path):
+    p = (
+        CorpusPipeline(corpus, "doc_id", "text")
+        .scrub_pii()
+        .quality_filter(min_score=0.2, gopher=True)
+        .keep_languages(["en"])
+        .dedup_exact()
+        .dedup_near(threshold=0.8)
+    )
+    out = p.df()
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # 12 (quality), 13 (gopher: no stopwords/numeric) dropped; 10 (exact
+    # dup of 0, higher id) dropped; near-dup pass keeps one rep per
+    # cluster — docs 0-9 differ by a few tokens out of ~70, Jaccard >0.8
+    # → one representative survives; 11 differs more (PII tail) but may
+    # join the cluster; assert the invariants rather than one exact set:
+    assert 0 in ids  # min-id representative always survives
+    assert 10 not in ids and 12 not in ids and 13 not in ids
+    assert len(ids) <= 3
+
+    # PII scrubbed before anything downstream sees text
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert all("alice@example.com" not in t for t in texts.values())
+
+    # manifest of applied steps, in order
+    assert p.steps_applied == [
+        "scrub_pii",
+        "quality_score>=0.2",
+        "gopher_rules",
+        "lang in ['en']",
+        "dedup_exact",
+        "dedup_near(j>=0.8)",
+    ]
+
+    # pack and write: shards land, manifest is consistent
+    man = p.pack_and_write(str(tmp_path / "shards"), budget=100)
+    rows = man.collect()
+    assert sum(r["n_rows"] for r in rows) == len(ids)
+    assert all(r["n_files"] == 1 for r in rows)
+    files = list(pathlib.Path(tmp_path / "shards").rglob("*.parquet"))
+    assert len(files) == len(rows)
+
+
+def test_decontaminate_drops_hits(spark, corpus):
+    out = (
+        CorpusPipeline(corpus, "doc_id", "text")
+        .decontaminate([BENCH], n=8, max_hits=0)
+        .df()
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    # every GOOD-based doc contains the benchmark 8-grams → dropped;
+    # the numeric doc and the short doc share none → kept
+    assert ids == {12, 13}
+
+
+def test_sample_weighted_step(spark, corpus):
+    p = CorpusPipeline(corpus, "doc_id", "text").sample_weighted(fraction=0.5)
+    out1 = sorted(r["doc_id"] for r in p.df().collect())
+    out2 = sorted(
+        r["doc_id"]
+        for r in CorpusPipeline(corpus.repartition(5), "doc_id", "text")
+        .sample_weighted(fraction=0.5)
+        .df()
+        .collect()
+    )
+    assert out1 == out2  # deterministic
+    # helper weight column does not leak into the output schema
+    assert set(p.df().columns) == {"doc_id", "text"}

@@ -1,0 +1,207 @@
+"""CorpusPipeline: the end-to-end training-corpus recipe as one builder.
+
+Every step maps to an operator this engine already oracle-checks —
+this module adds NO new semantics, only the composition a 100 TB corpus
+job actually runs:
+
+    scrub PII → quality filter (score + Gopher rules + language)
+    → exact dedup → near-dup dedup (MinHash-LSH clusters)
+    → benchmark decontamination → sampling → shard packing → write
+
+Design rules:
+
+- **Lazy until the narrow waist.** Scrub/quality/language/decontam are
+  pure projections and filters that fuse into ONE scan under Catalyst;
+  the pipeline only forces computation where an operator inherently
+  does (dedup's pair joins, shard packing's prefix scan, the write).
+- **Filters first, joins later.** Cheap row-level filters run before
+  the dedup joins, so the expensive stages see the smallest corpus.
+- **Determinism end to end.** Every selection is hash-bucket or
+  min-id based (no rand()), so the same input yields byte-identical
+  shards (see `sources/sink.py::write_packed_shards`).
+
+`steps_applied` records what ran, in order — a manifest for audit logs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class CorpusPipeline:
+    """Fluent corpus-curation pipeline over (id, text) document frames.
+
+    Example::
+
+        out = (
+            CorpusPipeline(docs, "doc_id", "text")
+            .scrub_pii()
+            .quality_filter(min_score=0.3, gopher=False)
+            .keep_languages(["en", "de"])
+            .dedup_exact()
+            .dedup_near(threshold=0.7)
+            .decontaminate(bench_texts)
+            .sample_weighted(fraction=0.5)
+            .df()
+        )
+
+    Each builder method returns ``self``; ``df()`` yields the current
+    lazy frame, ``pack_and_write(path, budget)`` materializes shards.
+    """
+
+    def __init__(self, df: DataFrame, id_col: str, text_col: str) -> None:
+        self._df = df
+        self.id_col = id_col
+        self.text_col = text_col
+        self.steps_applied: list[str] = []
+
+    # -- projections / filters (fuse into one scan) --------------------
+
+    def scrub_pii(self) -> "CorpusPipeline":
+        """Replace emails/IPs/phones with <TAG> markers IN the text
+        column (`operators/text.py::redact_pii`); keeps an ``n_pii``
+        count column for downstream density filters."""
+        from time_series_loader_spark.operators.text import redact_pii
+
+        out = redact_pii(self._df, self.text_col, out_col="__scrubbed")
+        self._df = out.withColumn(self.text_col, F.col("__scrubbed")).drop("__scrubbed")
+        self.steps_applied.append("scrub_pii")
+        return self
+
+    def quality_filter(
+        self, min_score: float | None = 0.3, gopher: bool = True
+    ) -> "CorpusPipeline":
+        """Drop rows below ``min_score`` (composite quality score in
+        [0,1]) and/or failing the Gopher rule battery. Both are pure
+        expressions — this step adds zero passes."""
+        from time_series_loader_spark.operators.text import (
+            _gopher_exprs,
+            _quality_exprs,
+        )
+
+        df = self._df
+        if min_score is not None:
+            score = [
+                e for e in _quality_exprs(self.text_col)
+            ][-1]  # quality_score is the last expression
+            df = df.where(score >= F.lit(min_score))
+            self.steps_applied.append(f"quality_score>={min_score}")
+        if gopher:
+            passed = [e for e in _gopher_exprs(self.text_col)][-1]
+            df = df.where(passed)
+            self.steps_applied.append("gopher_rules")
+        self._df = df
+        return self
+
+    def keep_languages(self, langs: Sequence[str]) -> "CorpusPipeline":
+        """Keep rows whose heuristic language ID is in ``langs``."""
+        from time_series_loader_spark.operators.text import _langid_exprs
+
+        pred = [e for e in _langid_exprs(self.text_col)][-1]
+        self._df = self._df.where(pred.isin(*langs))
+        self.steps_applied.append(f"lang in {sorted(langs)}")
+        return self
+
+    def decontaminate(
+        self, benchmark_texts: Sequence[str], n: int = 8, max_hits: int = 0
+    ) -> "CorpusPipeline":
+        """Drop documents sharing more than ``max_hits`` word n-grams
+        with the benchmark suite (`operators/decontam.py::decontaminate`
+        — dispatches literal-expression vs broadcast-join form on
+        benchmark size)."""
+        from time_series_loader_spark.operators.decontam import decontaminate, ngram_set
+
+        bench = ngram_set(benchmark_texts, n)
+        self._df = (
+            decontaminate(self._df, self.text_col, self.id_col, bench, n=n)
+            .where(F.col("n_contam") <= max_hits)
+            .drop("n_contam")
+        )
+        self.steps_applied.append(f"decontam({n}-gram)")
+        return self
+
+    # -- dedup (pair joins; run after filters) --------------------------
+
+    def dedup_exact(self) -> "CorpusPipeline":
+        """Keep one representative (min id) per exact text duplicate
+        group (`operators/dedup.py::dedup_exact` digest groupBy)."""
+        from time_series_loader_spark.operators.dedup import dedup_exact
+
+        reps = dedup_exact(self._df, [self.text_col], self.id_col).select(self.id_col)
+        self._df = self._df.join(reps, self.id_col, "left_semi")
+        self.steps_applied.append("dedup_exact")
+        return self
+
+    def dedup_near(
+        self,
+        n: int = 3,
+        num_hashes: int = 16,
+        bands: int = 4,
+        threshold: float = 0.5,
+    ) -> "CorpusPipeline":
+        """Keep one representative (min id) per MinHash-LSH near-dup
+        CLUSTER (`graph.py::keep_representatives` over the pair graph —
+        transitive closure, not just pairwise drops)."""
+        from time_series_loader_spark.operators.dedup import minhash_lsh_pairs
+        from time_series_loader_spark.operators.graph import keep_representatives
+
+        pairs = minhash_lsh_pairs(
+            self._df, self.text_col, self.id_col,
+            n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        )
+        self._df = keep_representatives(self._df, pairs, self.id_col)
+        self.steps_applied.append(f"dedup_near(j>={threshold})")
+        return self
+
+    # -- sampling -------------------------------------------------------
+
+    def sample_weighted(
+        self, fraction: float, weight: str | None = None
+    ) -> "CorpusPipeline":
+        """Deterministic weighted Bernoulli sample at ``fraction``;
+        default weight = whitespace token count (token-budget-aware)."""
+        from time_series_loader_spark.operators.sampling import weighted_sample
+
+        df = self._df
+        wcol = weight
+        if wcol is None:
+            wcol = "__w"
+            df = df.withColumn(
+                wcol, F.size(F.split(F.lower(F.trim(self.text_col)), r"\s+"))
+            )
+        out = weighted_sample(df, self.id_col, wcol, fraction)
+        drop = ["sample_bucket"] + ([] if weight else [wcol])
+        self._df = out.drop(*drop)
+        self.steps_applied.append(f"sample_weighted({fraction})")
+        return self
+
+    # -- terminal steps -------------------------------------------------
+
+    def df(self) -> DataFrame:
+        """The current (lazy) frame."""
+        return self._df
+
+    def pack_and_write(
+        self, path: str, budget: int, weight: str | None = None
+    ) -> DataFrame:
+        """Token-budget shard packing + one-file-per-shard write
+        (`sampling.py::shard_pack` → `sink.py::write_packed_shards`).
+        Returns the written-shard manifest."""
+        from time_series_loader_spark.operators.sampling import shard_pack
+        from time_series_loader_spark.sources.sink import write_packed_shards
+
+        df = self._df
+        wcol = weight
+        if wcol is None:
+            wcol = "__w"
+            df = df.withColumn(
+                wcol, F.size(F.split(F.lower(F.trim(self.text_col)), r"\s+"))
+            )
+        packed = shard_pack(df, self.id_col, wcol, budget)
+        if weight is None:
+            packed = packed.drop(wcol)
+        self.steps_applied.append(f"pack_and_write(budget={budget})")
+        return write_packed_shards(packed, path, order_col=self.id_col)
