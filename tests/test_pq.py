@@ -14,20 +14,25 @@ KSUB = 4
 
 def _clustered(seed_centers=8, per=25, noise=0.05):
     """Deterministic clustered vectors: centers from a fixed integer
-    lattice, points = center + small deterministic offsets."""
+    lattice, points = center + small deterministic offsets. Cluster ids
+    INTERLEAVE with vec_id (ci = vid % centers) so min-id k-means init
+    (the engine's deterministic init rule) sees distinct clusters — a
+    block layout would hand every init centroid to cluster 0 and
+    degenerate the coarse quantizer."""
     rows = []
-    vid = 0
-    for ci in range(seed_centers):
+    for vid in range(seed_centers * per):
+        ci = vid % seed_centers
+        # ci·5 is invertible mod 11 → all `seed_centers` ≤ 11 centers are
+        # DISTINCT in every dim (a mod-7 lattice made clusters 0 and 7
+        # identical, which silently broke nearest-cluster assertions)
         center = np.array(
-            [((ci * 37 + d * 11) % 7) - 3.0 for d in range(DIM)], dtype=np.float64
+            [((ci * 5 + d * 3) % 11) - 5.0 for d in range(DIM)], dtype=np.float64
         )
-        for p in range(per):
-            off = np.array(
-                [(((vid * 13 + d) % 5) - 2) * noise for d in range(DIM)],
-                dtype=np.float64,
-            )
-            rows.append((vid, ci, [float(x) for x in center + off]))
-            vid += 1
+        off = np.array(
+            [(((vid * 13 + d) % 5) - 2) * noise for d in range(DIM)],
+            dtype=np.float64,
+        )
+        rows.append((vid, ci, [float(x) for x in center + off]))
     return rows
 
 
@@ -125,3 +130,39 @@ def test_pq_code_table_is_compact(spark, clustered):
     row = codes.first()
     assert len(row["codes"]) == M
     assert all(0 <= c < KSUB for c in row["codes"])
+
+
+def test_ivfpq_reduces_to_pq_at_full_probe_and_prunes_otherwise(spark, clustered):
+    from time_series_loader_spark.operators.pq import ivfpq_search
+    from time_series_loader_spark.operators.similarity import (
+        _nearest_cells_udf,
+        kmeans_cells,
+    )
+
+    books = pq_train(clustered, "vec_id", "embedding", m=M, ksub=KSUB, iters=2)
+    cents = kmeans_cells(clustered, "vec_id", "embedding", n_cells=8, iters=2)
+    queries = clustered.where(F.col("vec_id") % 50 == 0)
+    corpus = clustered.where(F.col("vec_id") % 50 != 0)
+    assign1 = _nearest_cells_udf(cents, 1)
+    codes = pq_encode(corpus, "vec_id", "embedding", books).join(
+        corpus.select("vec_id", assign1(F.col("embedding"))[0].alias("cell")), "vec_id"
+    )
+
+    # n_probe = n_cells → identical to plain PQ search
+    full = ivfpq_search(
+        queries, codes, "vec_id", "embedding", cents, books, k=5, n_probe=8
+    ).collect()
+    plain = pq_search(queries, codes, "vec_id", "embedding", books, k=5).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in rows
+    )
+    assert key(full) == key(plain)
+
+    # n_probe = 1: every neighbor must come from the query's own probe
+    # cell, and (clustered data) still from the query's own cluster
+    one = ivfpq_search(
+        queries, codes, "vec_id", "embedding", cents, books, k=5, n_probe=1
+    )
+    cluster_of = {vid: ci for vid, ci, _ in _clustered()}
+    for r in one.collect():
+        assert cluster_of[r["neighbor_id"]] == cluster_of[r["query_id"]]

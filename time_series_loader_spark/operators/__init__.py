@@ -30,7 +30,12 @@ from time_series_loader_spark.operators.graph import (
     dedup_clusters,
     keep_representatives,
 )
-from time_series_loader_spark.operators.pq import pq_encode, pq_search, pq_train
+from time_series_loader_spark.operators.pq import (
+    ivfpq_search,
+    pq_encode,
+    pq_search,
+    pq_train,
+)
 from time_series_loader_spark.operators.profile import profile_table
 from time_series_loader_spark.operators.rate import counter_increase
 from time_series_loader_spark.operators.twa import time_weighted_mean
@@ -60,6 +65,7 @@ __all__ = [
     "connected_components",
     "dedup_clusters",
     "keep_representatives",
+    "ivfpq_search",
     "pq_encode",
     "pq_search",
     "pq_train",

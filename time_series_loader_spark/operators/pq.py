@@ -209,3 +209,117 @@ def pq_search(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist", "rank")
     )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    fold: bool = False,
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFPQ composition): the coarse quantizer prunes
+    WHICH vectors to score (only docs in each query's ``n_probe``
+    nearest cells), and PQ codes make scoring them ~64× cheaper IO —
+    the two legs this module and `similarity.py::ivf_search` provide
+    separately, composed.
+
+    ``corpus_codes`` must carry a ``cell`` column (nearest coarse
+    centroid, e.g. built once alongside `pq_encode` with
+    `similarity._nearest_cells_udf` — see tests) — on disk this is the
+    classic layout: the code table partitioned by cell, so a probe
+    reads only its cells' files. Here the kernel filters by each
+    query's probe set (shipped in the closure), which prunes COMPUTE;
+    partition-by-cell at write time additionally prunes IO.
+
+    Same determinism contract as `pq_search`: (score, id)-ordered local
+    top-k; with ``fold=True``, bit-parity with an oracle built from the
+    same centroid + codebook literals. ``n_probe = n_cells`` reduces
+    exactly to `pq_search` (equality-tested).
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from time_series_loader_spark.operators.similarity import fold_sq_norms as _fsn
+
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = C.shape
+    c2 = (
+        np.asarray([_fsn(list(C[j])) for j in range(m)])
+        if fold
+        else (C * C).sum(axis=2)
+    )
+    CC = np.asarray(centroids, dtype=np.float64)  # coarse (n_cells, dim)
+    cc2 = np.asarray(_fsn(centroids)) if fold else (CC * CC).sum(axis=1)
+
+    panel = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids, tables, probes = [], [], []
+    for r in panel:
+        q = np.asarray(r[1], dtype=np.float64)
+        # probe cells by the same |c|^2 - 2 q.c rank as ivf_search
+        if fold:
+            d = np.array(
+                [cc2[j] - 2.0 * np.cumsum(q * CC[j])[-1] for j in range(len(CC))]
+            )
+        else:
+            d = cc2 - 2.0 * (CC @ q)
+        probes.append(set(np.argsort(d, kind="stable")[:n_probe].tolist()))
+        t = np.empty((m, ksub))
+        for j in range(m):
+            s = q[j * dsub : (j + 1) * dsub]
+            if fold:
+                for c in range(ksub):
+                    t[j, c] = c2[j, c] - 2.0 * np.cumsum(s * C[j, c])[-1]
+            else:
+                t[j] = c2[j] - 2.0 * (C[j] @ s)
+        qids.append(r[0])
+        tables.append(t)
+
+    id_type = corpus_codes.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("adist", DoubleType()),
+        ]
+    )
+    j_idx = np.arange(m)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf) or not qids:
+                continue
+            codes = np.stack([np.asarray(c) for c in pdf["codes"]])
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            frames = []
+            for qid, t, probe in zip(qids, tables, probes):
+                mask = np.isin(cells, list(probe))
+                if not mask.any():
+                    continue
+                sub_codes, sub_ids = codes[mask], ids[mask]
+                looked = t[j_idx[None, :], sub_codes]
+                scores = np.cumsum(looked, axis=1)[:, -1]
+                take = min(k, len(sub_ids))
+                part = np.lexsort((sub_ids, scores))[:take]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": sub_ids[part], "adist": scores[part]}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = corpus_codes.select(id_col, "codes", "cell").mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
