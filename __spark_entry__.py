@@ -1978,11 +1978,13 @@ def _sql_stratified_sample() -> str:
     return f"""
 WITH h AS (SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
 b AS (SELECT doc_id, lang, text, {bucket} AS sample_bucket FROM h),
-mw AS (SELECT CAST(SUM(CAST(len({_SQL_TOKENS}) AS DECIMAL(27,6))) AS DOUBLE)
-              / COUNT(*) AS mean_w FROM documents),
+mw AS (SELECT CAST(SUM(CAST(greatest(len({_SQL_TOKENS}), 0) AS DECIMAL(27,6))) AS DOUBLE)
+              / COUNT(len({_SQL_TOKENS})) AS mean_w FROM documents),
 w AS (SELECT b.doc_id, b.lang, b.sample_bucket,
-             least(1.0, 0.2 * greatest(len(string_split_regex(lower(trim(b.text)), '\\s+')), 0)
-                        / mw.mean_w) AS p
+             CASE WHEN mw.mean_w > 0
+                  THEN least(1.0, 0.2 * greatest(len(string_split_regex(lower(trim(b.text)), '\\s+')), 0)
+                             / mw.mean_w)
+                  ELSE 0.0 END AS p
       FROM b, mw)
 SELECT 'stratified' AS section, doc_id, lang, sample_bucket FROM b
 WHERE sample_bucket < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384

@@ -300,3 +300,50 @@ def test_compact_parquet_rebins_small_files(spark, tmp_path):
     # refuses to clobber an existing layout unless told to
     with pytest.raises(Exception):
         compact_parquet(spark, src, out, target_bytes=total)
+
+
+def test_weighted_sample_degenerate_weights(spark):
+    """Review findings: an all-zero (or negative-mean) weight corpus must
+    yield an EMPTY sample, not all rows / an inverted decision."""
+    from time_series_loader_spark.operators.sampling import weighted_sample
+
+    zeros = spark.createDataFrame([(i, 0) for i in range(50)], "doc_id LONG, w INT")
+    assert weighted_sample(zeros, "doc_id", "w", 0.5).count() == 0
+
+    # negative weights clamp to 0 in BOTH numerator and mean: the
+    # positive-weight rows still sample at ~fraction instead of being
+    # wiped out by a negative raw mean
+    mixed = spark.createDataFrame(
+        [(i, -100 if i % 2 else 10) for i in range(400)], "doc_id LONG, w INT"
+    )
+    kept = [r["doc_id"] for r in weighted_sample(mixed, "doc_id", "w", 0.3).collect()]
+    assert len(kept) > 0
+    assert all(i % 2 == 0 for i in kept)  # clamped rows (w<0) never sampled
+
+
+def test_shard_pack_rejects_string_keys(spark):
+    rows = [("doc-%03d" % i, 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id STRING, w LONG")
+    with pytest.raises(ValueError, match="numeric"):
+        shard_pack(df, "doc_id", "w", budget=10)
+
+
+def test_write_packed_shards_empty_input(spark, tmp_path):
+    from time_series_loader_spark.sources.sink import write_packed_shards
+
+    empty = spark.createDataFrame([], "doc_id LONG, n_tokens LONG")
+    packed = shard_pack(empty, "doc_id", "n_tokens", budget=10)
+    man = write_packed_shards(packed, str(tmp_path / "none"))
+    assert man.count() == 0
+    assert set(man.columns) == {"shard_id", "n_rows", "n_files"}
+
+
+def test_sample_exact_k_excludes_null_keys_and_clean_schema(spark):
+    from time_series_loader_spark.operators.sampling import sample_exact_k
+
+    rows = [(None,)] * 60 + [(float(i),) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id DOUBLE")
+    out = sample_exact_k(df, "doc_id", 50)
+    got = [r["doc_id"] for r in out.collect()]
+    assert len(got) == 50 and all(g is not None for g in got)
+    assert out.columns == ["doc_id"]  # no helper rank column leaks

@@ -109,6 +109,132 @@ def pq_encode(
     return df.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
 
 
+def _query_tables(panel, codebooks, fold: bool):
+    """(qids, tables, raw_vectors): each query's m × ksub ADC lookup
+    table of ``|c|² − 2·q_j·c`` pseudo-distances, built with matmul or
+    (``fold=True``) the oracle-parity sequential fold."""
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = C.shape
+    c2 = (
+        np.asarray([fold_sq_norms(list(C[j])) for j in range(m)])
+        if fold
+        else (C * C).sum(axis=2)
+    )
+    qids, tables, vecs = [], [], []
+    for r in panel:
+        q = np.asarray(r[1], dtype=np.float64)
+        t = np.empty((m, ksub))
+        for j in range(m):
+            s = q[j * dsub : (j + 1) * dsub]
+            if fold:
+                for c in range(ksub):
+                    t[j, c] = c2[j, c] - 2.0 * np.cumsum(s * C[j, c])[-1]
+            else:
+                t[j] = c2[j] - 2.0 * (C[j] @ s)
+        qids.append(r[0])
+        tables.append(t)
+        vecs.append(q)
+    return qids, tables, vecs
+
+
+def _adc_search(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int,
+    fold: bool,
+    centroids: list[list[float]] | None = None,
+    n_probe: int = 0,
+) -> DataFrame:
+    """Shared ADC top-k engine for :func:`pq_search` (``centroids=None``
+    — every corpus code scored) and :func:`ivfpq_search` (each query
+    scores only the codes in its ``n_probe`` nearest coarse cells; the
+    code table must carry a ``cell`` column). One implementation so the
+    tie-break/fold arithmetic can never drift between the two paths."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    m = len(codebooks)
+    panel = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids, tables, qvecs = _query_tables(panel, codebooks, fold)
+
+    probes: list[set] | None = None
+    if centroids is not None:
+        CC = np.asarray(centroids, dtype=np.float64)
+        cc2 = np.asarray(fold_sq_norms(centroids)) if fold else (CC * CC).sum(axis=1)
+        probes = []
+        for q in qvecs:
+            # probe cells by the same |c|² − 2·q·c rank as ivf_search
+            if fold:
+                d = np.array(
+                    [cc2[j] - 2.0 * np.cumsum(q * CC[j])[-1] for j in range(len(CC))]
+                )
+            else:
+                d = cc2 - 2.0 * (CC @ q)
+            probes.append(set(np.argsort(d, kind="stable")[:n_probe].tolist()))
+
+    id_type = corpus_codes.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("adist", DoubleType()),
+        ]
+    )
+    j_idx = np.arange(m)
+    in_cols = [id_col, "codes"] + (["cell"] if probes is not None else [])
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf) or not qids:
+                continue
+            codes = np.stack([np.asarray(c) for c in pdf["codes"]])  # (n, m)
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy() if probes is not None else None
+            frames = []
+            for qi, (qid, t) in enumerate(zip(qids, tables)):
+                sub_codes, sub_ids = codes, ids
+                if probes is not None:
+                    mask = np.isin(cells, list(probes[qi]))
+                    if not mask.any():
+                        continue
+                    sub_codes, sub_ids = codes[mask], ids[mask]
+                looked = t[j_idx[None, :], sub_codes]  # (n, m)
+                # left-fold sum over j (cumsum ≡ the oracle's ordered
+                # list_reduce) so adist is bit-stable across engines
+                scores = np.cumsum(looked, axis=1)[:, -1]
+                take = min(k, len(sub_ids))
+                # select by the FULL (score, id) order, not score alone:
+                # quantized corpora tie constantly (same-cluster rows
+                # share codes), and a score-only local top-k could drop
+                # a smaller-id tie that the global (score, id) ranking
+                # keeps — making results partitioning-dependent
+                part = np.lexsort((sub_ids, scores))[:take]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": sub_ids[part],
+                            "adist": scores[part],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = corpus_codes.select(*in_cols).mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
+
+
 def pq_search(
     queries: DataFrame,
     corpus_codes: DataFrame,
@@ -125,90 +251,16 @@ def pq_search(
     distance table ships to executors inside the kernel closure; the
     corpus CODES table — the only corpus-sized input, already 64×
     smaller than the vectors — streams through ONE `mapInPandas` that
-    emits each partition's local top-k per query, and a final window
-    reduces ``partitions × k`` candidate rows globally. No full-vector
-    reads, no corpus shuffle.
+    emits each partition's (score, id)-ordered local top-k per query,
+    and a final window reduces ``partitions × k`` candidate rows
+    globally. No full-vector reads, no corpus shuffle.
 
     Output: (query_id, neighbor_id, adist, rank) — ``adist`` =
     Σ_j (|c|² − 2·q_j·c_{code_j}), rank-equivalent to ADC L2 (the
     per-query |q_j|² terms cancel); rank 1..k ascending adist, ties →
     smaller neighbor id.
     """
-    import pandas as pd
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    C = np.asarray(codebooks, dtype=np.float64)
-    m, ksub, dsub = C.shape
-    c2 = (
-        np.asarray([fold_sq_norms(list(C[j])) for j in range(m)])
-        if fold
-        else (C * C).sum(axis=2)
-    )
-
-    panel = queries.select(F.col(id_col), F.col(vec_col)).collect()
-    qids, tables = [], []
-    for r in panel:
-        q = np.asarray(r[1], dtype=np.float64)
-        t = np.empty((m, ksub))
-        for j in range(m):
-            s = q[j * dsub : (j + 1) * dsub]
-            if fold:
-                for c in range(ksub):
-                    t[j, c] = c2[j, c] - 2.0 * np.cumsum(s * C[j, c])[-1]
-            else:
-                t[j] = c2[j] - 2.0 * (C[j] @ s)
-        qids.append(r[0])
-        tables.append(t)
-
-    id_type = corpus_codes.schema[id_col].dataType
-    out_schema = StructType(
-        [
-            StructField("query_id", id_type),
-            StructField("neighbor_id", id_type),
-            StructField("adist", DoubleType()),
-        ]
-    )
-    j_idx = np.arange(m)
-
-    def kernel(batches):
-        for pdf in batches:
-            if not len(pdf) or not qids:
-                continue
-            codes = np.stack([np.asarray(c) for c in pdf["codes"]])  # (n, m)
-            ids = pdf[id_col].to_numpy()
-            frames = []
-            for qid, t in zip(qids, tables):
-                looked = t[j_idx[None, :], codes]  # (n, m)
-                # left-fold sum over j (cumsum ≡ the oracle's ordered
-                # list_reduce) so adist is bit-stable across engines
-                scores = np.cumsum(looked, axis=1)[:, -1]
-                take = min(k, len(ids))
-                # select by the FULL (score, id) order, not score alone:
-                # quantized corpora tie constantly (same-cluster rows
-                # share codes), and a score-only local top-k could drop
-                # a smaller-id tie that the global (score, id) ranking
-                # keeps — making results partitioning-dependent
-                part = np.lexsort((ids, scores))[:take]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "neighbor_id": ids[part],
-                            "adist": scores[part],
-                        }
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
-
-    cand = corpus_codes.select(id_col, "codes").mapInPandas(kernel, out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adist", "rank")
-    )
+    return _adc_search(queries, corpus_codes, id_col, vec_col, codebooks, k, fold)
 
 
 def ivfpq_search(
@@ -236,90 +288,11 @@ def ivfpq_search(
     query's probe set (shipped in the closure), which prunes COMPUTE;
     partition-by-cell at write time additionally prunes IO.
 
-    Same determinism contract as `pq_search`: (score, id)-ordered local
-    top-k; with ``fold=True``, bit-parity with an oracle built from the
-    same centroid + codebook literals. ``n_probe = n_cells`` reduces
-    exactly to `pq_search` (equality-tested).
+    Same engine as :func:`pq_search` (`_adc_search` — one tie-break/
+    fold implementation for both paths); ``n_probe = n_cells`` reduces
+    exactly to `pq_search` (equality-tested in test_pq).
     """
-    import pandas as pd
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    from time_series_loader_spark.operators.similarity import fold_sq_norms as _fsn
-
-    C = np.asarray(codebooks, dtype=np.float64)
-    m, ksub, dsub = C.shape
-    c2 = (
-        np.asarray([_fsn(list(C[j])) for j in range(m)])
-        if fold
-        else (C * C).sum(axis=2)
-    )
-    CC = np.asarray(centroids, dtype=np.float64)  # coarse (n_cells, dim)
-    cc2 = np.asarray(_fsn(centroids)) if fold else (CC * CC).sum(axis=1)
-
-    panel = queries.select(F.col(id_col), F.col(vec_col)).collect()
-    qids, tables, probes = [], [], []
-    for r in panel:
-        q = np.asarray(r[1], dtype=np.float64)
-        # probe cells by the same |c|^2 - 2 q.c rank as ivf_search
-        if fold:
-            d = np.array(
-                [cc2[j] - 2.0 * np.cumsum(q * CC[j])[-1] for j in range(len(CC))]
-            )
-        else:
-            d = cc2 - 2.0 * (CC @ q)
-        probes.append(set(np.argsort(d, kind="stable")[:n_probe].tolist()))
-        t = np.empty((m, ksub))
-        for j in range(m):
-            s = q[j * dsub : (j + 1) * dsub]
-            if fold:
-                for c in range(ksub):
-                    t[j, c] = c2[j, c] - 2.0 * np.cumsum(s * C[j, c])[-1]
-            else:
-                t[j] = c2[j] - 2.0 * (C[j] @ s)
-        qids.append(r[0])
-        tables.append(t)
-
-    id_type = corpus_codes.schema[id_col].dataType
-    out_schema = StructType(
-        [
-            StructField("query_id", id_type),
-            StructField("neighbor_id", id_type),
-            StructField("adist", DoubleType()),
-        ]
-    )
-    j_idx = np.arange(m)
-
-    def kernel(batches):
-        for pdf in batches:
-            if not len(pdf) or not qids:
-                continue
-            codes = np.stack([np.asarray(c) for c in pdf["codes"]])
-            ids = pdf[id_col].to_numpy()
-            cells = pdf["cell"].to_numpy()
-            frames = []
-            for qid, t, probe in zip(qids, tables, probes):
-                mask = np.isin(cells, list(probe))
-                if not mask.any():
-                    continue
-                sub_codes, sub_ids = codes[mask], ids[mask]
-                looked = t[j_idx[None, :], sub_codes]
-                scores = np.cumsum(looked, axis=1)[:, -1]
-                take = min(k, len(sub_ids))
-                part = np.lexsort((sub_ids, scores))[:take]
-                frames.append(
-                    pd.DataFrame(
-                        {"query_id": qid, "neighbor_id": sub_ids[part], "adist": scores[part]}
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
-
-    cand = corpus_codes.select(id_col, "codes", "cell").mapInPandas(kernel, out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adist", "rank")
+    return _adc_search(
+        queries, corpus_codes, id_col, vec_col, codebooks, k, fold,
+        centroids=centroids, n_probe=n_probe,
     )

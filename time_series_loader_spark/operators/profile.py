@@ -22,7 +22,9 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_NUMERIC = {"int", "bigint", "smallint", "tinyint", "float", "double", "decimal"}
+# one source of truth for "numeric dtype" across the engine — resample
+# and the profiler must agree on which columns get means
+from time_series_loader_spark.operators.resample import _is_numeric
 
 _DEC = "decimal(38,6)"
 
@@ -53,8 +55,8 @@ def profile_table(
     if unknown:
         raise ValueError(f"columns not in DataFrame: {unknown}")
 
-    def _is_numeric(c: str) -> bool:
-        return dtypes[c].split("(")[0] in _NUMERIC
+    def _numeric(c: str) -> bool:
+        return _is_numeric(dtypes[c])
 
     def _orderable(c: str) -> bool:
         base = dtypes[c].split("(")[0]
@@ -82,7 +84,7 @@ def profile_table(
         if _orderable(c):
             aggs.append(F.min(col).cast("string").alias(f"_min_{c}"))
             aggs.append(F.max(col).cast("string").alias(f"_max_{c}"))
-        if _is_numeric(c):
+        if _numeric(c):
             aggs.append(
                 (F.sum(col.cast(_DEC)).cast("double") / F.count(col)).alias(f"_mean_{c}")
             )
@@ -108,10 +110,10 @@ def profile_table(
             (F.col(f"_max_{c}") if _orderable(c) else F.lit(None).cast("string")).alias(
                 "max_str"
             ),
-            (F.col(f"_mean_{c}") if _is_numeric(c) else F.lit(None).cast("double")).alias(
+            (F.col(f"_mean_{c}") if _numeric(c) else F.lit(None).cast("double")).alias(
                 "mean"
             ),
-            (F.col(f"_std_{c}") if _is_numeric(c) else F.lit(None).cast("double")).alias(
+            (F.col(f"_std_{c}") if _numeric(c) else F.lit(None).cast("double")).alias(
                 "stddev"
             ),
         )

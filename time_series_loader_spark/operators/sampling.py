@@ -31,6 +31,12 @@ from pyspark.sql import functions as F
 _HEX = "0123456789abcdef"
 BUCKETS = 65536
 
+# key types shard_pack can range-bucket arithmetically
+_NUMERIC_KEY_TYPES = {
+    "int", "bigint", "smallint", "tinyint", "float", "double", "decimal",
+    "timestamp", "timestamp_ntz", "date",
+}
+
 
 def hash_bucket(key: Column | str, salt: str = "") -> Column:
     """Deterministic bucket in [0, 65536) from md5 of the (salted) key."""
@@ -94,16 +100,20 @@ def weighted_sample(
     are always kept, so the realized fraction can drift below target on
     heavy-tailed weights — the standard weighted-Bernoulli caveat.
     """
+    clamped = F.greatest(F.col(weight_col), F.lit(0))
+    # the mean MUST average the same CLAMPED weights the numerator uses:
+    # a raw mean over negative-weight rows can go ≤ 0 and silently
+    # invert (or zero-divide) every row's decision
     stats = df.agg(
         (
-            F.sum(F.col(weight_col).cast("decimal(27,6)")).cast("double")
+            F.sum(clamped.cast("decimal(27,6)")).cast("double")
             / F.count(weight_col)
         ).alias("_mean_w")
     )
-    p = F.least(
-        F.lit(1.0),
-        F.lit(fraction) * F.greatest(F.col(weight_col), F.lit(0)) / F.col("_mean_w"),
-    )
+    p = F.when(
+        F.col("_mean_w") > 0,
+        F.least(F.lit(1.0), F.lit(fraction) * clamped / F.col("_mean_w")),
+    ).otherwise(F.lit(0.0))  # all-weightless corpus → empty sample, not all rows
     return (
         df.crossJoin(F.broadcast(stats))
         .withColumn("sample_bucket", hash_bucket(key_col, salt))
@@ -126,10 +136,16 @@ def sample_exact_k(df: DataFrame, key_col: str, k: int, salt: str = "") -> DataF
     test_sampling). Keep k driver-sized (it's a collect-shaped result).
     """
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    # null keys are EXCLUDED: their md5 is null, which an ascending sort
+    # would rank ahead of every real row — null-id rows would then own
+    # sample slots unconditionally, which is neither uniform nor
+    # salt-sensitive
     return (
-        df.withColumn("sample_rank", h)
-        .orderBy("sample_rank", key_col)
+        df.where(F.col(key_col).isNotNull())
+        .withColumn("_sample_rank", h)
+        .orderBy("_sample_rank", key_col)
         .limit(k)
+        .drop("_sample_rank")
     )
 
 
@@ -154,9 +170,20 @@ def shard_pack(
     them on the driver; broadcast the offsets back; window-cumsum WITHIN
     each bucket and add the bucket's offset. The window partitions by
     bucket, so no single-partition funnel exists at any width.
+
+    ``key_col`` must be numeric or timestamp (the range bucketing is
+    arithmetic on the key) — a string key would cast to all-null doubles
+    and silently pack everything into one null shard, so it raises.
     """
+    key_dtype = dict(df.dtypes)[key_col].split("(")[0]
+    if key_dtype not in _NUMERIC_KEY_TYPES:
+        raise ValueError(
+            f"shard_pack key {key_col!r} has type {key_dtype!r}; need a numeric "
+            "or timestamp key (range-bucketed arithmetically). Map string ids "
+            "to a number first (e.g. monotonically increasing ingest id)."
+        )
     kmin, kmax = df.agg(
-        F.min(key_col).cast("double"), F.max(key_col).cast("double")
+        F.min(F.col(key_col).cast("double")), F.max(F.col(key_col).cast("double"))
     ).collect()[0]
     if kmin is None:
         return df.withColumn("cum_weight", F.lit(None).cast("bigint")).withColumn(

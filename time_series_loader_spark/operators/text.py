@@ -104,6 +104,35 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, *_quality_exprs(text_col))
 
 
+def quality_score_expr(text_col: str) -> Column:
+    """The composite quality score in [0, 1] as a single named
+    expression — for callers (CorpusPipeline) that filter on the score
+    without materializing the full feature set. Selected by ALIAS from
+    the shared expression list, so reordering/extending the list can't
+    silently change what a filter means."""
+    return next(e for e in _quality_exprs(text_col) if _alias_of(e) == "quality_score")
+
+
+def _alias_of(col: Column) -> str:
+    """Output name of an aliased Column expression (from its string form
+    ``Column<'expr AS name'>`` — the last `` AS `` is the alias)."""
+    s = str(col)
+    if s.startswith("Column<'") and s.endswith("'>"):
+        s = s[8:-2]
+    return s.rsplit(" AS ", 1)[1].strip("`") if " AS " in s else s
+
+
+def gopher_pass_expr(text_col: str) -> Column:
+    """The combined Gopher-rule pass flag as a single named expression
+    (see :func:`quality_score_expr` for why selection is by alias)."""
+    return next(e for e in _gopher_exprs(text_col) if _alias_of(e) == "pass_gopher")
+
+
+def langid_pred_expr(text_col: str) -> Column:
+    """The predicted-language column as a single named expression."""
+    return next(e for e in _langid_exprs(text_col) if _alias_of(e) == "lang_pred")
+
+
 # The "required words" rule from the Gopher paper (Rae et al. 2021,
 # public): a natural-language English document almost surely contains at
 # least 2 of these.

@@ -78,30 +78,25 @@ class CorpusPipeline:
         [0,1]) and/or failing the Gopher rule battery. Both are pure
         expressions — this step adds zero passes."""
         from time_series_loader_spark.operators.text import (
-            _gopher_exprs,
-            _quality_exprs,
+            gopher_pass_expr,
+            quality_score_expr,
         )
 
         df = self._df
         if min_score is not None:
-            score = [
-                e for e in _quality_exprs(self.text_col)
-            ][-1]  # quality_score is the last expression
-            df = df.where(score >= F.lit(min_score))
+            df = df.where(quality_score_expr(self.text_col) >= F.lit(min_score))
             self.steps_applied.append(f"quality_score>={min_score}")
         if gopher:
-            passed = [e for e in _gopher_exprs(self.text_col)][-1]
-            df = df.where(passed)
+            df = df.where(gopher_pass_expr(self.text_col))
             self.steps_applied.append("gopher_rules")
         self._df = df
         return self
 
     def keep_languages(self, langs: Sequence[str]) -> "CorpusPipeline":
         """Keep rows whose heuristic language ID is in ``langs``."""
-        from time_series_loader_spark.operators.text import _langid_exprs
+        from time_series_loader_spark.operators.text import langid_pred_expr
 
-        pred = [e for e in _langid_exprs(self.text_col)][-1]
-        self._df = self._df.where(pred.isin(*langs))
+        self._df = self._df.where(langid_pred_expr(self.text_col).isin(*langs))
         self.steps_applied.append(f"lang in {sorted(langs)}")
         return self
 
@@ -169,9 +164,9 @@ class CorpusPipeline:
         wcol = weight
         if wcol is None:
             wcol = "__w"
-            df = df.withColumn(
-                wcol, F.size(F.split(F.lower(F.trim(self.text_col)), r"\s+"))
-            )
+            from time_series_loader_spark.operators.text import tokens
+
+            df = df.withColumn(wcol, F.size(tokens(self.text_col)))
         out = weighted_sample(df, self.id_col, wcol, fraction)
         drop = ["sample_bucket"] + ([] if weight else [wcol])
         self._df = out.drop(*drop)
@@ -197,9 +192,9 @@ class CorpusPipeline:
         wcol = weight
         if wcol is None:
             wcol = "__w"
-            df = df.withColumn(
-                wcol, F.size(F.split(F.lower(F.trim(self.text_col)), r"\s+"))
-            )
+            from time_series_loader_spark.operators.text import tokens
+
+            df = df.withColumn(wcol, F.size(tokens(self.text_col)))
         packed = shard_pack(df, self.id_col, wcol, budget)
         if weight is None:
             packed = packed.drop(wcol)

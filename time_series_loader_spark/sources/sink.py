@@ -103,7 +103,17 @@ def write_packed_shards(
         out = out.sortWithinPartitions(shard_col, order_col)
     out.write.mode(mode).partitionBy(shard_col).parquet(path)
 
-    written = spark.read.parquet(path)
+    try:
+        written = spark.read.parquet(path)
+    except Exception:
+        # an EMPTY input writes only _SUCCESS — no part files, nothing to
+        # infer a schema from. A legitimately-filtered-to-zero corpus is
+        # not an error: return an empty manifest with the right shape.
+        return spark.createDataFrame(
+            [],
+            f"{shard_col} {df.schema[shard_col].dataType.simpleString()}, "
+            "n_rows BIGINT, n_files BIGINT",
+        )
     return (
         written.withColumn("_file", F.input_file_name())
         .groupBy(shard_col)
