@@ -79,11 +79,32 @@ def synth(spark, factor: int, out_dir: str) -> None:
         )
     )
 
+    # embeddings ×N: copy 0 verbatim; later copies get a deterministic
+    # per-copy rotation (cyclic shift of the vector by copy index) — far
+    # from the originals in cosine terms, so ANN candidate counts scale
+    # linearly instead of every copy colliding into one neighborhood.
+    emb = read_table(spark, SRC, "embeddings")
+    n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    dim = len(emb.select("embedding").first()[0])
+    shifted = F.concat(
+        F.slice(F.col("embedding"), (F.col("_copy") % dim) + 1, dim),
+        F.slice(F.col("embedding"), 1, F.col("_copy") % dim),
+    )
+    big_emb = emb.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("_copy") * n_vecs).alias("vec_id"),
+        F.when(F.col("_copy") == 0, F.col("embedding"))
+        .otherwise(shifted)
+        .alias("embedding"),
+    )
+
     big_docs.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
     )
     big_ev.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "events.parquet")
+    )
+    big_emb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
     )
 
 
