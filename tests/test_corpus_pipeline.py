@@ -122,3 +122,26 @@ def test_sample_weighted_step(spark, corpus):
     assert out1 == out2  # deterministic
     # helper weight column does not leak into the output schema
     assert set(p.df().columns) == {"doc_id", "text"}
+
+
+def test_pipeline_on_real_testdata(spark):
+    """Light chain over the driver's documents table: row counts shrink
+    monotonically through the stages and a rerun is identical."""
+    from time_series_loader_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    n0 = docs.count()
+
+    def run():
+        p = (
+            CorpusPipeline(docs, "doc_id", "text")
+            .scrub_pii()
+            .quality_filter(min_score=0.2, gopher=False)  # synthetic corpus fails gopher wholesale
+            .dedup_exact()
+            .sample_weighted(fraction=0.5)
+        )
+        return sorted(r["doc_id"] for r in p.df().select("doc_id").collect())
+
+    ids = run()
+    assert 0 < len(ids) <= n0
+    assert ids == run()  # end-to-end deterministic

@@ -103,3 +103,63 @@ def test_asof_property(spark, data_offsets, target_offsets, direction):
             assert g is None
         else:
             assert g == row["value"]
+
+
+@given(series_strategy)
+@SETTINGS
+def test_m4_downsample_matches_pandas_extrema(spark, values):
+    """M4 per-bucket first/min/max/last values match a pandas groupby
+    over 3-hour buckets (values only — M4's arg-timestamp tie rule,
+    earliest-min/latest-max, is pinned separately in test_resample)."""
+    from time_series_loader_spark.operators.resample import m4_downsample
+
+    df = _spark_df(spark, values)
+    got = {}
+    for r in m4_downsample(df, "ts", "v", "3h").collect():
+        got.setdefault(r["bucket_ts"], {})[r["role"]] = r["v"]
+
+    s = _pd_series(values)
+    g = s.groupby(s.index.floor("3h"))
+    exp_first, exp_last = g.first(), g.last()
+    exp_min, exp_max = g.min(), g.max()
+    for b in exp_first.index:
+        key = b.to_pydatetime()
+        if np.isnan(exp_min[b]):
+            assert key not in got  # all-null bucket emits nothing
+            continue
+        assert got[key]["first"] == exp_first[b]
+        assert got[key]["last"] == exp_last[b]
+        assert got[key]["min"] == exp_min[b]
+        assert got[key]["max"] == exp_max[b]
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(0, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.floats(0.05, 1.0, allow_nan=False),
+)
+@SETTINGS
+def test_weighted_sample_is_a_nested_deterministic_filter(spark, weights, fraction):
+    """Properties that hold for ANY weights/fraction: decisions are
+    deterministic, null/zero-weight rows never selected, and raising the
+    fraction only ADDs rows (bucket-threshold nesting)."""
+    from time_series_loader_spark.operators.sampling import weighted_sample
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w INT")
+    kept = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", fraction).collect()}
+    assert kept == {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(3), "doc_id", "w", fraction).collect()
+    }
+    for i in kept:
+        assert weights[i] is not None and weights[i] > 0
+    if fraction <= 0.5:
+        bigger = {
+            r["doc_id"]
+            for r in weighted_sample(df, "doc_id", "w", 2 * fraction).collect()
+        }
+        assert kept <= bigger

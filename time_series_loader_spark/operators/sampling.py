@@ -107,7 +107,10 @@ def weighted_sample(
     stats = df.agg(
         (
             F.sum(clamped.cast("decimal(27,6)")).cast("double")
-            / F.count(weight_col)
+            # greatest(count, 1): an all-null-weight frame has count 0,
+            # which is an ANSI divide-by-zero; with the floor the mean
+            # becomes 0 and the p > 0 guard below yields an empty sample
+            / F.greatest(F.count(weight_col), F.lit(1))
         ).alias("_mean_w")
     )
     p = F.when(
