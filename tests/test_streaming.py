@@ -311,3 +311,40 @@ def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
     out = run_available_now(dedup_stream(sdf, ["k"], "ts", watermark="10 minutes"), spark, shuffle_partitions=8)
     vals = sorted(r["value"] for r in out.collect())
     assert vals == [1.0, 2.0, 3.0]
+
+
+def test_windowed_m4_stream_matches_batch_m4(spark, tmp_path):
+    """Streaming M4 over a drained file stream == batch m4_downsample
+    over the same rows (same struct-aggregate tie rules), and an
+    all-null-value window emits nothing."""
+    from datetime import datetime as dt
+
+    from time_series_loader_spark.operators.resample import m4_downsample
+    from time_series_loader_spark.streaming.ingest import windowed_m4_stream
+
+    rows = [
+        ("2023-01-01 00:05:00", 3.0),
+        ("2023-01-01 00:10:00", 9.0),
+        ("2023-01-01 00:20:00", 1.0),
+        ("2023-01-01 00:50:00", 5.0),
+        ("2023-01-01 01:15:00", 2.0),
+        ("2023-01-01 02:30:00", ""),  # null value → its window is empty
+    ]
+    _write(tmp_path, "m4.csv", rows, mtime=1_700_000_000)
+    sdf = stream_csv_directory(spark, str(tmp_path), SCHEMA, delimiter=";")
+    m4 = windowed_m4_stream(sdf, "ts", "1 hour", "value", watermark="0 seconds")
+    out = run_available_now(m4, spark, shuffle_partitions=8)
+    got = {
+        (r["window_start"], r["role"]): (r["ts"], r["value"]) for r in out.collect()
+    }
+
+    batch = spark.createDataFrame(
+        [(dt.strptime(ts, "%Y-%m-%d %H:%M:%S"), float(v)) for ts, v in rows if v != ""],
+        SCHEMA,
+    )
+    want = {
+        (r["bucket_ts"], r["role"]): (r["ts"], r["value"])
+        for r in m4_downsample(batch, "ts", "value", "1h").collect()
+    }
+    assert got == want
+    assert len({b for b, _ in got}) == 2  # the null-only 02:00 window absent

@@ -27,7 +27,7 @@ import tempfile
 import uuid
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -206,3 +206,55 @@ def run_available_now(
         if prev is not None:
             spark.conf.set(key, prev)
     return spark.table(name)
+
+
+def windowed_m4_stream(
+    sdf: DataFrame,
+    ts_col: str,
+    window: str,
+    value_col: str,
+    watermark: str = "10 minutes",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming M4 downsampling: the live-dashboard shape — per
+    watermarked tumbling window keep first/min/max/last WITH their real
+    timestamps (batch semantics: `operators/resample.py::m4_downsample`;
+    same tie rules — min→earliest ts, max→latest — via the same
+    lexicographic (value, ts) struct aggregates, which are all
+    mergeable, so the streaming state per open window is four structs
+    regardless of event volume).
+
+    Emits one row per (window, role) in append mode once the watermark
+    passes the window end; all-null windows emit nothing.
+    """
+    v, t = F.col(value_col), F.col(ts_col)
+    vt = F.when(v.isNotNull(), F.struct(v.alias("v"), t.alias("t")))
+    tv = F.when(v.isNotNull(), F.struct(t.alias("t"), v.alias("v")))
+    agg = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(*group_cols, F.window(ts_col, window).alias("w"))
+        .agg(
+            F.min(tv).alias("_f"),
+            F.min(vt).alias("_mn"),
+            F.max(vt).alias("_mx"),
+            F.max(tv).alias("_l"),
+        )
+    )
+
+    def _pt(role: str, src: str) -> Column:
+        return F.struct(
+            F.lit(role).alias("role"),
+            F.col(f"{src}.t").alias(ts_col),
+            F.col(f"{src}.v").alias(value_col),
+        )
+
+    pts = F.array(_pt("first", "_f"), _pt("min", "_mn"), _pt("max", "_mx"), _pt("last", "_l"))
+    return (
+        agg.select(
+            *group_cols,
+            F.col("w.start").alias("window_start"),
+            F.explode(pts).alias("_p"),
+        )
+        .select(*group_cols, "window_start", "_p.*")
+        .where(F.col(value_col).isNotNull())
+    )
