@@ -212,3 +212,77 @@ def test_lenient_parse_udf(spark):
     assert out[1]["t"] == datetime(2023, 6, 7, 10, 30)
     assert out[2]["t"] is None
     assert out[3]["t"] is None
+
+
+def test_resize_bmp_real_pixels(spark):
+    """Nearest-neighbor resize on a REAL 24bpp BMP with a known pixel
+    pattern: dimensions change, sampled pixels land where expected."""
+    import struct
+
+    import numpy as np
+
+    from time_series_loader_spark.operators.multimodal import (
+        decode_payload,
+        make_bmp,
+        resize_bmp,
+    )
+
+    w, h = 6, 4
+    base = bytearray(make_bmp(w, h))
+    row = ((24 * w + 31) // 32) * 4
+    # paint pixel (x=4, y_bottom=2) red (BGR: 0,0,255)
+    off = 54 + 2 * row + 4 * 3
+    base[off : off + 3] = bytes([0, 0, 255])
+    small = resize_bmp(bytes(base), 3, 2)
+    d = decode_payload(small)
+    assert (d["width"], d["height"]) == (3, 2)
+    # x=4 of 6 → out x = 2 (xi = floor(x_out*6/3) picks src 4 at out 2);
+    # y=2 of 4 → out y = 1
+    orow = ((24 * 3 + 31) // 32) * 4
+    px = np.frombuffer(small, dtype=np.uint8, count=orow * 2, offset=54).reshape(2, orow)
+    assert tuple(px[1, 2 * 3 : 2 * 3 + 3]) == (0, 0, 255)
+    assert px[0, :9].sum() == 0  # the other row stayed black
+
+
+def test_sample_wav_frames_real(spark):
+    from time_series_loader_spark.operators.multimodal import (
+        decode_payload,
+        make_wav,
+        sample_wav_frames,
+    )
+
+    p = make_wav(16000, 2, 100)
+    out = sample_wav_frames(p, every=4)
+    d = decode_payload(out)
+    assert d["n_frames"] == 25
+    assert d["sample_rate"] == 16000 and d["n_channels"] == 2
+
+
+def test_transform_payloads_kernel(spark):
+    """The Spark-side plumbing: images resize, audio passes through
+    unchanged under op='resize' (transformed=false), and vice versa."""
+    from time_series_loader_spark.operators.multimodal import (
+        decode_features,
+        synthesize_payloads,
+        transform_payloads,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id LONG")
+    payloads = synthesize_payloads(docs, "doc_id")
+    resized = transform_payloads(payloads, "resize", out_w=5, out_h=7)
+    rows = {r["doc_id"]: r for r in resized.collect()}
+    # even ids are BMP images (synthesize_payloads contract) → resized;
+    # odd ids are WAV → pass through untransformed under op='resize'
+    assert all(r["transformed"] == (i % 2 == 0) for i, r in rows.items())
+
+    feats = {r["doc_id"]: r for r in decode_features(resized).collect()}
+    for i in rows:
+        if i % 2 == 0:
+            assert (feats[i]["width"], feats[i]["height"]) == (5, 7)
+
+    sampled = transform_payloads(payloads, "frame_sample", every=2)
+    before = {r["doc_id"]: r for r in decode_features(payloads).collect()}
+    after = {r["doc_id"]: r for r in decode_features(sampled).collect()}
+    for i in rows:
+        if i % 2 == 1:
+            assert after[i]["n_frames"] == (before[i]["n_frames"] + 1) // 2

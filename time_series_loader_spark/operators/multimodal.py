@@ -233,3 +233,113 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def resize_bmp(p: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize of a 24-bit uncompressed BMP, pure
+    Python/numpy: parse the DIB header, index-sample the (bottom-up,
+    4-byte-row-padded) pixel array, rebuild a valid BMP. Raises
+    NotImplementedError for non-BMP payloads (a PIL resize slots in
+    there on a codec-equipped cluster)."""
+    import struct
+
+    import numpy as np
+
+    if p[:2] != b"BM":
+        raise NotImplementedError("resize implemented for 24-bit BMP only")
+    off = struct.unpack_from("<I", p, 10)[0]
+    w, h = struct.unpack_from("<ii", p, 18)
+    bpp = struct.unpack_from("<H", p, 28)[0]
+    if bpp != 24 or h < 0:
+        raise NotImplementedError("resize implemented for bottom-up 24bpp BMP")
+    row = ((24 * w + 31) // 32) * 4
+    px = np.frombuffer(p, dtype=np.uint8, count=row * h, offset=off).reshape(h, row)
+    px = px[:, : w * 3].reshape(h, w, 3)
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    out = px[yi][:, xi]  # nearest-neighbor sample
+    orow = ((24 * out_w + 31) // 32) * 4
+    body = np.zeros((out_h, orow), dtype=np.uint8)
+    body[:, : out_w * 3] = out.reshape(out_h, out_w * 3)
+    return make_bmp(out_w, out_h)[:54] + body.tobytes()
+
+
+def sample_wav_frames(p: bytes, every: int) -> bytes:
+    """REAL frame-sampling of a 16-bit PCM WAV: keep every ``every``-th
+    audio frame by block-align slicing of the data chunk and rebuild the
+    RIFF container with corrected sizes. Raises NotImplementedError for
+    non-WAV payloads (ffmpeg's territory)."""
+    import struct
+
+    import numpy as np
+
+    if not (p[:4] == b"RIFF" and p[8:12] == b"WAVE"):
+        raise NotImplementedError("frame sampling implemented for PCM WAV only")
+    off, rate, chans, block, data_off, data_size = 12, 0, 0, 0, None, 0
+    while off + 8 <= len(p):
+        tag, size = struct.unpack_from("<4sI", p, off)
+        if tag == b"fmt " and size >= 16:
+            _, chans, rate, _, block, _ = struct.unpack_from("<HHIIHH", p, off + 8)
+        elif tag == b"data" and block:
+            data_off, data_size = off + 8, size
+        off += 8 + size + (size & 1)
+    if data_off is None or not block:
+        raise NotImplementedError("WAV without fmt/data chunks")
+    frames = np.frombuffer(p, dtype=np.uint8, count=data_size, offset=data_off)
+    frames = frames[: (data_size // block) * block].reshape(-1, block)
+    kept = frames[::every]
+    # rebuild: a fresh 44-byte RIFF/fmt/data header with corrected sizes,
+    # then the surviving frame bytes
+    return make_wav(rate, chans, len(kept))[:44] + kept.tobytes()
+
+
+def transform_payloads(
+    df: DataFrame,
+    op: str,
+    out_w: int = 8,
+    out_h: int = 8,
+    every: int = 2,
+) -> DataFrame:
+    """Batch resize / frame-sample — the preprocessing step between
+    decode and feature extraction at
+    100 TB scale, over any (doc_id, payload) frame. Arrow-batched
+    ``mapInPandas`` (the sanctioned Python hop), zero shuffle,
+    embarrassingly parallel; payloads whose format the pure-Python
+    kernels can't transform pass through UNCHANGED with
+    ``transformed=false`` (production swaps in PIL/ffmpeg inside the
+    same kernel — the Spark-side plumbing is identical).
+
+    ``op``: 'resize' (images → ``out_w`` × ``out_h``) or 'frame_sample'
+    (audio → every ``every``-th frame).
+    """
+    if op not in ("resize", "frame_sample"):
+        raise ValueError("op must be 'resize' or 'frame_sample'")
+    from pyspark.sql.types import BinaryType, BooleanType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("transformed", BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs, flags = [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                try:
+                    if op == "resize":
+                        outs.append(resize_bmp(b, out_w, out_h))
+                    else:
+                        outs.append(sample_wav_frames(b, every))
+                    flags.append(True)
+                except NotImplementedError:
+                    outs.append(b)
+                    flags.append(False)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": outs, "transformed": flags}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, schema)
