@@ -145,3 +145,19 @@ def test_pipeline_on_real_testdata(spark):
     ids = run()
     assert 0 < len(ids) <= n0
     assert ids == run()  # end-to-end deterministic
+
+
+def test_dedup_spans_step(spark):
+    boiler = " ".join(f"b{j}" for j in range(10))
+    rows = [
+        (0, "keep one " + boiler),
+        (1, boiler + " unique tail here"),
+        (2, "totally different text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    p = CorpusPipeline(df, "doc_id", "text").dedup_spans(n=10, min_docs=2)
+    out = {r["doc_id"]: r["text"] for r in p.df().collect()}
+    assert boiler in out[0]      # first doc keeps the one occurrence
+    assert out[1] == "unique tail here"
+    assert out[2] == "totally different text"
+    assert p.steps_applied == ["dedup_spans(n=10)"]

@@ -1,0 +1,109 @@
+"""Exact-substring (repeated-span) dedup (operators/spans.py) — Lee et
+al. 2022 semantics at fixed span length, with a DuckDB differential for
+the detection stage."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.operators.spans import (
+    remove_repeated_spans,
+    repeated_spans,
+)
+
+BOILER = "all rights reserved contact the publisher for permission details here"  # 10 tokens
+
+
+def _corpus():
+    u = lambda i, k: " ".join(f"u{i}w{j}" for j in range(k))
+    return [
+        (0, u(0, 6) + " " + BOILER + " " + u(10, 5)),   # boiler at 6
+        (1, BOILER + " " + u(1, 12)),                   # boiler at 0
+        (2, u(2, 20)),                                  # clean
+        (3, u(3, 4) + " " + BOILER),                    # boiler at tail
+        (4, "short text only"),                         # < n tokens
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(_corpus(), "doc_id LONG, text STRING")
+
+
+def test_repeated_spans_finds_the_boilerplate(spark, corpus):
+    out = repeated_spans(corpus, "text", "doc_id", n=10, min_docs=2)
+    rows = out.collect()
+    assert all(r["n_docs"] == 3 for r in rows)
+    starts = {(r["doc_id"], r["start"], r["end"]) for r in rows}
+    assert starts == {(0, 6, 16), (1, 0, 10), (3, 4, 14)}
+
+
+def test_repeated_spans_duckdb_differential(spark, corpus):
+    """Detection stage replicated in SQL over the same corpus."""
+    got = {
+        (r["doc_id"], r["start"], r["n_docs"])
+        for r in repeated_spans(corpus, "text", "doc_id", n=10, min_docs=2).collect()
+    }
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("documents", pd.DataFrame(_corpus(), columns=["doc_id", "text"]))
+    duck = con.execute(
+        r"""
+        WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                    FROM documents),
+        sp AS (
+          SELECT doc_id, CAST(i - 1 AS INT) AS start,
+                 md5(array_to_string(t[CAST(i AS BIGINT):CAST(i + 9 AS BIGINT)], ' ')) AS digest
+          FROM tk, LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 8, 1))) AS i)
+        ),
+        dup AS (SELECT digest, count(DISTINCT doc_id) AS n_docs FROM sp
+                GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+        SELECT sp.doc_id, sp.start, dup.n_docs FROM sp JOIN dup USING (digest)
+        """
+    ).fetchall()
+    assert got == set(duck)
+
+
+def test_remove_repeated_spans_keep_first(spark, corpus):
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_spans(corpus, "text", "doc_id", n=10, min_docs=2).collect()
+    }
+    assert len(out) == 5
+    # doc 0 (min id) KEEPS the boilerplate; 1 and 3 lose exactly it
+    assert BOILER in out[0]
+    assert BOILER not in out[1] and BOILER not in out[3]
+    assert out[1] == " ".join(f"u1w{j}" for j in range(12))
+    assert out[3] == " ".join(f"u3w{j}" for j in range(4))
+    # untouched docs survive verbatim (whitespace-normalized)
+    assert out[2] == _corpus()[2][1]
+    assert out[4] == "short text only"
+
+
+def test_remove_repeated_spans_strip_all_and_empty_doc(spark):
+    rows = [(0, BOILER), (1, BOILER)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_spans(
+            df, "text", "doc_id", n=10, min_docs=2, keep_first=False
+        ).collect()
+    }
+    # keep_first=False strips EVERY occurrence; fully-stripped docs come
+    # back as empty strings, not missing rows
+    assert out == {0: "", 1: ""}
+
+
+def test_long_repeat_tiled_by_windows(spark):
+    """A shared repeat LONGER than n is fully removed: tiling length-n
+    windows cover all of it."""
+    long_rep = " ".join(f"rep{j}" for j in range(15))
+    rows = [(0, "alpha " + long_rep), (1, long_rep + " omega")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_spans(df, "text", "doc_id", n=10, min_docs=2).collect()
+    }
+    assert out[0] == "alpha " + long_rep  # first doc keeps it
+    assert out[1] == "omega"              # all 15 repeat tokens gone

@@ -38,6 +38,7 @@ from time_series_loader_spark.operators.pq import (
 )
 from time_series_loader_spark.operators.profile import profile_table
 from time_series_loader_spark.operators.rate import counter_increase
+from time_series_loader_spark.operators.spans import remove_repeated_spans, repeated_spans
 from time_series_loader_spark.operators.twa import time_weighted_mean
 from time_series_loader_spark.operators.text import (
     fingerprint,
@@ -54,7 +55,11 @@ from time_series_loader_spark.operators.similarity import (
     cosine_topk_lsh,
     embedding_near_dup_pairs,
 )
-from time_series_loader_spark.operators.multimodal import attach_payload, extract_features
+from time_series_loader_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    transform_payloads,
+)
 from time_series_loader_spark.operators.relational import salted_join, top_k
 
 __all__ = [
@@ -71,6 +76,8 @@ __all__ = [
     "pq_train",
     "profile_table",
     "counter_increase",
+    "remove_repeated_spans",
+    "repeated_spans",
     "time_weighted_mean",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
@@ -88,6 +95,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "attach_payload",
     "extract_features",
+    "transform_payloads",
     "salted_join",
     "top_k",
     "m4_downsample",

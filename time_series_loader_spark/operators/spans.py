@@ -1,0 +1,136 @@
+"""Exact-substring (repeated-span) deduplication.
+
+Lee et al., "Deduplicating Training Data Makes Language Models Better"
+(ACL 2022, public) showed that beyond whole-document dedup, corpora are
+riddled with long VERBATIM SPANS repeated across otherwise-distinct
+documents (boilerplate, licenses, templated passages) — and that
+removing repeated spans of ≥ ~50 tokens measurably improves models.
+Their implementation is an offline suffix array; the Spark-native
+equivalent here detects repeats at a fixed span length ``n`` via
+positional n-gram digests: any two documents sharing a repeated
+substring of length ≥ n share its length-n prefixes, so flagged
+[start, start+n) windows tile every long repeat (a repeat of length L ≥ n
+is covered by L−n+1 flagged windows — removal of flagged positions
+removes the whole repeat).
+
+Scale shape and its honest cost: the positional-digest explode emits
+one (id, pos, 16-byte digest) row per token — the groupBy(digest) that
+finds cross-document repeats shuffles ~20-30× the corpus's token count
+in bytes. That is the inherent price of EXACT substring matching
+(Lee et al. pay it as suffix-array construction IO); run it as a
+periodic offline pass, after cheap dedup stages shrank the corpus, not
+per-ingest. Every downstream frame (dup digests, flagged positions) is
+duplicate-sized — small for healthy corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.operators.text import tokens
+
+
+def _positional_digests(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, start, digest): md5 of the n-token span starting at each
+    0-based token position (transform over materialized tokens — the
+    linear form per dedup.py's shingle notes)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    m = F.size("_t") - (n - 1)
+    span = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.struct(
+                (i - 1).cast("int").alias("start"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i, n))).alias("digest"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,digest:string>>"))
+    return toked.select(F.col(id_col), F.explode(span).alias("s")).select(
+        id_col, "s.start", "s.digest"
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Flag every length-``n`` token span whose verbatim text occurs in
+    ≥ ``min_docs`` DISTINCT documents.
+
+    Output: (``id_col``, start, end, digest, n_docs) with [start, end)
+    0-based token positions — the audit view (which docs share which
+    boilerplate, how widespread). ``remove_repeated_spans`` consumes the
+    same flags to rewrite the corpus.
+    """
+    spans = _positional_digests(df, text_col, id_col, n)
+    dup = (
+        spans.groupBy("digest")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return spans.join(dup, "digest").select(
+        id_col,
+        "start",
+        (F.col("start") + n).alias("end"),
+        "digest",
+        "n_docs",
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 50,
+    min_docs: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Rewrite the corpus with repeated spans removed.
+
+    ``keep_first=True`` (Lee et al. semantics: keep ONE occurrence)
+    retains each span in the smallest-id document containing it and
+    strips it from the rest; ``False`` strips every occurrence. Output:
+    (``id_col``, ``text_col``) with the surviving tokens rejoined by
+    single spaces — token-stream-exact, whitespace-normalized (the same
+    normalization every dedup operator in this engine keys on).
+    Overlapping flagged spans union naturally (removal is by token
+    POSITION, so tiling windows over a long repeat never double-remove).
+    """
+    flagged = repeated_spans(df, text_col, id_col, n, min_docs)
+    if keep_first:
+        first = flagged.groupBy("digest").agg(F.min(id_col).alias("_first_id"))
+        flagged = flagged.join(first, "digest").where(
+            F.col(id_col) != F.col("_first_id")
+        )
+    # span → its token positions; distinct because tiling windows overlap
+    bad_pos = (
+        flagged.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("start"), F.col("end") - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    kept = toks.join(bad_pos, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias(text_col)
+    )
+    # fully-stripped docs drop out of the groupBy — reattach as empty text
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

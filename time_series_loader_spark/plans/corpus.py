@@ -151,6 +151,26 @@ class CorpusPipeline:
         self.steps_applied.append(f"dedup_near(j>={threshold})")
         return self
 
+    def dedup_spans(
+        self, n: int = 50, min_docs: int = 2, keep_first: bool = True
+    ) -> "CorpusPipeline":
+        """Remove VERBATIM spans of ≥ ``n`` tokens repeated across
+        ≥ ``min_docs`` documents (`operators/spans.py` — Lee et al. 2022
+        exact-substring dedup; boilerplate/license/template passages).
+        Heavy (positional-digest shuffle ≈ 20-30× token bytes) — run it
+        AFTER the cheap filters and whole-doc dedup stages, which this
+        builder's ordering encourages. Rewrites ``text_col``
+        whitespace-normalized."""
+        from time_series_loader_spark.operators.spans import remove_repeated_spans
+
+        cleaned = remove_repeated_spans(
+            self._df, self.text_col, self.id_col, n=n, min_docs=min_docs,
+            keep_first=keep_first,
+        )
+        self._df = self._df.drop(self.text_col).join(cleaned, self.id_col)
+        self.steps_applied.append(f"dedup_spans(n={n})")
+        return self
+
     # -- sampling -------------------------------------------------------
 
     def sample_weighted(
