@@ -764,7 +764,12 @@ _SQL_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite dedup slot, two sections in one gate query:
+    """Composite dedup slot, three sections in one gate query:
+
+    - ``spans`` (r5): exact-substring repeat detection
+      (`operators/spans.py::repeated_spans`, Lee et al. 2022 semantics
+      at n=8 tokens) — every flagged (doc, span) with its cross-corpus
+      document count; key_digest = the span's md5, n_dups = n_docs.
 
     - ``exact``: full-corpus exact dedup — hash-groupBy representative +
       duplicate count (`dedup_exact`, the round-1..4 `dedup_exact` slot).
@@ -821,7 +826,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.lit(None).cast("long").alias("n_dups"),
     )
-    return exact.unionByName(incr)
+    from time_series_loader_spark.operators.spans import repeated_spans
+
+    spans = repeated_spans(docs, "text", "doc_id", n=8, min_docs=2).select(
+        F.lit("spans").alias("section"),
+        F.col("digest").alias("key_digest"),
+        "doc_id",
+        F.col("n_docs").cast("long").alias("n_dups"),
+    )
+    return exact.unionByName(incr).unionByName(spans)
 
 
 def _sql_shingles_of(src: str) -> str:
@@ -912,6 +925,23 @@ UNION ALL
 SELECT 'incr' AS section, digest AS key_digest, doc_id,
        CAST(NULL AS BIGINT) AS n_dups
 FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
+UNION ALL
+SELECT 'spans' AS section, sp.digest AS key_digest, sp.doc_id,
+       dup.n_docs AS n_dups
+FROM (
+  SELECT doc_id,
+         md5(array_to_string(t[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')) AS digest
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+       LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 6, 1))) AS i)
+) sp
+JOIN (
+  SELECT digest, count(DISTINCT doc_id) AS n_docs FROM (
+    SELECT doc_id,
+           md5(array_to_string(t[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')) AS digest
+    FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+         LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 6, 1))) AS i)
+  ) _all GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+) dup USING (digest)
 """
 
 
