@@ -917,6 +917,16 @@ dropids AS (
   SELECT doc_id FROM hits
   UNION SELECT node FROM comp WHERE node <> component
   UNION SELECT node FROM comp WHERE component IN (SELECT component FROM badc)
+),
+spdig AS (
+  SELECT doc_id,
+         md5(array_to_string(t[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')) AS digest
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+       LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 6, 1))) AS i)
+),
+spdup AS (
+  SELECT digest, count(DISTINCT doc_id) AS n_docs FROM spdig
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
 )
 SELECT 'exact' AS section, md5(coalesce(text, ' ')) AS key_digest,
        min(doc_id) AS doc_id, count(*) AS n_dups
@@ -926,22 +936,9 @@ SELECT 'incr' AS section, digest AS key_digest, doc_id,
        CAST(NULL AS BIGINT) AS n_dups
 FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
 UNION ALL
-SELECT 'spans' AS section, sp.digest AS key_digest, sp.doc_id,
-       dup.n_docs AS n_dups
-FROM (
-  SELECT doc_id,
-         md5(array_to_string(t[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')) AS digest
-  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
-       LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 6, 1))) AS i)
-) sp
-JOIN (
-  SELECT digest, count(DISTINCT doc_id) AS n_docs FROM (
-    SELECT doc_id,
-           md5(array_to_string(t[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')) AS digest
-    FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
-         LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 6, 1))) AS i)
-  ) _all GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
-) dup USING (digest)
+SELECT 'spans' AS section, spdig.digest AS key_digest, spdig.doc_id,
+       spdup.n_docs AS n_dups
+FROM spdig JOIN spdup USING (digest)
 """
 
 

@@ -286,3 +286,35 @@ def test_transform_payloads_kernel(spark):
     for i in rows:
         if i % 2 == 1:
             assert after[i]["n_frames"] == (before[i]["n_frames"] + 1) // 2
+
+
+def test_transform_payloads_robust_to_garbage_and_wrong_encodings(spark):
+    """Review findings: corrupt/truncated payloads and non-16-bit-PCM
+    WAVs must pass through flagged, never crash the stage or emit a
+    corrupt container."""
+    import struct
+
+    from time_series_loader_spark.operators.multimodal import (
+        make_wav,
+        transform_payloads,
+    )
+
+    # an 8-bit PCM WAV: fmt chunk says bits=8, block=1
+    w8 = bytearray(make_wav(8000, 1, 10))
+    struct.pack_into("<H", w8, 34, 8)   # bits_per_sample = 8
+    struct.pack_into("<H", w8, 32, 1)   # block_align = 1
+    rows = [
+        (0, b"BM\x00\x00"),            # truncated BMP header
+        (1, b"RIFF1234WAVE"),           # WAV magic, no chunks
+        (2, None),                      # null payload
+        (3, bytes(w8)),                 # wrong sample width
+        (4, b"\x89PNG garbage"),        # unknown format
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    for op in ("resize", "frame_sample"):
+        out = {r["doc_id"]: r for r in transform_payloads(df, op).collect()}
+        assert all(not r["transformed"] for r in out.values()), op
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="every"):
+        transform_payloads(df, "frame_sample", every=0)

@@ -107,3 +107,57 @@ def test_long_repeat_tiled_by_windows(spark):
     }
     assert out[0] == "alpha " + long_rep  # first doc keeps it
     assert out[1] == "omega"              # all 15 repeat tokens gone
+
+
+def test_untouched_docs_keep_exact_bytes_incl_case(spark):
+    """Docs with nothing flagged must pass through BYTE-identical —
+    casing, punctuation, irregular spacing preserved (review finding:
+    the first cut rebuilt everyone from lowercased tokens)."""
+    rows = [
+        (0, BOILER),
+        (1, BOILER + " tail"),
+        (2, "Hello  World. See NASA!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_spans(df, "text", "doc_id", n=10, min_docs=2).collect()
+    }
+    assert out[2] == "Hello  World. See NASA!"  # untouched → exact bytes
+    assert out[0] == BOILER                      # keeper also untouched here
+
+
+def test_rewritten_docs_preserve_case_of_survivors(spark):
+    rows = [(0, BOILER), (1, BOILER + " Unique TAIL Words")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_spans(df, "text", "doc_id", n=10, min_docs=2).collect()
+    }
+    assert out[1] == "Unique TAIL Words"  # original casing survives the rewrite
+
+
+def test_keep_first_prefix_doc_does_not_hole_the_keeper(spark):
+    """Review finding: a lower-id doc sharing only the PREFIX window of a
+    longer repeat must not strip that window out of the doc that keeps
+    the full occurrence."""
+    long_rep = " ".join(f"r{j}" for j in range(20))
+    first10 = " ".join(f"r{j}" for j in range(10))
+    rows = [
+        (0, "x " + first10),          # shares only the first window
+        (1, long_rep + " tailone"),   # keeper of the long repeat
+        (2, long_rep + " tailtwo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_spans(df, "text", "doc_id", n=10, min_docs=2).collect()
+    }
+    assert out[0] == "x " + first10   # keeper of the prefix window
+    # doc 1 keeps its long occurrence minus AT MOST the one genuinely
+    # prefix-shared position (position 0, covered by no doc-1-keeper window)
+    kept_tokens = out[1].split()
+    assert "tailone" in kept_tokens
+    assert len([t for t in kept_tokens if t.startswith("r")]) >= 19
+    # doc 2 loses the whole repeat
+    assert out[2] == "tailtwo"

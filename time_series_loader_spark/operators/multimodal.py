@@ -108,17 +108,11 @@ def decode_payload(p: bytes) -> dict:
             "sample_rate": 0, "n_channels": 0, "n_frames": 1,
         }
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-        off, rate, chans, block, frames = 12, 0, 0, 0, 0
-        while off + 8 <= len(p):
-            tag, size = struct.unpack_from("<4sI", p, off)
-            if tag == b"fmt " and size >= 16:
-                _, chans, rate, _, block, _ = struct.unpack_from("<HHIIHH", p, off + 8)
-            elif tag == b"data" and block:
-                frames = size // block
-            off += 8 + size + (size & 1)
+        _, rate, chans, block, _, _, data_size = _wav_chunks(p)
         return {
             "modality": "audio", "width": 0, "height": 0,
-            "sample_rate": rate, "n_channels": chans, "n_frames": frames,
+            "sample_rate": rate, "n_channels": chans,
+            "n_frames": data_size // block if block else 0,
         }
     raise NotImplementedError(
         "real decode of this format requires PIL/ffmpeg; not available in "
@@ -264,26 +258,42 @@ def resize_bmp(p: bytes, out_w: int, out_h: int) -> bytes:
     return make_bmp(out_w, out_h)[:54] + body.tobytes()
 
 
+def _wav_chunks(p: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """One RIFF chunk-walk shared by decode and transform paths:
+    (audio_format, rate, chans, block, bits, data_off, data_size).
+    Raises NotImplementedError for non-WAV payloads."""
+    import struct
+
+    if not (p[:4] == b"RIFF" and p[8:12] == b"WAVE"):
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    off, fmt, rate, chans, block, bits = 12, 0, 0, 0, 0, 0
+    data_off, data_size = -1, 0
+    while off + 8 <= len(p):
+        tag, size = struct.unpack_from("<4sI", p, off)
+        if tag == b"fmt " and size >= 16:
+            fmt, chans, rate, _, block, bits = struct.unpack_from("<HHIIHH", p, off + 8)
+        elif tag == b"data" and block:
+            data_off, data_size = off + 8, size
+        off += 8 + size + (size & 1)
+    return fmt, rate, chans, block, bits, data_off, data_size
+
+
 def sample_wav_frames(p: bytes, every: int) -> bytes:
     """REAL frame-sampling of a 16-bit PCM WAV: keep every ``every``-th
     audio frame by block-align slicing of the data chunk and rebuild the
     RIFF container with corrected sizes. Raises NotImplementedError for
-    non-WAV payloads (ffmpeg's territory)."""
-    import struct
-
+    non-WAV payloads and for non-16-bit / non-PCM encodings (``make_wav``
+    writes a 16-bit PCM header, so rebuilding any other encoding with it
+    would emit a corrupt container claiming the wrong sample width —
+    ffmpeg's territory)."""
     import numpy as np
 
-    if not (p[:4] == b"RIFF" and p[8:12] == b"WAVE"):
-        raise NotImplementedError("frame sampling implemented for PCM WAV only")
-    off, rate, chans, block, data_off, data_size = 12, 0, 0, 0, None, 0
-    while off + 8 <= len(p):
-        tag, size = struct.unpack_from("<4sI", p, off)
-        if tag == b"fmt " and size >= 16:
-            _, chans, rate, _, block, _ = struct.unpack_from("<HHIIHH", p, off + 8)
-        elif tag == b"data" and block:
-            data_off, data_size = off + 8, size
-        off += 8 + size + (size & 1)
-    if data_off is None or not block:
+    fmt, rate, chans, block, bits, data_off, data_size = _wav_chunks(p)
+    if fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"frame sampling implemented for 16-bit PCM only (format={fmt}, bits={bits})"
+        )
+    if data_off < 0 or not block:
         raise NotImplementedError("WAV without fmt/data chunks")
     frames = np.frombuffer(p, dtype=np.uint8, count=data_size, offset=data_off)
     frames = frames[: (data_size // block) * block].reshape(-1, block)
@@ -314,6 +324,10 @@ def transform_payloads(
     """
     if op not in ("resize", "frame_sample"):
         raise ValueError("op must be 'resize' or 'frame_sample'")
+    if op == "resize" and (out_w < 1 or out_h < 1):
+        raise ValueError("out_w/out_h must be >= 1")
+    if op == "frame_sample" and every < 1:
+        raise ValueError("every must be >= 1")
     from pyspark.sql.types import BinaryType, BooleanType
 
     schema = StructType(
@@ -328,14 +342,19 @@ def transform_payloads(
         for pdf in it:
             outs, flags = [], []
             for p in pdf["payload"]:
-                b = bytes(p)
+                b = b"" if p is None else bytes(p)
+                # broad catch, not just NotImplementedError: a truncated
+                # header or corrupt chunk table raises struct/Value/Index
+                # errors from the parsers, and the documented contract is
+                # "untransformable payloads pass through flagged", not
+                # "fail the stage after 4 task retries at 100 TB"
                 try:
                     if op == "resize":
                         outs.append(resize_bmp(b, out_w, out_h))
                     else:
                         outs.append(sample_wav_frames(b, every))
                     flags.append(True)
-                except NotImplementedError:
+                except Exception:
                     outs.append(b)
                     flags.append(False)
             yield pd.DataFrame(

@@ -93,44 +93,62 @@ def remove_repeated_spans(
     """Rewrite the corpus with repeated spans removed.
 
     ``keep_first=True`` (Lee et al. semantics: keep ONE occurrence)
-    retains each span in the smallest-id document containing it and
-    strips it from the rest; ``False`` strips every occurrence. Output:
-    (``id_col``, ``text_col``) with the surviving tokens rejoined by
-    single spaces — token-stream-exact, whitespace-normalized (the same
-    normalization every dedup operator in this engine keys on).
-    Overlapping flagged spans union naturally (removal is by token
-    POSITION, so tiling windows over a long repeat never double-remove).
+    retains each repeat in the smallest-id document containing it.
+    Keeper resolution is per POSITION, not per digest: a position is
+    removed only if NO flagged window covering it belongs to this doc's
+    keeper set — so a lower-id doc that shares only a short prefix of a
+    longer repeat can't punch a hole through the occurrence another doc
+    was supposed to keep (at most the genuinely-shared prefix token
+    goes). ``False`` strips every occurrence.
+
+    Output: (``id_col``, ``text_col``). Documents with NOTHING flagged
+    pass through with their text byte-identical (casing, whitespace and
+    all); rewritten documents are rebuilt from the surviving
+    ORIGINAL-CASE tokens joined by single spaces (detection tokenizes
+    lowercased, but lowercasing never moves whitespace, so positions
+    align with the raw split). Fully-stripped docs come back as empty
+    strings. Overlapping flagged spans union naturally (removal is by
+    token position — tiling windows never double-remove).
     """
     flagged = repeated_spans(df, text_col, id_col, n, min_docs)
-    if keep_first:
-        first = flagged.groupBy("digest").agg(F.min(id_col).alias("_first_id"))
-        flagged = flagged.join(first, "digest").where(
-            F.col(id_col) != F.col("_first_id")
-        )
-    # span → its token positions; distinct because tiling windows overlap
-    bad_pos = (
-        flagged.select(
+
+    def _positions(fr: DataFrame) -> DataFrame:
+        return fr.select(
             F.col(id_col),
             F.explode(F.sequence(F.col("start"), F.col("end") - 1)).alias("pos"),
-        )
-        .distinct()
+        ).distinct()
+
+    if keep_first:
+        first = flagged.groupBy("digest").agg(F.min(id_col).alias("_first_id"))
+        with_first = flagged.join(first, "digest")
+        keeper_pos = _positions(with_first.where(F.col(id_col) == F.col("_first_id")))
+        bad_pos = _positions(
+            with_first.where(F.col(id_col) != F.col("_first_id"))
+        ).join(keeper_pos, [id_col, "pos"], "left_anti")
+    else:
+        bad_pos = _positions(flagged)
+
+    touched = bad_pos.select(id_col).distinct()
+    # raw (case-preserving) tokens: same split boundaries as tokens()
+    raw_toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = (
+        df.join(touched, id_col, "left_semi")
+        .select(F.col(id_col), F.posexplode(raw_toks).alias("pos", "tok"))
     )
-    toks = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok"))
     kept = toks.join(bad_pos, [id_col, "pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
-                ),
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("tok")))),
                 lambda s: s["tok"],
             ),
         ).alias(text_col)
     )
-    # fully-stripped docs drop out of the groupBy — reattach as empty text
-    return (
-        df.select(id_col)
-        .join(rebuilt, id_col, "left")
-        .select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    untouched = df.join(touched, id_col, "left_anti").select(id_col, text_col)
+    # fully-stripped docs drop out of the rebuild groupBy — reattach empty
+    stripped = (
+        touched.join(rebuilt.select(id_col), id_col, "left_anti")
+        .select(F.col(id_col), F.lit("").alias(text_col))
     )
+    return untouched.unionByName(rebuilt).unionByName(stripped)

@@ -164,7 +164,10 @@ class CorpusPipeline:
         from time_series_loader_spark.operators.spans import remove_repeated_spans
 
         cleaned = remove_repeated_spans(
-            self._df, self.text_col, self.id_col, n=n, min_docs=min_docs,
+            # text+id only: the rewrite machinery never needs the other
+            # columns, and the single reattach join below restores them
+            self._df.select(self.id_col, self.text_col),
+            self.text_col, self.id_col, n=n, min_docs=min_docs,
             keep_first=keep_first,
         )
         self._df = self._df.drop(self.text_col).join(cleaned, self.id_col)

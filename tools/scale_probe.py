@@ -83,12 +83,16 @@ def synth(spark, factor: int, out_dir: str) -> None:
     # per-copy rotation (cyclic shift of the vector by copy index) — far
     # from the originals in cosine terms, so ANN candidate counts scale
     # linearly instead of every copy colliding into one neighborhood.
+    # Shift = ((copy-1) % (dim-1)) + 1 ∈ [1, dim-1]: NEVER 0 for copy>0
+    # (a plain copy%dim shift would make copies dim, 2·dim, … identical
+    # to the originals and silently break the linear-scaling invariant).
     emb = read_table(spark, SRC, "embeddings")
     n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     dim = len(emb.select("embedding").first()[0])
+    shift = ((F.col("_copy") - 1) % (dim - 1)) + 1
     shifted = F.concat(
-        F.slice(F.col("embedding"), (F.col("_copy") % dim) + 1, dim),
-        F.slice(F.col("embedding"), 1, F.col("_copy") % dim),
+        F.slice(F.col("embedding"), shift + 1, dim),
+        F.slice(F.col("embedding"), 1, shift),
     )
     big_emb = emb.crossJoin(copies).select(
         (F.col("vec_id") + F.col("_copy") * n_vecs).alias("vec_id"),
