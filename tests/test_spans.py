@@ -161,3 +161,66 @@ def test_keep_first_prefix_doc_does_not_hole_the_keeper(spark):
     assert len([t for t in kept_tokens if t.startswith("r")]) >= 19
     # doc 2 loses the whole repeat
     assert out[2] == "tailtwo"
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# small random corpora over a tiny vocabulary → repeats occur organically
+_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+_SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(_corpus_strategy)
+@_SET
+def test_spans_property_vs_python_reference(spark, token_lists):
+    """repeated_spans == a brute-force python reference on random small
+    corpora (n=3), and keep_first=False removal strips exactly the
+    flagged positions."""
+    from collections import defaultdict
+
+    n = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    # python reference
+    by_span = defaultdict(set)
+    for i, toks in enumerate(token_lists):
+        for s in range(len(toks) - n + 1):
+            by_span[tuple(toks[s : s + n])].add(i)
+    dup_spans = {k for k, docs in by_span.items() if len(docs) >= 2}
+    want_flags = set()
+    bad_pos = defaultdict(set)
+    for i, toks in enumerate(token_lists):
+        for s in range(len(toks) - n + 1):
+            t = tuple(toks[s : s + n])
+            if t in dup_spans:
+                want_flags.add((i, s, len(by_span[t])))
+                bad_pos[i].update(range(s, s + n))
+
+    got_flags = {
+        (r["doc_id"], r["start"], r["n_docs"])
+        for r in repeated_spans(df, "text", "doc_id", n=n, min_docs=2).collect()
+    }
+    assert got_flags == want_flags
+
+    got_txt = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_spans(
+            df, "text", "doc_id", n=n, min_docs=2, keep_first=False
+        ).collect()
+    }
+    for i, toks in enumerate(token_lists):
+        want = " ".join(t for p, t in enumerate(toks) if p not in bad_pos[i])
+        if not bad_pos[i]:
+            want = " ".join(toks)  # untouched docs: original text verbatim
+        assert got_txt[i] == want, (i, toks)
