@@ -69,3 +69,78 @@ def test_mad_matches_manual_hampel(spark):
     expect = [v for v in vals if abs(v - med) / (MAD_SCALE * mad) <= 3.5]
     df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
     assert _vals(remove_outliers_mad(df, ["x"], threshold=3.5)) == sorted(expect)
+
+
+def test_hampel_flags_bucketed_spikes(spark):
+    """A spike that is normal GLOBALLY but absurd for its hour must flag;
+    level shifts between buckets must not."""
+    from datetime import datetime, timedelta
+
+    from time_series_loader_spark.operators.outliers import hampel_flags
+
+    base = datetime(2023, 1, 1)
+    rows = []
+    # hour 0: values ~10; hour 1: values ~1000 (level shift, all normal)
+    for m in range(0, 60, 5):
+        rows.append((base + timedelta(minutes=m), 10.0 + (m % 3)))
+        rows.append((base + timedelta(hours=1, minutes=m), 1000.0 + (m % 3)))
+    # the spike: 500 at minute 30 of hour 0 — between the two levels
+    # globally (median of all ≈ 500-ish region is plausible), wild locally
+    rows.append((base + timedelta(minutes=32), 500.0))
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, value DOUBLE")
+    out = hampel_flags(df, "ts", "value", "1h", threshold=3.5)
+    flagged = [(r["ts"], r["value"]) for r in out.collect() if r["is_outlier"]]
+    assert flagged == [(base + timedelta(minutes=32), 500.0)]
+
+
+def test_hampel_flags_degenerate_and_null(spark):
+    from datetime import datetime, timedelta
+
+    from time_series_loader_spark.operators.outliers import hampel_flags
+
+    base = datetime(2023, 1, 1)
+    rows = [(base + timedelta(minutes=m), 5.0) for m in range(0, 30, 5)]
+    rows.append((base + timedelta(minutes=35), None))
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, value DOUBLE")
+    out = hampel_flags(df, "ts", "value", "1h").collect()
+    # flat bucket: MAD 0 → nothing flagged, robust_z null
+    assert all(not r["is_outlier"] for r in out)
+    assert all(r["robust_z"] is None for r in out)
+    assert len(out) == 7  # null-value row rides through
+
+
+def test_hampel_flags_duckdb_differential(spark):
+    """Bucket median/MAD arithmetic replicated in SQL."""
+    import duckdb
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from time_series_loader_spark.operators.outliers import hampel_flags
+
+    base = datetime(2023, 1, 1)
+    rows = [
+        (base + timedelta(minutes=7 * i), float((i * 13) % 29) + (50.0 if i == 11 else 0.0))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, value DOUBLE")
+    got = {
+        (r["ts"], round(r["robust_z"], 9) if r["robust_z"] is not None else None,
+         r["is_outlier"])
+        for r in hampel_flags(df, "ts", "value", "1h", threshold=2.0).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["ts", "value"]))
+    duck = con.execute(
+        """
+        WITH b AS (SELECT ts, value, time_bucket(INTERVAL '1 hour', ts) AS bt FROM t),
+        med AS (SELECT bt, quantile_cont(value, 0.5) AS m FROM b GROUP BY 1),
+        mad AS (SELECT b.bt, quantile_cont(abs(b.value - med.m), 0.5) AS md
+                FROM b JOIN med USING (bt) GROUP BY 1)
+        SELECT b.ts,
+               CASE WHEN mad.md > 0 THEN round(abs(b.value - med.m) / (1.4826 * mad.md), 9) END AS z,
+               coalesce(CASE WHEN mad.md > 0
+                        THEN abs(b.value - med.m) / (1.4826 * mad.md) > 2.0 END, FALSE) AS flag
+        FROM b JOIN med USING (bt) JOIN mad USING (bt)
+        """
+    ).fetchall()
+    assert got == set(duck)

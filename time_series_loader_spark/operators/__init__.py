@@ -13,6 +13,7 @@ from time_series_loader_spark.operators.fill import ffill, bfill
 from time_series_loader_spark.operators.interpolate import interpolate_time
 from time_series_loader_spark.operators.asof import asof_nearest
 from time_series_loader_spark.operators.outliers import (
+    hampel_flags,
     remove_outliers_mad,
     remove_outliers_zscore,
 )
@@ -110,6 +111,7 @@ __all__ = [
     "bfill",
     "interpolate_time",
     "asof_nearest",
+    "hampel_flags",
     "remove_outliers_mad",
     "remove_outliers_zscore",
 ]

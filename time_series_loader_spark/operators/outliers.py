@@ -100,3 +100,51 @@ def remove_outliers_mad(
         keep = keep & (m.isNull() | (m == 0) | F.col(c).isNull() | (z <= threshold))
     drop = [f"_med_{c}" for c in cols] + [f"_mad_{c}" for c in cols]
     return joined.where(keep).drop(*drop)
+
+
+def hampel_flags(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    freq: str | int = "1h",
+    threshold: float = 3.5,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Time-local Hampel spike detection: flag each point against the
+    median/MAD of ITS OWN time bucket — a level-shifting series (daily
+    cycles, trends) makes global median/MAD useless, and the classical
+    sliding-window Hampel filter needs a rolling median (O(w) order
+    statistics per row, no distributed form without per-row re-sorts).
+    Tumbling buckets give the same local robustness at groupBy cost:
+    one shuffle of per-bucket partials, stats frame = one row per
+    bucket (broadcast back), the fact side never reshuffles twice.
+
+    Appends ``bucket_ts``, ``robust_z`` (|x − bucket median| /
+    (1.4826·MAD); null when the bucket's MAD is 0 or x is null) and
+    ``is_outlier`` (false in those degenerate cases — a flat bucket
+    flags nothing, matching ``remove_outliers_mad``'s skip rule).
+    Deterministic: exact percentile, no sampling.
+    """
+    from time_series_loader_spark.operators.resample import bucket_start
+    from time_series_loader_spark.functions.frequency import freq_to_seconds
+
+    step = freq_to_seconds(freq)
+    keyed = df.withColumn("bucket_ts", bucket_start(ts_col, step))
+    keys = [*group_cols, "bucket_ts"]
+    med = keyed.groupBy(*keys).agg(F.percentile(value_col, 0.5).alias("_med"))
+    with_med = keyed.join(F.broadcast(med), keys)
+    mad = with_med.groupBy(*keys).agg(
+        F.percentile(F.abs(F.col(value_col) - F.col("_med")), 0.5).alias("_mad")
+    )
+    joined = with_med.join(F.broadcast(mad), keys)
+    z = F.when(
+        (F.col("_mad") > 0) & F.col(value_col).isNotNull(),
+        F.abs(F.col(value_col) - F.col("_med")) / (F.lit(MAD_SCALE) * F.col("_mad")),
+    )
+    return (
+        joined.withColumn("robust_z", z)
+        .withColumn(
+            "is_outlier", F.coalesce(F.col("robust_z") > threshold, F.lit(False))
+        )
+        .drop("_med", "_mad")
+    )
