@@ -347,3 +347,69 @@ def test_sample_exact_k_excludes_null_keys_and_clean_schema(spark):
     got = [r["doc_id"] for r in out.collect()]
     assert len(got) == 50 and all(g is not None for g in got)
     assert out.columns == ["doc_id"]  # no helper rank column leaks
+
+
+def test_quantile_bucket_deciles(spark):
+    from time_series_loader_spark.operators.sampling import quantile_bucket
+
+    rows = [(i, float(i)) for i in range(1000)] + [(1000, None)]
+    df = spark.createDataFrame(rows, "doc_id LONG, score DOUBLE")
+    out = {r["doc_id"]: r["q_bucket"] for r in quantile_bucket(df, "score", 10).collect()}
+    assert out[1000] is None
+    # deciles of 0..999: value v lands in bucket ~v//100 (boundary values
+    # fall LOW: x > b rule)
+    assert out[0] == 0 and out[50] == 0
+    assert out[500] == 5 or out[500] == 4  # 500 is near the exact median boundary
+    assert out[999] == 9
+    # every bucket holds ~100 rows
+    from collections import Counter
+
+    c = Counter(v for v in out.values() if v is not None)
+    assert all(80 <= c[b] <= 120 for b in range(10))
+    # partitioning invariant
+    out2 = {
+        r["doc_id"]: r["q_bucket"]
+        for r in quantile_bucket(df.repartition(7), "score", 10).collect()
+    }
+    assert out == out2
+
+
+def test_quantile_bucket_duckdb_differential(spark):
+    import duckdb
+    import pandas as pd
+
+    from time_series_loader_spark.operators.sampling import quantile_bucket
+
+    rows = [(i, float((i * 37) % 101) / 7.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id LONG, score DOUBLE")
+    got = {r["doc_id"]: r["q_bucket"] for r in quantile_bucket(df, "score", 4).collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "score"]))
+    duck = dict(
+        con.execute(
+            """
+            WITH b AS (SELECT quantile_cont(score, 0.25) q1, quantile_cont(score, 0.5) q2,
+                              quantile_cont(score, 0.75) q3 FROM t)
+            SELECT doc_id, CAST((score > q1) AS INT) + CAST((score > q2) AS INT)
+                           + CAST((score > q3) AS INT)
+            FROM t, b
+            """
+        ).fetchall()
+    )
+    assert got == duck
+
+
+def test_quantile_bucket_with_unigram_scores(spark):
+    """The CCNet pairing: bucket real testdata docs by their own-LM score."""
+    from time_series_loader_spark.operators.sampling import quantile_bucket
+    from time_series_loader_spark.operators.text import unigram_logprob
+    from time_series_loader_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    scored = unigram_logprob(docs, "text", "doc_id")
+    out = quantile_bucket(scored, "mean_logprob", 4)
+    from collections import Counter
+
+    c = Counter(r["q_bucket"] for r in out.collect())
+    assert set(c) == {0, 1, 2, 3}
+    assert sum(c.values()) == 500

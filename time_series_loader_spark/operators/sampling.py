@@ -236,3 +236,40 @@ def shard_pack(
         .drop("_bucket")
     )
     return out
+
+
+def quantile_bucket(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    out_col: str = "q_bucket",
+) -> DataFrame:
+    """Assign each row its quantile bucket 0..n_buckets-1 by ``value_col``
+    — the CCNet-style corpus partitioning step (bucket documents by
+    LM score / quality signal, then sample per bucket; pair with
+    ``text.unigram_logprob`` for the classic perplexity split).
+
+    One exact-percentile aggregate computes the n_buckets−1 interior
+    boundaries (a single tiny row, folded back as literals — no join);
+    the bucket expression is a left-fold count of boundaries ≤ x, fully
+    inside codegen. Deterministic: exact order statistics, no sampling
+    (swap ``percentile`` for ``approx_percentile`` at TB scale — bucket
+    EDGES are heuristics, t-digest error only moves edge-adjacent rows).
+    Null values get a null bucket. Ties share the boundary-crossing rule
+    ``x > b_i`` (boundary values fall in the LOWER bucket), identical in
+    any SQL engine.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(
+        F.percentile(value_col, F.array(*[F.lit(q) for q in qs])).alias("_b")
+    ).collect()[0]
+    bounds = row["_b"] or []
+    c = F.col(value_col)
+    bucket = sum(
+        (c > F.lit(float(b))).cast("int") for b in bounds
+    ) if bounds else F.lit(0)
+    return df.withColumn(
+        out_col, F.when(c.isNotNull(), bucket).otherwise(F.lit(None).cast("int"))
+    )
