@@ -144,3 +144,72 @@ def test_hampel_flags_duckdb_differential(spark):
         """
     ).fetchall()
     assert got == set(duck)
+
+
+def test_seasonal_baseline_hour_of_day(spark):
+    """A 3am value at the 9am level must score a huge seasonal_z; the
+    same value AT 9am scores ~0."""
+    from datetime import datetime, timedelta
+
+    from time_series_loader_spark.operators.outliers import seasonal_baseline
+
+    rows = []
+    for day in range(7):
+        for h in range(24):
+            lvl = 100.0 if h == 9 else 10.0
+            rows.append((datetime(2023, 1, 1 + day, h), lvl + day * 0.5))
+    rows.append((datetime(2023, 1, 8, 3), 100.0))  # 9am level at 3am
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, value DOUBLE")
+    out = seasonal_baseline(df, "ts", "value", "hour_of_day")
+    by = {(r["ts"]): r for r in out.collect()}
+    spike = by[datetime(2023, 1, 8, 3)]
+    assert spike["season"] == 3
+    assert spike["seasonal_z"] > 10
+    # the 9am rows themselves are unremarkable within their slot
+    nine = by[datetime(2023, 1, 3, 9)]
+    assert nine["seasonal_z"] is None or nine["seasonal_z"] < 3
+
+
+def test_seasonal_baseline_duckdb_differential(spark):
+    import duckdb
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from time_series_loader_spark.operators.outliers import seasonal_baseline
+
+    base = datetime(2023, 1, 1)
+    rows = [
+        (base + timedelta(hours=i), float((i * 17) % 23) + (i % 24))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, value DOUBLE")
+    got = {
+        (r["ts"], r["season"], round(r["season_median"], 9),
+         round(r["seasonal_z"], 9) if r["seasonal_z"] is not None else None)
+        for r in seasonal_baseline(df, "ts", "value", "hour_of_day").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["ts", "value"]))
+    duck = set(
+        con.execute(
+            """
+            WITH b AS (SELECT ts, value, CAST(hour(ts) AS INT) AS season FROM t),
+            med AS (SELECT season, quantile_cont(value, 0.5) AS m FROM b GROUP BY 1),
+            mad AS (SELECT b.season, quantile_cont(abs(b.value - med.m), 0.5) AS md
+                    FROM b JOIN med USING (season) GROUP BY 1)
+            SELECT b.ts, b.season, round(med.m, 9),
+                   CASE WHEN mad.md > 0
+                        THEN round(abs(b.value - med.m) / (1.4826 * mad.md), 9) END
+            FROM b JOIN med USING (season) JOIN mad USING (season)
+            """
+        ).fetchall()
+    )
+    assert got == duck
+
+
+def test_seasonal_baseline_bad_period(spark):
+    from time_series_loader_spark.operators.outliers import seasonal_baseline
+
+    df = spark.createDataFrame([], "ts TIMESTAMP, value DOUBLE")
+    with pytest.raises(ValueError, match="period"):
+        seasonal_baseline(df, "ts", "value", "phase_of_moon")

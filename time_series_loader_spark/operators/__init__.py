@@ -15,6 +15,7 @@ from time_series_loader_spark.operators.asof import asof_nearest
 from time_series_loader_spark.operators.outliers import (
     hampel_flags,
     remove_outliers_mad,
+    seasonal_baseline,
     remove_outliers_zscore,
 )
 from time_series_loader_spark.operators.dedup import (
@@ -112,6 +113,7 @@ __all__ = [
     "interpolate_time",
     "asof_nearest",
     "hampel_flags",
+    "seasonal_baseline",
     "remove_outliers_mad",
     "remove_outliers_zscore",
 ]

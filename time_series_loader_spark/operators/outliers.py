@@ -148,3 +148,53 @@ def hampel_flags(
         )
         .drop("_med", "_mad")
     )
+
+
+SEASON_KEYS = {
+    "hour_of_day": lambda ts: F.hour(ts),
+    "day_of_week": lambda ts: F.dayofweek(ts),
+    "hour_of_week": lambda ts: (F.dayofweek(ts) - 1) * 24 + F.hour(ts),
+    "minute_of_hour": lambda ts: F.minute(ts),
+}
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: str = "hour_of_day",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Seasonal-profile baseline + robust residual: each row gets its
+    season slot's median (``season_median``), MAD-scaled residual
+    (``seasonal_z``), and the slot key (``season``) — the seasonal
+    counterpart to :func:`hampel_flags`: a metric that peaks every day
+    at 9am is NORMAL at 9am and an anomaly at 3am, which neither global
+    nor time-bucket-local statistics can express.
+
+    ``period``: 'hour_of_day' (24 slots), 'day_of_week' (7),
+    'hour_of_week' (168), 'minute_of_hour' (60).
+
+    Scale shape: the profile is a ≤168-row (× groups) aggregate —
+    ALWAYS broadcastable; two passes (median, then MAD, both exact
+    percentile — swap for ``approx_percentile`` at TB scale) and the
+    fact side never reshuffles. seasonal_z is null when the slot's MAD
+    is 0 or the value is null.
+    """
+    if period not in SEASON_KEYS:
+        raise ValueError(f"period must be one of {sorted(SEASON_KEYS)}")
+    season = SEASON_KEYS[period](F.col(ts_col)).cast("int")
+    keyed = df.withColumn("season", season)
+    keys = [*group_cols, "season"]
+    med = keyed.groupBy(*keys).agg(F.percentile(value_col, 0.5).alias("season_median"))
+    with_med = keyed.join(F.broadcast(med), keys)
+    mad = with_med.groupBy(*keys).agg(
+        F.percentile(F.abs(F.col(value_col) - F.col("season_median")), 0.5).alias("_mad")
+    )
+    joined = with_med.join(F.broadcast(mad), keys)
+    z = F.when(
+        (F.col("_mad") > 0) & F.col(value_col).isNotNull(),
+        F.abs(F.col(value_col) - F.col("season_median"))
+        / (F.lit(MAD_SCALE) * F.col("_mad")),
+    )
+    return joined.withColumn("seasonal_z", z).drop("_mad")
