@@ -127,3 +127,88 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def _replicated_docs_path(sf_dir: str, replicate: int) -> str:
+    """Materialize the N-times corpus ONCE as multi-file parquet so both
+    engines read the same bytes (in-plan replication would charge Spark
+    a join pandas doesn't pay, and single-file parquet would serialize
+    Spark's scan — see SCALING.md's single-partition trap)."""
+    if replicate <= 1:
+        return f"{sf_dir}/documents.parquet"
+    import os
+
+    out = f"/tmp/tsl_textbase_{replicate}x.parquet"
+    if not os.path.exists(out):
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        n = df["doc_id"].max() + 1
+        parts = []
+        for k in range(replicate):
+            c = df.copy()
+            c["doc_id"] = c["doc_id"] + k * n
+            parts.append(c)
+        big = pd.concat(parts, ignore_index=True)
+        from time_series_loader_spark.session import get_spark
+
+        spark = get_spark("tsl-baseline-text")
+        spark.createDataFrame(big).repartition(32).write.mode("overwrite").parquet(out)
+    return out
+
+
+def pandas_text_profile(sf_dir: str, replicate: int = 1) -> tuple[int, float]:
+    """Eager-pandas version of the corpus text profile: token stats +
+    quality ratios + Gopher line rules + fingerprint, row-at-a-time
+    apply (the natural single-node implementation a reference-style
+    library would ship)."""
+    import hashlib
+    import re
+
+    path = _replicated_docs_path(sf_dir, replicate)
+    t0 = time.time()
+    df = pd.read_parquet(path, columns=["doc_id", "text"])
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    stops = {"the", "a", "of", "to", "and", "in", "is", "it", "you", "that"}
+
+    def profile(s: str) -> tuple:
+        toks = ws.split(s.strip().lower())
+        n = len(toks)
+        n_stop = sum(1 for t in toks if t in stops)
+        low = s.lower()
+        n_punct = sum(1 for ch in low if not (ch.isalnum() or ch.isspace()))
+        n_digit = sum(1 for ch in low if ch.isdigit())
+        lines = [l for l in (x.strip() for x in s.split("\n")) if l]
+        bullet = sum(1 for l in lines if l[:1] in "-*•") / len(lines) if lines else 0.0
+        dupl = 1 - len(set(lines)) / len(lines) if lines else 0.0
+        fp = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        return (n, n_stop / n, n_punct / len(s), n_digit / len(s), bullet, dupl, fp)
+
+    out = df["text"].map(profile)
+    n = len(out)
+    return n, time.time() - t0
+
+
+def spark_text_profile(sf_dir: str, replicate: int = 1) -> tuple[int, float]:
+    from pyspark.sql import functions as F
+
+    from time_series_loader_spark.operators.text import text_profile
+    from time_series_loader_spark.session import get_spark, read_table
+
+    spark = get_spark("tsl-baseline-text")
+    spark.sparkContext.setLogLevel("ERROR")
+    path = _replicated_docs_path(sf_dir, replicate)
+    if replicate > 1:
+        docs = spark.read.parquet(path).select("doc_id", "text")
+    else:
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # warm (JIT + Arrow pool), then measure steady state — the design point
+    prof = text_profile(
+        docs, "text", "doc_id",
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    prof.count()
+    t0 = time.time()
+    n = text_profile(
+        docs, "text", "doc_id",
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    ).count()
+    return n, time.time() - t0
