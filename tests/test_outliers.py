@@ -213,3 +213,29 @@ def test_seasonal_baseline_bad_period(spark):
     df = spark.createDataFrame([], "ts TIMESTAMP, value DOUBLE")
     with pytest.raises(ValueError, match="period"):
         seasonal_baseline(df, "ts", "value", "phase_of_moon")
+
+
+def test_local_detectors_preserve_null_key_rows(spark):
+    """Review finding: null timestamps must ride through annotated (null
+    z, false flag), never silently dropped by an inner stats join."""
+    from datetime import datetime, timedelta
+
+    from time_series_loader_spark.operators.outliers import (
+        hampel_flags,
+        seasonal_baseline,
+    )
+
+    base = datetime(2023, 1, 1)
+    rows = [(base + timedelta(minutes=m), float(m)) for m in range(0, 50, 10)]
+    rows.append((None, 42.0))
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, value DOUBLE")
+
+    h = hampel_flags(df, "ts", "value", "1h")
+    assert h.count() == 6
+    nullrow = [r for r in h.collect() if r["ts"] is None][0]
+    assert nullrow["robust_z"] is None and nullrow["is_outlier"] is False
+
+    s = seasonal_baseline(df, "ts", "value", "hour_of_day")
+    assert s.count() == 6
+    nullrow = [r for r in s.collect() if r["ts"] is None][0]
+    assert nullrow["seasonal_z"] is None

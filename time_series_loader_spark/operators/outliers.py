@@ -102,6 +102,41 @@ def remove_outliers_mad(
     return joined.where(keep).drop(*drop)
 
 
+def _local_robust_z(
+    keyed: "DataFrame",
+    keys: list,
+    value_col: str,
+    med_col: str,
+    z_col: str,
+    broadcast_stats: bool,
+) -> DataFrame:
+    """Shared median/MAD/robust-z machinery for the local-statistics
+    detectors (:func:`hampel_flags`, :func:`seasonal_baseline`): two
+    aggregation passes (median, then MAD — a nested order statistic),
+    stats joined back with LEFT joins so rows whose key is null (null
+    timestamp / null group value) ride through annotated with a null z
+    instead of silently vanishing (equality joins never match null
+    keys — the bug class an inner join would reintroduce).
+
+    ``broadcast_stats``: force-broadcast only when the stats cardinality
+    is BOUNDED (seasonal profiles: ≤168 slots × groups). Unbounded
+    bucket stats (hampel at fine freq × many series) are left to AQE,
+    which broadcasts small frames and shuffle-joins big ones.
+    """
+    maybe_b = F.broadcast if broadcast_stats else (lambda x: x)
+    med = keyed.groupBy(*keys).agg(F.percentile(value_col, 0.5).alias(med_col))
+    with_med = keyed.join(maybe_b(med), keys, "left")
+    mad = with_med.groupBy(*keys).agg(
+        F.percentile(F.abs(F.col(value_col) - F.col(med_col)), 0.5).alias("_mad")
+    )
+    joined = with_med.join(maybe_b(mad), keys, "left")
+    z = F.when(
+        (F.col("_mad") > 0) & F.col(value_col).isNotNull(),
+        F.abs(F.col(value_col) - F.col(med_col)) / (F.lit(MAD_SCALE) * F.col("_mad")),
+    )
+    return joined.withColumn(z_col, z).drop("_mad")
+
+
 def hampel_flags(
     df: DataFrame,
     ts_col: str,
@@ -116,38 +151,32 @@ def hampel_flags(
     sliding-window Hampel filter needs a rolling median (O(w) order
     statistics per row, no distributed form without per-row re-sorts).
     Tumbling buckets give the same local robustness at groupBy cost:
-    one shuffle of per-bucket partials, stats frame = one row per
-    bucket (broadcast back), the fact side never reshuffles twice.
+    two aggregation passes over bucket partials (median, then MAD —
+    nested order statistic), per-bucket stats joined back (AQE
+    broadcasts them while they fit; at fine freq × many series the
+    stats cardinality is unbounded, so broadcast is NOT forced), and
+    the fact side never reshuffles.
 
     Appends ``bucket_ts``, ``robust_z`` (|x − bucket median| /
-    (1.4826·MAD); null when the bucket's MAD is 0 or x is null) and
-    ``is_outlier`` (false in those degenerate cases — a flat bucket
-    flags nothing, matching ``remove_outliers_mad``'s skip rule).
-    Deterministic: exact percentile, no sampling.
+    (1.4826·MAD); null when the bucket's MAD is 0, x is null, or the
+    row's timestamp/group key is null) and ``is_outlier`` (false in
+    those degenerate cases — a flat bucket flags nothing, matching
+    ``remove_outliers_mad``'s skip rule). Row-preserving: null-key rows
+    ride through annotated, never dropped. Deterministic: exact
+    percentile, no sampling.
     """
     from time_series_loader_spark.operators.resample import bucket_start
     from time_series_loader_spark.functions.frequency import freq_to_seconds
 
     step = freq_to_seconds(freq)
     keyed = df.withColumn("bucket_ts", bucket_start(ts_col, step))
-    keys = [*group_cols, "bucket_ts"]
-    med = keyed.groupBy(*keys).agg(F.percentile(value_col, 0.5).alias("_med"))
-    with_med = keyed.join(F.broadcast(med), keys)
-    mad = with_med.groupBy(*keys).agg(
-        F.percentile(F.abs(F.col(value_col) - F.col("_med")), 0.5).alias("_mad")
+    out = _local_robust_z(
+        keyed, [*group_cols, "bucket_ts"], value_col, "_med", "robust_z",
+        broadcast_stats=False,
     )
-    joined = with_med.join(F.broadcast(mad), keys)
-    z = F.when(
-        (F.col("_mad") > 0) & F.col(value_col).isNotNull(),
-        F.abs(F.col(value_col) - F.col("_med")) / (F.lit(MAD_SCALE) * F.col("_mad")),
-    )
-    return (
-        joined.withColumn("robust_z", z)
-        .withColumn(
-            "is_outlier", F.coalesce(F.col("robust_z") > threshold, F.lit(False))
-        )
-        .drop("_med", "_mad")
-    )
+    return out.withColumn(
+        "is_outlier", F.coalesce(F.col("robust_z") > threshold, F.lit(False))
+    ).drop("_med")
 
 
 SEASON_KEYS = {
@@ -176,25 +205,17 @@ def seasonal_baseline(
     'hour_of_week' (168), 'minute_of_hour' (60).
 
     Scale shape: the profile is a ≤168-row (× groups) aggregate —
-    ALWAYS broadcastable; two passes (median, then MAD, both exact
-    percentile — swap for ``approx_percentile`` at TB scale) and the
-    fact side never reshuffles. seasonal_z is null when the slot's MAD
-    is 0 or the value is null.
+    ALWAYS broadcastable, so broadcast is forced; two passes (median,
+    then MAD, both exact percentile — swap for ``approx_percentile`` at
+    TB scale) and the fact side never reshuffles. Row-preserving (LEFT
+    stats joins — see ``_local_robust_z``): seasonal_z is null when the
+    slot's MAD is 0, the value is null, or the timestamp is null.
     """
     if period not in SEASON_KEYS:
         raise ValueError(f"period must be one of {sorted(SEASON_KEYS)}")
     season = SEASON_KEYS[period](F.col(ts_col)).cast("int")
     keyed = df.withColumn("season", season)
-    keys = [*group_cols, "season"]
-    med = keyed.groupBy(*keys).agg(F.percentile(value_col, 0.5).alias("season_median"))
-    with_med = keyed.join(F.broadcast(med), keys)
-    mad = with_med.groupBy(*keys).agg(
-        F.percentile(F.abs(F.col(value_col) - F.col("season_median")), 0.5).alias("_mad")
+    return _local_robust_z(
+        keyed, [*group_cols, "season"], value_col, "season_median", "seasonal_z",
+        broadcast_stats=True,
     )
-    joined = with_med.join(F.broadcast(mad), keys)
-    z = F.when(
-        (F.col("_mad") > 0) & F.col(value_col).isNotNull(),
-        F.abs(F.col(value_col) - F.col("season_median"))
-        / (F.lit(MAD_SCALE) * F.col("_mad")),
-    )
-    return joined.withColumn("seasonal_z", z).drop("_mad")

@@ -138,7 +138,10 @@ def _replicated_docs_path(sf_dir: str, replicate: int) -> str:
         return f"{sf_dir}/documents.parquet"
     import os
 
-    out = f"/tmp/tsl_textbase_{replicate}x.parquet"
+    import re as _re
+
+    sf_tag = _re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.strip("/"))
+    out = f"/tmp/tsl_textbase_{sf_tag}_{replicate}x.parquet"
     if not os.path.exists(out):
         df = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         n = df["doc_id"].max() + 1
@@ -170,6 +173,8 @@ def pandas_text_profile(sf_dir: str, replicate: int = 1) -> tuple[int, float]:
     stops = {"the", "a", "of", "to", "and", "in", "is", "it", "you", "that"}
 
     def profile(s: str) -> tuple:
+        if not s:  # null/empty doc: same ride-through the Spark side gives
+            return (0, 0.0, 0.0, 0.0, 0.0, 0.0, None)
         toks = ws.split(s.strip().lower())
         n = len(toks)
         n_stop = sum(1 for t in toks if t in stops)
