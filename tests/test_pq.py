@@ -166,3 +166,31 @@ def test_ivfpq_reduces_to_pq_at_full_probe_and_prunes_otherwise(spark, clustered
     cluster_of = {vid: ci for vid, ci, _ in _clustered()}
     for r in one.collect():
         assert cluster_of[r["neighbor_id"]] == cluster_of[r["query_id"]]
+
+
+def test_fold_and_matmul_paths_agree_on_ranks(spark, clustered):
+    """fold=True (oracle-parity cumsum arithmetic) and the fast matmul
+    path may differ in last-ulp float details but must produce the SAME
+    codes and neighbor rankings on separated data."""
+    books = pq_train(clustered, "vec_id", "embedding", m=M, ksub=KSUB, iters=2)
+    queries = clustered.where(F.col("vec_id") % 50 == 0)
+    corpus = clustered.where(F.col("vec_id") % 50 != 0)
+    c_fast = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(corpus, "vec_id", "embedding", books, fold=False).collect()
+    }
+    c_fold = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(corpus, "vec_id", "embedding", books, fold=True).collect()
+    }
+    assert c_fast == c_fold
+
+    def ranks(fold):
+        codes = pq_encode(corpus, "vec_id", "embedding", books, fold=fold)
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in pq_search(queries, codes, "vec_id", "embedding", books,
+                               k=5, fold=fold).collect()
+        )
+
+    assert ranks(False) == ranks(True)
