@@ -223,8 +223,8 @@ SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * INT
        floor((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value))*1000000 + 0.5)/1000000 AS value_mean,
        COUNT(value) AS n,
        floor((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS value_sum,
-       floor((arg_min(value, ts))*1000000 + 0.5)/1000000 AS value_first,
-       floor((arg_max(value, ts))*1000000 + 0.5)/1000000 AS value_last,
+       floor(((min(CASE WHEN value IS NOT NULL THEN {'t': ts, 'v': value} END)).v)*1000000 + 0.5)/1000000 AS value_first,
+       floor(((max(CASE WHEN value IS NOT NULL THEN {'t': ts, 'v': value} END)).v)*1000000 + 0.5)/1000000 AS value_last,
        floor((MIN(value))*1000000 + 0.5)/1000000 AS value_min,
        floor((MAX(value))*1000000 + 0.5)/1000000 AS value_max,
        (min(CASE WHEN value IS NOT NULL THEN {'v': value, 't': ts} END)).t AS ts_min,
@@ -316,7 +316,8 @@ def q_continuity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary path): one 10-year bucket holds the whole fixture, so the
     # per-bucket sums collapse to the global increase/reset counts
     ci = counter_increase(ev, "ts", "value", "3650D").agg(
-        F.sum("increase").alias("_inc"), F.sum("n_resets").alias("_nr")
+        F.sum(F.col("increase").cast(_DEC)).cast("double").alias("_inc"),
+        F.sum("n_resets").alias("_nr"),
     )
     return s.crossJoin(ci).select(
         "start_time",
@@ -337,16 +338,19 @@ WITH d AS (
   SELECT ts, epoch(ts) - epoch(lag(ts) OVER (ORDER BY ts)) AS ds FROM events
 ), m AS (SELECT median(ds) AS med FROM d WHERE ds IS NOT NULL
 ), g AS (
-  SELECT count(*) AS n_gaps, COALESCE(SUM(ds), 0) AS gap_total
-  FROM d, m WHERE ds > 10 * med
+  SELECT count(*) AS n_gaps,
+         CAST(COALESCE(SUM(CAST(ds AS DECIMAL(27,6))), 0) AS DOUBLE) AS gap_total
+  FROM d, m WHERE ds > med + 9 * med
 ), b AS (
   SELECT min(ts) AS start_time, max(ts) AS end_time, count(*) AS n_rows,
          epoch(max(ts)) - epoch(min(ts)) AS span FROM events
 ), ci AS (
-  SELECT CAST(SUM(CASE WHEN v < pv THEN CAST(v AS DECIMAL(27,6))
-                       ELSE CAST(v AS DECIMAL(27,6)) - CAST(pv AS DECIMAL(27,6)) END) AS DOUBLE) AS inc,
+  -- quantize-first (matches operators/rate.py): readings become exact
+  -- DECIMAL(27,6) BEFORE the reset comparison and the subtraction
+  SELECT CAST(SUM(CASE WHEN v < pv THEN v ELSE v - pv END) AS DOUBLE) AS inc,
          SUM(CASE WHEN v < pv THEN 1 ELSE 0 END) AS n_resets
-  FROM (SELECT value AS v, lag(value) OVER (ORDER BY ts) AS pv
+  FROM (SELECT CAST(value AS DECIMAL(27,6)) AS v,
+               lag(CAST(value AS DECIMAL(27,6))) OVER (ORDER BY ts) AS pv
         FROM events WHERE value IS NOT NULL)
   WHERE pv IS NOT NULL
 )
@@ -766,10 +770,14 @@ _SQL_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite dedup slot, three sections in one gate query:
 
-    - ``spans`` (r5): exact-substring repeat detection
-      (`operators/spans.py::repeated_spans`, Lee et al. 2022 semantics
-      at n=8 tokens) — every flagged (doc, span) with its cross-corpus
-      document count; key_digest = the span's md5, n_dups = n_docs.
+    - ``spans`` (r5; r6: n raised 8→20): exact-substring repeat
+      detection (`operators/spans.py::repeated_spans`, Lee et al. 2022
+      semantics — the paper flags repeats of ≥ ~50 tokens, so 20 is
+      still conservative) — every flagged (doc, span) with its
+      cross-corpus document count; key_digest = the span's md5,
+      n_dups = n_docs. n=8 flagged sub-sentence phrases: 10× the
+      matching digests, and the join fan-out made this the slowest gate
+      slot (6.7s r5) — masking regressions in the exact/incr sections.
 
     - ``exact``: full-corpus exact dedup — hash-groupBy representative +
       duplicate count (`dedup_exact`, the round-1..4 `dedup_exact` slot).
@@ -828,7 +836,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from time_series_loader_spark.operators.spans import repeated_spans
 
-    spans = repeated_spans(docs, "text", "doc_id", n=8, min_docs=2).select(
+    spans = repeated_spans(docs, "text", "doc_id", n=20, min_docs=2).select(
         F.lit("spans").alias("section"),
         F.col("digest").alias("key_digest"),
         "doc_id",
@@ -920,9 +928,9 @@ dropids AS (
 ),
 spdig AS (
   SELECT doc_id,
-         md5(array_to_string(t[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')) AS digest
+         md5(array_to_string(t[CAST(i AS BIGINT):CAST(i + 19 AS BIGINT)], ' ')) AS digest
   FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
-       LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 6, 1))) AS i)
+       LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 18, 1))) AS i)
 ),
 spdup AS (
   SELECT digest, count(DISTINCT doc_id) AS n_docs FROM spdig
@@ -1754,7 +1762,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks both n_pii and every downstream hash."""
     _prep(spark)
     from time_series_loader_spark.operators.text import (
-        _langid_exprs,
+        _langid_named,
         _quality_exprs,
         redact_pii,
     )
@@ -1836,7 +1844,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_pii",
         *_quality_exprs("text", toks=tk),
-        _langid_exprs("text", toks=tk)[-1],  # lang_pred (scores are internal)
+        _langid_named("text", toks=tk)["lang_pred"].alias("lang_pred"),
         "n_contam",
         F.md5(F.coalesce(F.col("text"), F.lit(" "))).alias("key_digest"),
     )
@@ -2474,30 +2482,38 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
 docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
+  -- micro-unit discipline (matches operators/text.py round-6 hardening):
+  -- idf is quantized to a 1e-6 grid, so score_u is an exact BIGINT and
+  -- the rank key carries zero cross-engine ln() ulp sensitivity
   SELECT doc_id, tf.term, tf,
-         tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+         tf * CAST(floor((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000 + 0.5) AS BIGINT)
+           AS score_u
   FROM tf JOIN docfreq ON tf.term = docfreq.term, n
 ),
 ranked AS (
-  SELECT doc_id, term, tf, tfidf,
-         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  SELECT doc_id, term, tf, score_u,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, term ASC) AS rn
   FROM scored
 ),
 tot AS (SELECT term, SUM(tf) AS ct FROM tf GROUP BY 1),
 nv AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nn, CAST(count(*) AS DOUBLE) AS vv FROM tot),
+lp AS (
+  SELECT term, CAST(floor(ln((ct + 1.0) / (nv.nn + 1.0 * nv.vv)) * 1000000 + 0.5) AS BIGINT)
+           AS logp_u
+  FROM tot, nv
+),
 contrib AS (
-  SELECT doc_id, tf.tf AS tf,
-         tf.tf * ln((tot.ct + 1.0) / (nv.nn + 1.0 * nv.vv)) AS c
-  FROM tf JOIN tot USING(term), nv
+  SELECT doc_id, tf.tf AS tf, tf.tf * lp.logp_u AS c_u
+  FROM tf JOIN lp USING(term)
 ),
 uni AS (
   SELECT doc_id,
-         CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE) / SUM(tf) AS mean_logprob,
+         CAST(SUM(c_u) AS DOUBLE) / 1000000.0 / SUM(tf) AS mean_logprob,
          SUM(tf) AS n_tokens
   FROM contrib GROUP BY 1
 )
 SELECT 'tfidf' AS section, doc_id, term, tf,
-       floor((tfidf)*1000000 + 0.5)/1000000 AS score
+       floor((CAST(score_u AS DOUBLE) / 1000000.0)*1000000 + 0.5)/1000000 AS score
 FROM ranked WHERE rn <= 3
 UNION ALL
 SELECT 'unigram' AS section, doc_id, CAST(NULL AS VARCHAR) AS term,

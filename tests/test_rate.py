@@ -96,3 +96,33 @@ def test_series_independent(spark):
     got = {(r["host"]): (r["increase"], r["n_resets"]) for r in out.collect()}
     assert got["a"] == (pytest.approx(4.0), 0)
     assert got["b"] == (pytest.approx(2.0), 1)
+
+
+def test_decimal_first_quantization(spark):
+    """Round-6 hardening: readings are cast to DECIMAL(27,6) BEFORE the
+    delta, so sub-µunit movement contributes exactly 0 — whereas the
+    broken order (subtract doubles, then cast) would round 8e-7 up to
+    1e-6. Divergence case: round(v-pv, 6) != round(v,6) - round(pv,6)."""
+    pts = [(0, 0.9999996), (30, 1.0000004)]
+    out = counter_increase(_df(spark, pts, key="h"), "ts", "value", 60,
+                           group_cols=["host"])
+    got = out.collect()
+    assert len(got) == 1
+    # cast-then-subtract: 1.000000 - 1.000000 = 0; subtract-then-cast
+    # would give round(8e-7, 6) = 1e-6
+    assert got[0]["increase"] == 0.0
+    assert got[0]["n_resets"] == 0
+
+    # reset DETECTION also happens on quantized values: a backward move
+    # entirely below the 1e-6 grid is not a reset
+    pts2 = [(0, 2.0000004), (30, 2.0000001)]
+    got2 = counter_increase(_df(spark, pts2, key="h"), "ts", "value", 60,
+                            group_cols=["host"]).collect()
+    assert got2[0]["n_resets"] == 0
+    assert got2[0]["increase"] == 0.0
+
+    # and a genuine 1-µunit step survives exactly
+    pts3 = [(0, 1.0), (30, 1.000001)]
+    got3 = counter_increase(_df(spark, pts3, key="h"), "ts", "value", 60,
+                            group_cols=["host"]).collect()
+    assert got3[0]["increase"] == pytest.approx(1e-6, abs=0)

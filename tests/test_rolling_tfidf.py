@@ -97,13 +97,24 @@ def test_unigram_logprob_matches_reference(spark):
     N = sum(counts.values())
     V = len(counts)
 
-    def ref(s):
+    def logp_u(t):
+        # the operator's 1e-6 micro-unit quantization of ln (round-6
+        # cross-engine hardening) — mirror it exactly
+        return math.floor(math.log((counts[t] + 1.0) / (N + 1.0 * V)) * 1e6 + 0.5)
+
+    def ref_exact(s):
         toks = s.split()
         return sum(math.log((counts[t] + 1.0) / (N + 1.0 * V)) for t in toks) / len(toks)
 
+    def ref_quant(s):
+        toks = s.split()
+        return sum(logp_u(t) for t in toks) / 1e6 / len(toks)
+
     got = {r["doc_id"]: r for r in unigram_logprob(df, "text", "doc_id").collect()}
     for i, s in texts.items():
-        assert abs(got[i]["mean_logprob"] - ref(s)) < 1e-12, i
+        assert abs(got[i]["mean_logprob"] - ref_quant(s)) < 1e-12, i
+        # quantization error vs the unquantized LM is bounded by half a µunit
+        assert abs(got[i]["mean_logprob"] - ref_exact(s)) < 5.1e-7, i
         assert got[i]["n_tokens"] == len(s.split())
     # common-token doc scores higher than the rare-token one
     assert got[0]["mean_logprob"] > got[1]["mean_logprob"]
@@ -120,3 +131,49 @@ def test_unigram_logprob_partitioning_invariant(spark):
         for r in unigram_logprob(df.repartition(17), "text", "doc_id").collect()
     }
     assert a == b  # DECIMAL accumulation → bit-identical under repartition
+
+
+def test_idf_logp_quantization_ulp_stable(spark, sf_dir):
+    """Round-6 hardening audit on the REAL gate corpus: every distinct
+    idf/logp input must floor to the same micro-unit under ±4-ulp
+    perturbation of ln() — i.e. no value sits close enough to a
+    floor(x*1e6+0.5) boundary for cross-engine/CPU libm drift to flip
+    the quantized score (and hence any rank or rounded output)."""
+    import math
+    import os
+
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    from time_series_loader_spark.operators.text import tokens
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").count()
+    dfs = [r[0] for r in tf.groupBy("term").count().select("count").distinct().collect()]
+    cts = [
+        r[0]
+        for r in tf.groupBy("term").agg(F.sum("count").alias("ct"))
+        .select("ct").distinct().collect()
+    ]
+    n_tot = sum(
+        r[0] for r in tf.groupBy("term").agg(F.sum("count").alias("ct"))
+        .select("ct").collect()
+    )
+    v_tot = tf.select("term").distinct().count()
+    denom = float(n_tot) + 1.0 * float(v_tot)
+
+    def stable(raw):
+        base = math.floor(raw * 1e6 + 0.5)
+        raw_up, raw_dn = raw, raw
+        for _ in range(4):
+            raw_up = math.nextafter(raw_up, math.inf)
+            raw_dn = math.nextafter(raw_dn, -math.inf)
+        assert math.floor(raw_up * 1e6 + 0.5) == base
+        assert math.floor(raw_dn * 1e6 + 0.5) == base
+        return base
+
+    for d in dfs:
+        stable(math.log((n_docs + 1.0) / (d + 1.0)) + 1.0)
+    for c in cts:
+        stable(math.log((c + 1.0) / denom))

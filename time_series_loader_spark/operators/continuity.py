@@ -199,7 +199,15 @@ def continuity_stats(
         .groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_gaps"),
-            F.sum("gap_seconds").alias("gap_seconds_total"),
+            # DECIMAL accumulation (house rule): a double SUM is
+            # partition-order-dependent, so the same data can produce
+            # last-ulp-different totals under different parallelism —
+            # exactly the cross-run drift an oracle gate can't tolerate.
+            # gap_seconds is a µs-precision epoch diff (≤6dp), so the
+            # decimal cast is exact.
+            F.sum(F.col("gap_seconds").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("gap_seconds_total"),
         )
     )
     joined = base.join(gaps, list(group_cols), "left") if group_cols else base.crossJoin(gaps)

@@ -52,7 +52,10 @@ def pq_train(
     """
     from time_series_loader_spark.operators.similarity import kmeans_cells
 
-    dim = len(corpus.select(vec_col).first()[0])
+    row = corpus.select(vec_col).first()
+    if row is None:
+        raise ValueError("pq_train: empty corpus — nothing to fit codebooks on")
+    dim = len(row[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m

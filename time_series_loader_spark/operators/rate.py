@@ -21,6 +21,15 @@ bucket, and a broadcast (bucket → previous bucket's last sample) table
 stitches boundaries; never a single-partition window. Sums accumulate
 in DECIMAL (the house rule: partition-order-independent).
 
+Numeric discipline (round-6 hardening): counter readings are quantized
+to DECIMAL(27,6) *before* any comparison or subtraction, so every
+engine computes the identical exact decimal delta. The alternative —
+subtract doubles, then cast the result — gives a different answer
+whenever readings carry >6 decimal digits (``round(v-pv, 6) ≠
+round(v,6) - round(pv,6)``), and is how a cross-engine oracle drifts.
+Semantics: deltas below 0.5 µunit are treated as no movement — the
+right call for counters, whose increments are discrete events.
+
 Null-valued samples are dropped first (a null counter reading observes
 nothing); deltas then span across them.
 """
@@ -90,8 +99,10 @@ def counter_increase(
     if step_us <= 0:
         raise ValueError("freq must be a positive duration")
 
+    # quantize-first: all reset detection and delta arithmetic happens on
+    # exact DECIMAL(27,6) values (see module docstring)
     base = df.where(F.col(value_col).isNotNull()).select(
-        *group_cols, ts_col, F.col(value_col).cast("double").alias("_v")
+        *group_cols, ts_col, F.col(value_col).cast("decimal(27,6)").alias("_v")
     )
     lagged = _with_prev_value(base, ts_col, group_cols, num_buckets).where(
         F.col("_prev").isNotNull()
@@ -103,12 +114,12 @@ def counter_increase(
         lagged.select(
             *group_cols,
             bucket.alias("_b"),
-            contrib.alias("_c"),
+            contrib.cast("decimal(27,6)").alias("_c"),
             reset.cast("int").alias("_r"),
         )
         .groupBy(*group_cols, "_b")
         .agg(
-            F.sum(F.col("_c").cast("decimal(27,6)")).alias("_inc"),
+            F.sum("_c").alias("_inc"),
             F.sum("_r").alias("n_resets"),
         )
     )

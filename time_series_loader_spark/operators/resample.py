@@ -69,10 +69,18 @@ def _agg_expr(col: str, method: str, ts_col: str, skipna: bool, dtype: str = "do
         base = F.sum(c) if integral else F.sum(c.cast(_DEC)).cast("double")
     elif method == "first":
         # pandas .resample().first() = first NON-NULL by time order; rows
-        # with null value get a null ordering key, which min_by skips.
-        base = F.min_by(c, F.when(c.isNotNull(), F.col(ts_col)))
+        # with null value get a null struct, which min skips. Lexicographic
+        # (ts, value) struct order — not min_by, whose pick is unspecified
+        # when several non-null rows share the earliest timestamp — makes
+        # duplicate-ts ties deterministic (first→smaller value) and
+        # identical to the SQL oracle's struct min.
+        base = F.min(
+            F.when(c.isNotNull(), F.struct(F.col(ts_col).alias("t"), c.alias("v")))
+        ).getField("v")
     elif method == "last":
-        base = F.max_by(c, F.when(c.isNotNull(), F.col(ts_col)))
+        base = F.max(
+            F.when(c.isNotNull(), F.struct(F.col(ts_col).alias("t"), c.alias("v")))
+        ).getField("v")
     elif method == "min":
         base = F.min(c)
     elif method == "max":
@@ -239,13 +247,19 @@ def m4_downsample(
     step = freq_to_seconds(freq)
     v, t = F.col(value_col), F.col(ts_col)
     vt = F.when(v.isNotNull(), F.struct(v.alias("v"), t.alias("t")))
+    # first/last via lexicographic (t, v) struct min/max — NOT min_by/
+    # max_by, whose choice is unspecified when several non-null rows
+    # share the extreme timestamp. Struct order breaks the duplicate-ts
+    # tie by value (first→smaller v, last→larger v) identically in
+    # batch, streaming/ingest.py::windowed_m4_stream, and the SQL oracle.
+    tv = F.when(v.isNotNull(), F.struct(t.alias("t"), v.alias("v")))
     agg = df.groupBy(
         *group_cols, bucket_start(ts_col, step).alias("bucket_ts")
     ).agg(
-        F.min_by(F.struct(t.alias("t"), v.alias("v")), F.when(v.isNotNull(), t)).alias("_f"),
+        F.min(tv).alias("_f"),
         F.min(vt).alias("_mn"),
         F.max(vt).alias("_mx"),
-        F.max_by(F.struct(t.alias("t"), v.alias("v")), F.when(v.isNotNull(), t)).alias("_l"),
+        F.max(tv).alias("_l"),
     )
 
     def _pt(role: str, src: str) -> Column:

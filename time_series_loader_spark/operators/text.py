@@ -55,8 +55,10 @@ def token_count_bpeish(text: Column | str) -> Column:
     return F.size(pieces)
 
 
-def _quality_exprs(text_col: str, toks: Column | None = None) -> list[Column]:
-    """Quality-feature expressions (shared by quality_features/text_profile).
+def _quality_named(text_col: str, toks: Column | None = None) -> dict[str, Column]:
+    """Quality-feature expressions (shared by quality_features/text_profile)
+    as an ordered {output_name: expression} mapping — the names are the
+    lookup contract (see :func:`quality_score_expr`), not a parsed repr.
 
     ``toks``: optional pre-tokenized array column. Each expression embeds
     its own copy of ``tokens(text_col)`` otherwise, and whole-stage
@@ -84,13 +86,13 @@ def _quality_exprs(text_col: str, toks: Column | None = None) -> list[Column]:
         + 0.4 * F.least(stop_ratio * 5.0, F.lit(1.0))
         + 0.2 * (1.0 - F.least(punct_ratio + digit_ratio, F.lit(1.0)))
     )
-    return [
-        n_tokens.alias("n_tokens"),
-        stop_ratio.alias("stopword_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        digit_ratio.alias("digit_ratio"),
-        F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)).alias("quality_score"),
-    ]
+    return {
+        "n_tokens": n_tokens,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "quality_score": F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)),
+    }
 
 
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -104,33 +106,30 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, *_quality_exprs(text_col))
 
 
+def _quality_exprs(text_col: str, toks: Column | None = None) -> list[Column]:
+    """:func:`_quality_named` as an aliased select-list."""
+    return [c.alias(n) for n, c in _quality_named(text_col, toks).items()]
+
+
 def quality_score_expr(text_col: str) -> Column:
     """The composite quality score in [0, 1] as a single named
     expression — for callers (CorpusPipeline) that filter on the score
-    without materializing the full feature set. Selected by ALIAS from
-    the shared expression list, so reordering/extending the list can't
-    silently change what a filter means."""
-    return next(e for e in _quality_exprs(text_col) if _alias_of(e) == "quality_score")
-
-
-def _alias_of(col: Column) -> str:
-    """Output name of an aliased Column expression (from its string form
-    ``Column<'expr AS name'>`` — the last `` AS `` is the alias)."""
-    s = str(col)
-    if s.startswith("Column<'") and s.endswith("'>"):
-        s = s[8:-2]
-    return s.rsplit(" AS ", 1)[1].strip("`") if " AS " in s else s
+    without materializing the full feature set. Looked up by KEY in the
+    shared {name: expression} mapping, so reordering/extending the
+    feature set can't silently change what a filter means (and no
+    Column-repr parsing, which has no stability contract)."""
+    return _quality_named(text_col)["quality_score"].alias("quality_score")
 
 
 def gopher_pass_expr(text_col: str) -> Column:
     """The combined Gopher-rule pass flag as a single named expression
-    (see :func:`quality_score_expr` for why selection is by alias)."""
-    return next(e for e in _gopher_exprs(text_col) if _alias_of(e) == "pass_gopher")
+    (see :func:`quality_score_expr` for why selection is by key)."""
+    return _gopher_named(text_col)["pass_gopher"].alias("pass_gopher")
 
 
 def langid_pred_expr(text_col: str) -> Column:
     """The predicted-language column as a single named expression."""
-    return next(e for e in _langid_exprs(text_col) if _alias_of(e) == "lang_pred")
+    return _langid_named(text_col)["lang_pred"].alias("lang_pred")
 
 
 # The "required words" rule from the Gopher paper (Rae et al. 2021,
@@ -139,9 +138,9 @@ def langid_pred_expr(text_col: str) -> Column:
 REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def _gopher_exprs(text_col: str, toks: Column | None = None) -> list[Column]:
+def _gopher_named(text_col: str, toks: Column | None = None) -> dict[str, Column]:
     """Gopher/C4-style rule-filter expressions (shared by
-    gopher_quality_flags/text_profile).
+    gopher_quality_flags/text_profile) as {output_name: expression}.
 
     All pure built-in expressions (split/filter/replace/regexp) — the
     whole rule battery stays inside whole-stage codegen, zero shuffle,
@@ -200,15 +199,20 @@ def _gopher_exprs(text_col: str, toks: Column | None = None) -> list[Column]:
         & (n_req >= 2)
         & (dup_line_frac <= 0.3)
     )
-    return [
-        symbol_ratio.alias("symbol_token_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        dup_line_frac.alias("dup_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        n_req.alias("n_req_stopwords"),
-        passed.alias("pass_gopher"),
-    ]
+    return {
+        "symbol_token_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "dup_line_frac": dup_line_frac,
+        "alpha_word_frac": alpha_frac,
+        "n_req_stopwords": n_req,
+        "pass_gopher": passed,
+    }
+
+
+def _gopher_exprs(text_col: str, toks: Column | None = None) -> list[Column]:
+    """:func:`_gopher_named` as an aliased select-list."""
+    return [c.alias(n) for n, c in _gopher_named(text_col, toks).items()]
 
 
 def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -228,10 +232,11 @@ def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     return df.select(id_col, *_gopher_exprs(text_col))
 
 
-def _langid_exprs(text_col: str, toks: Column | None = None) -> list[Column]:
-    """Language-ID expressions (shared by language_id/text_profile).
+def _langid_named(text_col: str, toks: Column | None = None) -> dict[str, Column]:
+    """Language-ID expressions (shared by language_id/text_profile) as
+    {output_name: expression}.
 
-    ``toks``: optional pre-tokenized array column (see _quality_exprs).
+    ``toks``: optional pre-tokenized array column (see _quality_named).
     """
     t = tokens(text_col) if toks is None else toks
 
@@ -251,10 +256,15 @@ def _langid_exprs(text_col: str, toks: Column | None = None) -> list[Column]:
             ]
         )
     )[0]
-    return [
-        *[counts[lang].alias(f"score_{lang}") for lang in sorted(STOPWORDS)],
-        F.when(-best["neg"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
-    ]
+    return {
+        **{f"score_{lang}": counts[lang] for lang in sorted(STOPWORDS)},
+        "lang_pred": F.when(-best["neg"] > 0, best["lang"]).otherwise("und"),
+    }
+
+
+def _langid_exprs(text_col: str, toks: Column | None = None) -> list[Column]:
+    """:func:`_langid_named` as an aliased select-list."""
+    return [c.alias(n) for n, c in _langid_named(text_col, toks).items()]
 
 
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -276,8 +286,18 @@ def tfidf(
     """TF-IDF per (doc, term) over the whitespace-token stream.
 
     tf = raw term count in the doc; idf = ln((N+1)/(df+1)) + 1 (smooth,
-    sklearn-style); score = tf · idf. Optionally keep only each doc's
-    ``top_k`` terms (ties → lexicographically smaller term).
+    sklearn-style) **quantized to a 1e-6 grid** (half-up); score =
+    tf · idf. Optionally keep only each doc's ``top_k`` terms (ties →
+    lexicographically smaller term).
+
+    Why quantize (round-6 hardening): ``ln`` is a transcendental — the
+    JVM intrinsic and other engines' libm may disagree in the last ulp,
+    and the disagreement is CPU/build-dependent. Quantizing idf makes
+    the score an exact integer of micro-units (``tf · round(idf·1e6)``,
+    BIGINT — tf ≤ ~1e6 tokens · idf_µ ≤ ~3e7 stays far under 2^63), so
+    ranking and every downstream comparison are integer arithmetic:
+    bit-identical on every platform and engine. Scores differ from
+    unquantized sklearn by < 5e-7·tf — far below any ranking signal.
 
     Scale shape: explode → one (doc,term) groupBy with map-side combine →
     term-level df aggregate (small — vocabulary-sized) broadcast back. The
@@ -289,20 +309,26 @@ def tfidf(
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
+    idf_raw = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
+    idf_u = F.floor(idf_raw * F.lit(1e6) + F.lit(0.5))  # BIGINT micro-units
     scored = tf.join(F.broadcast(docfreq), "term").select(
-        id_col, "term", "tf", (F.col("tf") * idf).alias("tfidf")
+        id_col,
+        "term",
+        "tf",
+        (F.col("tf") * idf_u).alias("_score_u"),
     )
     if top_k is not None:
         w = Window.partitionBy(id_col).orderBy(
-            F.col("tfidf").desc(), F.col("term").asc()
+            F.col("_score_u").desc(), F.col("term").asc()
         )
         scored = (
             scored.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= top_k)
             .drop("_rn")
         )
-    return scored
+    return scored.withColumn(
+        "tfidf", F.col("_score_u").cast("double") / F.lit(1e6)
+    ).drop("_score_u")
 
 
 def unigram_logprob(
@@ -319,10 +345,20 @@ def unigram_logprob(
 
     Output: (``id_col``, mean_logprob, n_tokens).
 
+    Per-token logp is **quantized to a 1e-6 grid** (half-up) before
+    accumulation — same round-6 hardening rationale as :func:`tfidf`:
+    ``ln`` is engine/CPU-dependent in the last ulp, so contributions
+    become exact BIGINT micro-units (``tf · round(logp·1e6)``) and the
+    per-doc sum is integer arithmetic — bit-identical on every platform,
+    partition order, and engine. |logp|·1e6 ≤ ~5e7 and per-doc
+    Σtf·|logp_µ| stays far under 2^63 for any real document. The mean
+    differs from the unquantized value by < 5e-7 — noise for a quality
+    signal reported at 1e-6.
+
     Scale shape: explode → (doc, term) tf groupBy (the same first
     exchange TF-IDF pays) → vocabulary-sized term-total aggregate → join
     back on term (vocab ≪ corpus; AQE broadcasts it when it fits, else
-    a term-hash shuffle join) → per-doc DECIMAL-accumulated sum (merge-
+    a term-hash shuffle join) → per-doc integer-accumulated sum (merge-
     order independent, so scores are bit-stable under repartitioning).
     N and V are two driver scalars (one tiny action).
     """
@@ -333,14 +369,15 @@ def unigram_logprob(
         F.sum("ct").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
     denom = float(nv["n"] or 0) + k * float(nv["v"] or 0)
-    logp = F.log((F.col("ct") + F.lit(k)) / F.lit(denom))
+    logp_u = F.floor(
+        F.log((F.col("ct") + F.lit(k)) / F.lit(denom)) * F.lit(1e6) + F.lit(0.5)
+    )  # BIGINT micro-units (negative)
     scored = tf.join(totals, "term").select(
-        id_col, "tf", (F.col("tf") * logp).alias("_contrib")
+        id_col, "tf", (F.col("tf") * logp_u).alias("_contrib_u")
     )
     return scored.groupBy(id_col).agg(
         (
-            F.sum(F.col("_contrib").cast("decimal(38,18)")).cast("double")
-            / F.sum("tf")
+            F.sum("_contrib_u").cast("double") / F.lit(1e6) / F.sum("tf")
         ).alias("mean_logprob"),
         F.sum("tf").cast("long").alias("n_tokens"),
     )

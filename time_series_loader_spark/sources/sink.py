@@ -170,6 +170,10 @@ def compact_parquet(
             continue
         in_files += 1
         in_bytes += st.getLen()
+    if in_files == 0:
+        # a directory holding only markers (_SUCCESS, dotfiles) has no
+        # schema to infer — mirror write_packed_shards' empty-write path
+        return {"in_files": 0, "in_bytes": 0, "out_files": 0}
     n_out = max(1, math.ceil(in_bytes / target_bytes))
     spark.read.parquet(path).repartition(n_out).write.mode(mode).parquet(out_path)
     return {"in_files": in_files, "in_bytes": in_bytes, "out_files": n_out}
