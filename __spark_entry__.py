@@ -1755,6 +1755,15 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     The canonical pretraining-data shape: scrub first, then every filter
     stage shares one scan of the scrubbed text.
 
+    r6 adds the CCNet perplexity partition as an output column:
+    ``ppl_decile`` = the doc's decile under the scrubbed corpus's own
+    unigram LM (``quantile_bucket ∘ unigram_logprob``, Wenzek et al.
+    2020's quality-partition step) — certifying the composition the
+    round-5 verdict asked for, with an integer output (micro-unit logp
+    scores are bit-identical cross-engine; interpolated decile
+    boundaries can't flip an assignment because no data value lies
+    strictly between consecutive order statistics).
+
     The synthetic corpus contains no PII, so deterministic PII spans
     (email + phone + IPv4, doc_id-derived; skipped when doc_id % 5 == 0)
     are grafted onto the text before the pipeline — the oracle rebuilds
@@ -1840,6 +1849,22 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     decon = decontaminate(
         toksed, "text", "doc_id", bench, n=8, toks_col="_toks"
     )
+    # CCNet perplexity partition (r6, the quantile_bucket ∘
+    # unigram_logprob composition): per-doc mean logp under the
+    # scrubbed corpus's own unigram LM, binned into deciles by exact
+    # percentile boundaries. The decile is an INTEGER (micro-unit logp →
+    # bit-identical scores; boundary interpolation can't flip a bucket
+    # because no data value lies strictly between consecutive order
+    # stats), so the composition certifies with zero float output.
+    from time_series_loader_spark.operators.sampling import quantile_bucket
+    from time_series_loader_spark.operators.text import unigram_logprob
+
+    ppl = quantile_bucket(
+        unigram_logprob(clean, "text", "doc_id"),
+        "mean_logprob",
+        n_buckets=10,
+        out_col="ppl_decile",
+    ).select("doc_id", "ppl_decile")
     feat = decon.select(
         "doc_id",
         "n_pii",
@@ -1868,6 +1893,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rep.n_pii").alias("n_pii"),
             F.col("rep.n_contam").alias("n_contam"),
         )
+        .join(ppl, "doc_id")
     )
 
 
@@ -1955,14 +1981,38 @@ contam AS (
   ) ds JOIN benchng USING (ngram)
   GROUP BY doc_id
 )
+,
+-- CCNet perplexity partition (r6): per-doc mean logp under the scrubbed
+-- corpus's own unigram LM in integer micro-units (same construction as
+-- the tfidf_top3 oracle), binned into deciles by exact interior
+-- percentile boundaries (mirrors sampling.quantile_bucket: bucket =
+-- count of boundaries strictly below x; boundary values fall LOWER)
+tf2 AS (SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, UNNEST(t) AS term FROM tok) GROUP BY 1, 2),
+tot2 AS (SELECT term, SUM(tf) AS ct FROM tf2 GROUP BY 1),
+nv2 AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nn, CAST(count(*) AS DOUBLE) AS vv FROM tot2),
+lp2 AS (SELECT term,
+               CAST(floor(ln((ct + 1.0) / (nv2.nn + 1.0 * nv2.vv)) * 1000000 + 0.5) AS BIGINT)
+                 AS logp_u
+        FROM tot2, nv2),
+uni2 AS (SELECT doc_id,
+                CAST(SUM(tf2.tf * lp2.logp_u) AS DOUBLE) / 1000000.0 / SUM(tf2.tf)
+                  AS mean_logprob
+         FROM tf2 JOIN lp2 USING (term) GROUP BY 1),
+bnd AS (SELECT quantile_cont(mean_logprob,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b
+        FROM uni2)
 SELECT s.doc_id, l.lang_pred, s.n_tokens,
        floor((s.quality_score)*1000000 + 0.5)/1000000 AS quality_score,
-       r.n_dups, c.n_pii, coalesce(ct.n_contam, 0) AS n_contam
+       r.n_dups, c.n_pii, coalesce(ct.n_contam, 0) AS n_contam,
+       (CAST(u.mean_logprob > bnd.b[1] AS INT) + CAST(u.mean_logprob > bnd.b[2] AS INT) + CAST(u.mean_logprob > bnd.b[3] AS INT) + CAST(u.mean_logprob > bnd.b[4] AS INT) + CAST(u.mean_logprob > bnd.b[5] AS INT) + CAST(u.mean_logprob > bnd.b[6] AS INT) + CAST(u.mean_logprob > bnd.b[7] AS INT) + CAST(u.mean_logprob > bnd.b[8] AS INT) + CAST(u.mean_logprob > bnd.b[9] AS INT)) AS ppl_decile
 FROM scored s
 JOIN lang l ON l.doc_id = s.doc_id
 JOIN reps r ON r.doc_id = s.doc_id
 JOIN clean c ON c.doc_id = s.doc_id
+JOIN uni2 u ON u.doc_id = s.doc_id
 LEFT JOIN contam ct ON ct.doc_id = s.doc_id
+CROSS JOIN bnd
 WHERE l.lang_pred = 'en' AND s.quality_score >= 0.45
   AND coalesce(ct.n_contam, 0) = 0
 """
