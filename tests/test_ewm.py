@@ -128,3 +128,39 @@ def test_nulls_adjust_false_poison(spark, keyed):
     exp = _pd_ewm([10.0, 20.0], 0.5, False)
     np.testing.assert_allclose(got[:2], exp, rtol=1e-9)
     assert got[2] is None and got[3] is None and got[4] is None
+
+
+def test_ewm_gate_boundary_margins(spark, sf_dir):
+    """r6 parity canary for the one gate column still computed via
+    DIFFERENT fp paths in the two engines (closed-form block-decay vs
+    sequential recursion, plus pow() — a transcendental with
+    CPU/build-dependent last-ulp behavior): every ewm03 value on the
+    REAL gate data must sit far (>1e-8 scaled) from its shifted-floor
+    boundary, so an inter-engine difference up to ~1e-10 absolute can
+    never flip the reported 6dp value. If fixture data ever lands a
+    value near a boundary, this fails BEFORE the driver gate flakes."""
+    import os
+
+    import pytest
+
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["rolling_by_user"](spark, sf_dir)
+    # distance from the pre-floor scaled value to the shifted boundary;
+    # recompute the raw (unrounded) ewm to measure the true margin
+    from pyspark.sql import functions as F
+
+    from time_series_loader_spark.operators.ewm import ewm_mean
+    from time_series_loader_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    raw = ewm_mean(ev, "ts", "value", 0.3, group_cols=["user_id"],
+                   adjust=False, out_col="ewm")
+    x = F.col("ewm") * 1000000.0 + 0.5001
+    dist = F.abs(x - F.round(x))
+    # min distance to the nearest integer boundary across every row —
+    # F.round here only locates the boundary; parity is not affected
+    m = raw.agg(F.min(dist).alias("m")).collect()[0]["m"]
+    assert m is not None and m > 1e-8, f"ewm margin too small: {m}"

@@ -6,9 +6,20 @@ threshold`` (default 3.0); columns with std == 0 are skipped.
 
 Spark-first: one global ``agg`` computes (mean, stddev) per column; the
 1-row stats frame is broadcast-cross-joined back (no shuffle of the fact
-side) and a single filter drops outliers. ``stddev_samp`` matches pandas
-``Series.std`` (ddof=1). With ``group_cols`` the stats become a per-key
+side) and a single filter drops outliers. Stddev is ddof=1 (pandas
+``Series.std``). With ``group_cols`` the stats become a per-key
 aggregate + broadcast-able join — the 100 TB path.
+
+Numeric discipline (round-6 hardening): mean/std come from EXACT
+DECIMAL moments — values cast to DECIMAL(19,6), Σx and Σx² accumulated
+as decimals (the x² product is a decimal×decimal multiply, exact at
+12dp) — then one IEEE division/sqrt. ``F.avg``/``F.stddev_samp`` over
+doubles merge partial moments in partition order, so the kept-row SET
+could differ between runs for values near the |z| = threshold cutoff;
+decimal moments make the stats a pure function of the multiset of
+values, bit-identical across partitionings, engines, and CPUs. The
+textbook (Σx² − (Σx)²/n) cancellation concern doesn't apply: the sums
+are exact, so the only rounding is the final few IEEE ops.
 """
 
 from __future__ import annotations
@@ -27,9 +38,22 @@ def remove_outliers_zscore(
 ) -> DataFrame:
     aggs = []
     for c in cols:
-        aggs.append(F.avg(c).alias(f"_mean_{c}"))
-        aggs.append(F.stddev_samp(c).alias(f"_std_{c}"))
-    stats = df.groupBy(*group_cols).agg(*aggs)
+        xd = F.col(c).cast("decimal(19,6)")
+        aggs.append(F.sum(xd).cast("double").alias(f"_sx_{c}"))
+        aggs.append(F.sum(xd * xd).cast("double").alias(f"_sx2_{c}"))
+        aggs.append(F.count(c).alias(f"_n_{c}"))
+    moments = df.groupBy(*group_cols).agg(*aggs)
+    stat_cols = []
+    for c in cols:
+        sx, sx2, n = F.col(f"_sx_{c}"), F.col(f"_sx2_{c}"), F.col(f"_n_{c}")
+        stat_cols.append((sx / n).alias(f"_mean_{c}"))
+        stat_cols.append(
+            F.when(
+                n >= 2,
+                F.sqrt(F.greatest((sx2 - sx * sx / n) / (n - 1), F.lit(0.0))),
+            ).alias(f"_std_{c}")
+        )
+    stats = moments.select(*group_cols, *stat_cols)
     joined = (
         df.join(F.broadcast(stats), list(group_cols), "left")
         if group_cols
