@@ -40,7 +40,11 @@ from time_series_loader_spark.operators.pq import (
 )
 from time_series_loader_spark.operators.profile import profile_table
 from time_series_loader_spark.operators.rate import counter_increase
-from time_series_loader_spark.operators.spans import remove_repeated_spans, repeated_spans
+from time_series_loader_spark.operators.spans import (
+    remove_repeated_spans,
+    repeated_spans,
+    repeated_spans_winnowed,
+)
 from time_series_loader_spark.operators.twa import time_weighted_mean
 from time_series_loader_spark.operators.text import (
     fingerprint,
@@ -80,6 +84,7 @@ __all__ = [
     "counter_increase",
     "remove_repeated_spans",
     "repeated_spans",
+    "repeated_spans_winnowed",
     "time_weighted_mean",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

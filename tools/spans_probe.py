@@ -45,20 +45,31 @@ def main() -> None:
             F.sum("n").alias("total"), F.max("n").alias("mx")
         ).collect()[0]
 
-        def run():
-            t0 = time.time()
-            n = repeated_spans(docs, "text", "doc_id", n=20, min_docs=2).count()
-            return time.time() - t0, n
+        from time_series_loader_spark.operators.spans import repeated_spans_winnowed
 
-        run()  # discarded warm-up
-        best, rows = None, 0
-        for _ in range(2):
-            el, rows = run()
-            best = el if best is None else min(best, el)
-        print(
-            f"spans(n=20) {factor:>4}x  {best:6.2f}s  ({rows} flagged rows, "
-            f"{stats['total']} tokens, max_doc_tokens={stats['mx']})"
-        )
+        variants = {
+            "spans(n=20)": lambda: repeated_spans(
+                docs, "text", "doc_id", n=20, min_docs=2
+            ).count(),
+            "winnow(n=20,w=16)": lambda: repeated_spans_winnowed(
+                docs, "text", "doc_id", n=20, w=16, min_docs=2
+            ).count(),
+        }
+        for vname, vrun in variants.items():
+            def run():
+                t0 = time.time()
+                n = vrun()
+                return time.time() - t0, n
+
+            run()  # discarded warm-up
+            best, rows = None, 0
+            for _ in range(2):
+                el, rows = run()
+                best = el if best is None else min(best, el)
+            print(
+                f"{vname:18s} {factor:>4}x  {best:6.2f}s  ({rows} flagged rows, "
+                f"{stats['total']} tokens, max_doc_tokens={stats['mx']})"
+            )
     spark.stop()
 
 
