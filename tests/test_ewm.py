@@ -145,11 +145,8 @@ def test_ewm_gate_boundary_margins(spark, sf_dir):
 
     if not os.path.isdir(sf_dir):
         pytest.skip("driver testdata not present")
-    import __spark_entry__ as entrymod
-
-    df = entrymod.queries()["rolling_by_user"](spark, sf_dir)
-    # distance from the pre-floor scaled value to the shifted boundary;
-    # recompute the raw (unrounded) ewm to measure the true margin
+    # distance from the pre-floor scaled value to the shifted boundary,
+    # measured on the raw (unrounded) ewm over the same gate inputs
     from pyspark.sql import functions as F
 
     from time_series_loader_spark.operators.ewm import ewm_mean
