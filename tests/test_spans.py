@@ -343,3 +343,61 @@ def test_winnowed_short_and_empty_docs(spark):
     # n=2, w=2: the 3-token twins share everything
     out = repeated_spans_winnowed(df, "text", "doc_id", n=2, w=2, min_docs=2)
     assert {r["doc_id"] for r in out.collect()} == {0, 2}
+
+
+def test_winnowed_guarantee_property(spark):
+    """Hypothesis: plant a random shared repeat of length >= w+n-1 into
+    two random documents at random offsets — the winnowing guarantee
+    says BOTH docs must be flagged, with at least one shared anchor
+    digest between them, for every draw."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from time_series_loader_spark.operators.spans import repeated_spans_winnowed
+
+    n, w = 4, 6
+    guarantee = w + n - 1  # 9 tokens
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(
+        rep_len=st.integers(guarantee, guarantee + 6),
+        pre_a=st.integers(0, 8),
+        post_a=st.integers(0, 8),
+        pre_b=st.integers(0, 8),
+        post_b=st.integers(0, 8),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def run(rep_len, pre_a, post_a, pre_b, post_b, seed):
+        import random
+
+        rng = random.Random(seed)
+        # disjoint vocabularies: the repeat can't accidentally extend
+        rep = " ".join(f"r{seed % 997}x{j}" for j in range(rep_len))
+        fill = lambda tag, k: " ".join(
+            f"{tag}{rng.randrange(10**6)}" for _ in range(k)
+        )
+        doc_a = " ".join(x for x in (fill("a", pre_a), rep, fill("a", post_a)) if x)
+        doc_b = " ".join(x for x in (fill("b", pre_b), rep, fill("b", post_b)) if x)
+        df = spark.createDataFrame(
+            [(0, doc_a), (1, doc_b)], "doc_id LONG, text STRING"
+        )
+        out = repeated_spans_winnowed(df, "text", "doc_id", n=n, w=w, min_docs=2)
+        rows = out.collect()
+        by_doc = {0: set(), 1: set()}
+        for r in rows:
+            assert r["n_docs"] == 2
+            by_doc[r["doc_id"]].add(r["digest"])
+            # every flag must lie inside the planted repeat
+            off = pre_a if r["doc_id"] == 0 else pre_b
+            assert off <= r["start"] and r["end"] <= off + rep_len, r
+        assert by_doc[0] and by_doc[1]
+        assert by_doc[0] & by_doc[1]
+
+    run()

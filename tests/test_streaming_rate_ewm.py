@@ -1,0 +1,202 @@
+"""Streaming duals of counter_increase and ewm_mean: cross-batch state
+continuity + batch==stream differentials (the same discipline the M4,
+sessionize, and dedup duals follow)."""
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.streaming.ingest import (
+    run_available_now,
+    stream_csv_directory,
+)
+from time_series_loader_spark.streaming.stateful import (
+    streaming_counter_rate,
+    streaming_ewm_mean,
+)
+
+SCHEMA = "ts TIMESTAMP, value DOUBLE"
+
+
+def _write(dirpath, name, rows, mtime):
+    p = dirpath / name
+    lines = ["ts;value"] + [f"{ts};{v}" for ts, v in rows]
+    p.write_text("\n".join(lines) + "\n")
+    os.utime(p, (mtime, mtime))
+    return p
+
+
+def _keyed_stream(spark, tmp_path, key=7):
+    sdf = stream_csv_directory(
+        spark, str(tmp_path), SCHEMA, max_files_per_trigger=1
+    )
+    return sdf.withColumn("user_id", F.lit(key).cast("bigint"))
+
+
+def test_counter_rate_delta_spans_batches(spark, tmp_path):
+    """The delta between the last sample of batch 1 and the first of
+    batch 2 must be counted exactly once, from carried state — and a
+    counter RESET across the batch line must be detected."""
+    _write(
+        tmp_path,
+        "a.csv",
+        [("2023-01-01 00:00:00", 10.0), ("2023-01-01 00:10:00", 14.0)],
+        mtime=1_700_000_000,
+    )
+    _write(
+        tmp_path,
+        "b.csv",
+        [("2023-01-01 00:20:00", 20.0), ("2023-01-01 00:30:00", 3.0)],
+        mtime=1_700_000_100,
+    )
+    out = run_available_now(
+        streaming_counter_rate(_keyed_stream(spark, tmp_path), 3600.0),
+        spark,
+        shuffle_partitions=8,
+    ).collect()
+    # one bucket (hour 0), possibly one partial per batch — total them
+    inc = sum(r["increase"] for r in out)
+    resets = sum(r["n_resets"] for r in out)
+    # deltas: +4 (batch a), +6 (ACROSS the line), reset→+3
+    assert inc == pytest.approx(4.0 + 6.0 + 3.0)
+    assert resets == 1
+    assert all(r["bucket_ts"] == datetime(2023, 1, 1) for r in out)
+    assert all(r["rate"] == pytest.approx(r["increase"] / 3600.0) for r in out)
+
+
+def test_counter_rate_single_batch_equals_batch_operator(spark, tmp_path):
+    """With all files in ONE trigger the stream emits complete buckets —
+    row-for-row equal to operators/rate.py::counter_increase."""
+    from time_series_loader_spark.operators.rate import counter_increase
+
+    rows = [
+        ("2023-01-01 00:05:00", 1.25),
+        ("2023-01-01 00:25:00", 7.5),
+        ("2023-01-01 01:05:00", 2.0),   # reset
+        ("2023-01-01 01:45:00", 9.0),
+        ("2023-01-01 02:30:00", 11.5),
+    ]
+    _write(tmp_path, "a.csv", rows, mtime=1_700_000_000)
+    sdf = stream_csv_directory(spark, str(tmp_path), SCHEMA)  # one batch
+    stream_out = {
+        r["bucket_ts"]: (r["increase"], r["rate"], r["n_resets"])
+        for r in run_available_now(
+            streaming_counter_rate(
+                sdf.withColumn("user_id", F.lit(1).cast("bigint")), 3600.0
+            ),
+            spark,
+            shuffle_partitions=8,
+        ).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(1, datetime.fromisoformat(ts), v) for ts, v in rows],
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+    )
+    batch_out = {
+        r["ts"]: (r["increase"], r["rate"], r["n_resets"])
+        for r in counter_increase(
+            batch_df, "ts", "value", 3600, group_cols=["user_id"]
+        ).collect()
+    }
+    assert set(stream_out) == set(batch_out)
+    for k, (inc, rate, nr) in batch_out.items():
+        s_inc, s_rate, s_nr = stream_out[k]
+        assert s_inc == pytest.approx(inc, abs=0)   # exact integer-µ parity
+        assert s_rate == pytest.approx(rate)
+        assert s_nr == nr
+
+
+def test_counter_rate_late_sample_dropped(spark, tmp_path):
+    """A sample older than the carried state must not produce a
+    (negative or reset) delta — monotone-ingest contract."""
+    _write(tmp_path, "a.csv", [("2023-01-01 00:10:00", 5.0)], mtime=1_700_000_000)
+    _write(tmp_path, "b.csv", [("2023-01-01 00:05:00", 100.0),
+                               ("2023-01-01 00:20:00", 8.0)], mtime=1_700_000_100)
+    out = run_available_now(
+        streaming_counter_rate(_keyed_stream(spark, tmp_path), 3600.0),
+        spark,
+        shuffle_partitions=8,
+    ).collect()
+    assert sum(r["increase"] for r in out) == pytest.approx(3.0)
+    assert sum(r["n_resets"] for r in out) == 0
+
+
+@pytest.mark.parametrize("adjust", [False, True])
+def test_streaming_ewm_matches_batch(spark, tmp_path, adjust):
+    """Multi-batch stream == batch ewm_mean over the same rows (to the
+    batch closed form's documented ~1e-13 truncation)."""
+    from time_series_loader_spark.operators.ewm import ewm_mean
+
+    rows_a = [(f"2023-01-01 00:{m:02d}:00", float(v))
+              for m, v in ((0, 3.0), (10, 1.0), (20, 4.0))]
+    rows_b = [(f"2023-01-01 00:{m:02d}:00", float(v))
+              for m, v in ((30, 1.5), (40, 5.0), (50, 9.0))]
+    _write(tmp_path, "a.csv", rows_a, mtime=1_700_000_000)
+    _write(tmp_path, "b.csv", rows_b, mtime=1_700_000_100)
+    got = {
+        r["ts"]: r["ewm"]
+        for r in run_available_now(
+            streaming_ewm_mean(
+                _keyed_stream(spark, tmp_path), 0.3, adjust=adjust
+            ),
+            spark,
+            shuffle_partitions=8,
+        ).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(7, datetime.fromisoformat(ts), v) for ts, v in rows_a + rows_b],
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+    )
+    exp = {
+        r["ts"]: r["_ewm"]
+        for r in ewm_mean(
+            batch_df, "ts", "value", 0.3, group_cols=["user_id"],
+            adjust=adjust, out_col="_ewm",
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for ts, y in exp.items():
+        assert got[ts] == pytest.approx(y, abs=1e-12), ts
+
+
+def test_streaming_ewm_null_semantics_mirror_batch(spark, tmp_path):
+    """adjust=True: decay advances over the null, row emits the carried
+    mean; adjust=False: the null poisons every later row — both exactly
+    the batch operator's contract (checked against it, not pandas)."""
+    from time_series_loader_spark.operators.ewm import ewm_mean
+
+    rows = [("2023-01-01 00:00:00", "1.0"),
+            ("2023-01-01 00:10:00", ""),
+            ("2023-01-01 00:20:00", "3.0")]
+    _write(tmp_path, "a.csv", rows, mtime=1_700_000_000)
+    batch_df = spark.createDataFrame(
+        [(7, datetime.fromisoformat(ts), float(v) if v else None)
+         for ts, v in rows],
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+    )
+    for adjust in (True, False):
+        got = {
+            r["ts"]: r["ewm"]
+            for r in run_available_now(
+                streaming_ewm_mean(
+                    _keyed_stream(spark, tmp_path), 0.3, adjust=adjust
+                ),
+                spark,
+                shuffle_partitions=8,
+            ).collect()
+        }
+        exp = {
+            r["ts"]: r["_ewm"]
+            for r in ewm_mean(
+                batch_df, "ts", "value", 0.3, group_cols=["user_id"],
+                adjust=adjust, out_col="_ewm",
+            ).collect()
+        }
+        assert set(got) == set(exp), adjust
+        for ts in exp:
+            if exp[ts] is None:
+                assert got[ts] is None, (adjust, ts)
+            else:
+                assert got[ts] == pytest.approx(exp[ts], abs=1e-12), (adjust, ts)

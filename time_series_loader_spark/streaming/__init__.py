@@ -6,7 +6,11 @@ from time_series_loader_spark.streaming.ingest import (
     windowed_resample_stream,
 )
 from time_series_loader_spark.streaming.incremental import incremental_dedup_stream
-from time_series_loader_spark.streaming.stateful import streaming_gap_detector
+from time_series_loader_spark.streaming.stateful import (
+    streaming_counter_rate,
+    streaming_ewm_mean,
+    streaming_gap_detector,
+)
 
 __all__ = [
     "file_as_stream_dir",
@@ -15,5 +19,7 @@ __all__ = [
     "stream_parquet",
     "windowed_resample_stream",
     "streaming_gap_detector",
+    "streaming_counter_rate",
+    "streaming_ewm_mean",
     "incremental_dedup_stream",
 ]

@@ -88,3 +88,219 @@ def streaming_gap_detector(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+RATE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("bucket_ts", TimestampType()),
+        StructField("increase", DoubleType()),
+        StructField("rate", DoubleType()),
+        StructField("n_resets", LongType()),
+    ]
+)
+
+# last sample carried across micro-batches: event time + the reading in
+# exact 1e-6 micro-units (integer — the same DECIMAL(27,6) quantization
+# operators/rate.py applies, so stream and batch do identical arithmetic)
+RATE_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_micros", LongType()),
+        StructField("last_v_micro", LongType()),
+    ]
+)
+
+
+def streaming_counter_rate(
+    events: DataFrame,
+    freq_seconds: float,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming dual of ``operators/rate.py::counter_increase`` — the
+    live PromQL ``increase()``/``rate()`` shape: per series key, the
+    state holds the LAST (ts, reading) so a delta spanning two
+    micro-batches is still counted exactly once; each micro-batch emits
+    its per-bucket PARTIAL sums (a bucket that keeps receiving samples
+    across batches emits one partial per batch — downstream completes
+    with ``groupBy(bucket_ts).sum``, and with a single batch the output
+    equals the batch operator row-for-row, which is how it's tested).
+
+    Arithmetic parity with batch: readings quantize to integer
+    micro-units (``floor(v·1e6 + 0.5)`` — identical to the batch
+    DECIMAL(27,6) cast for the non-negative values counters carry), so
+    reset detection, deltas, and per-bucket sums are exact integer math
+    in both engines. State is O(1) per key (two longs) — unbounded
+    streams run indefinitely; null readings observe nothing (skipped).
+
+    Ordering contract (inherent to any sequential stateful op): rows
+    are sorted by event time WITHIN each micro-batch, but a sample
+    arriving in a later batch with an earlier timestamp than the stored
+    state is dropped (monotone ingest assumption — same as the batch
+    operator's one-pass lag semantics under ordered input).
+    """
+    import numpy as np
+
+    step_us = int(round(freq_seconds * 1_000_000))
+    if step_us <= 0:
+        raise ValueError("freq_seconds must be positive")
+
+    def rate_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.exists:
+            last_ts, last_v = state.get
+        else:
+            last_ts, last_v = None, None
+        buckets: dict[int, list[int]] = {}  # b -> [inc_micro, n_resets]
+        for pdf in pdfs:
+            pdf = pdf[pdf[value_col].notna()].sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                v_u = int(np.floor(float(v) * 1e6 + 0.5))
+                if last_ts is not None and t_us <= last_ts:
+                    continue  # late/duplicate sample: state already past it
+                if last_v is not None:
+                    reset = v_u < last_v
+                    contrib = v_u if reset else v_u - last_v
+                    b = t_us // step_us
+                    agg = buckets.setdefault(b, [0, 0])
+                    agg[0] += contrib
+                    agg[1] += 1 if reset else 0
+                last_ts, last_v = t_us, v_u
+        if last_ts is not None:
+            state.update((last_ts, last_v))
+        if buckets:
+            yield pd.DataFrame(
+                [
+                    (
+                        uid,
+                        pd.Timestamp(b * step_us, unit="us"),
+                        inc / 1e6,
+                        inc / 1e6 / freq_seconds,
+                        nr,
+                    )
+                    for b, (inc, nr) in sorted(buckets.items())
+                ],
+                columns=["user_id", "bucket_ts", "increase", "rate", "n_resets"],
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        rate_fn,
+        outputStructType=RATE_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EWM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("ewm", DoubleType()),
+    ]
+)
+
+# decayed numerator/denominator carried across batches (adjust=True:
+# num = Σ q^age·x, den = Σ q^age; adjust=False: den stays 1 and num IS y)
+EWM_STATE_SCHEMA = StructType(
+    [
+        StructField("num", DoubleType()),
+        StructField("den", DoubleType()),
+        StructField("last_ts_micros", LongType()),
+    ]
+)
+
+
+def streaming_ewm_mean(
+    events: DataFrame,
+    alpha: float,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "user_id",
+    adjust: bool = False,
+) -> DataFrame:
+    """Streaming dual of ``operators/ewm.py::ewm_mean`` (pandas ``ewm``
+    semantics, both adjust modes): per key the state carries the decayed
+    (numerator, denominator), so the recursion continues seamlessly
+    across micro-batches — each row is emitted once with its EWMA as of
+    that row.
+
+    The batch operator computes the same quantity CLOSED-FORM (block-
+    decay prefix sums — the distributed-scan shape); streaming is
+    inherently sequential per key, so here the recursion is literal:
+    ``adjust=False``: y ← (1−α)·y + α·x; ``adjust=True``:
+    num ← x + (1−α)·num, den ← 1 + (1−α)·den, y = num/den. Batch and
+    stream agree to the batch form's documented ~1e-13 truncation
+    (differential-tested). Null handling MIRRORS THE BATCH OPERATOR:
+    ``adjust=True`` — a null contributes nothing but the decay still
+    advances (num, den ← q·num, q·den; the row emits the carried mean;
+    leading nulls emit null); ``adjust=False`` — the recursion is
+    undefined past a null, so the null row and everything after emit
+    null (the batch operator's documented poisoning contract). State is
+    O(1) per key; the monotone-ingest ordering contract matches
+    :func:`streaming_counter_rate`.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    q = 1.0 - alpha
+
+    def ewm_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.exists:
+            num, den, last_ts = state.get
+            poisoned = den is not None and den < 0
+        else:
+            num, den, last_ts = None, 0.0, None
+            poisoned = False
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                if last_ts is not None and t_us <= last_ts:
+                    continue
+                last_ts = t_us
+                is_null = pd.isna(v)
+                if adjust:
+                    if is_null:
+                        if num is None:
+                            out.append((uid, ts, None, None))
+                        else:
+                            num, den = q * num, q * den
+                            out.append((uid, ts, None, num / den))
+                    else:
+                        x = float(v)
+                        num = x if num is None else x + q * num
+                        den = 1.0 + q * den
+                        out.append((uid, ts, x, num / den))
+                else:
+                    if poisoned or is_null:
+                        poisoned = True
+                        out.append((uid, ts, None if is_null else float(v), None))
+                    else:
+                        x = float(v)
+                        num = x if num is None else alpha * x + q * num
+                        out.append((uid, ts, x, num))
+        if last_ts is not None:
+            state.update((num, -1.0 if poisoned else den, last_ts))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "ts", "value", "ewm"])
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        ewm_fn,
+        outputStructType=EWM_SCHEMA,
+        stateStructType=EWM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
