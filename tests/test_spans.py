@@ -401,3 +401,40 @@ def test_winnowed_guarantee_property(spark):
         assert by_doc[0] & by_doc[1]
 
     run()
+
+
+def test_winnowed_plan_shape(spark):
+    """Plan guard: the candidate and verify joins must broadcast (the
+    token-array side never crosses an exchange as claimed in the
+    docstring) — a SortMergeJoin appearing here means the corpus-sized
+    frame with the _t arrays started shuffling."""
+    from time_series_loader_spark.operators.spans import repeated_spans_winnowed
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(60))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = repeated_spans_winnowed(df, "text", "doc_id", n=5, w=8)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the candidate join (the one whose probe side carries _t) broadcasts
+    assert "BroadcastHashJoin" in plan
+    # no Exchange may carry the token array: every shuffle in this plan
+    # moves 8-byte hashes or candidate-sized span strings, never the
+    # corpus-sized _t. Formatted mode lists each node's Output schema —
+    # check the Exchange nodes' detail blocks.
+    import re
+
+    blocks = [
+        b
+        for b in re.split(r"\n\n", plan)
+        if re.match(r"\(\d+\) Exchange", b.strip())
+    ]
+    assert blocks, "no Exchange blocks found — formatted-plan layout changed"
+    for block in blocks:
+        in_line = next(
+            (l for l in block.splitlines() if l.startswith("Input")), None
+        )
+        assert in_line is not None, block
+        assert "_t#" not in in_line, block
