@@ -157,3 +157,66 @@ def test_duckdb_parity_on_rule_exercising_fixtures(spark, gdocs):
         for r in gopher_quality_flags(gdocs, "text", "doc_id").collect()
     }
     assert duck == sp
+
+
+def test_normalize_text_nfc_matches_duckdb(spark):
+    """Stdlib unicodedata NFC == DuckDB nfc_normalize on tricky strings
+    (cross-engine differential — both implement the frozen Unicode
+    normalization algorithm)."""
+    import duckdb
+
+    from time_series_loader_spark.operators.text import normalize_text
+
+    texts = [
+        "café olé",          # combining accents -> composed
+        "éèê",            # already composed
+        "Ångström",          # ring + diaeresis
+        "３４５",            # full-width digits (NFC keeps)
+        "plain ascii",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id LONG, text STRING"
+    )
+    got = {
+        r["id"]: r["text"]
+        for r in normalize_text(df, "text", strip_controls=False).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        exp = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
+        assert got[i] == exp, (i, t)
+
+
+def test_normalize_text_strips_invisibles_and_modes(spark):
+    from time_series_loader_spark.operators.text import normalize_text
+    from time_series_loader_spark.operators.dedup import dedup_exact
+
+    sneaky = "same​text"      # zero-width space
+    plain = "sametext"
+    df = spark.createDataFrame(
+        [(0, sneaky), (1, plain), (2, None), (3, "a\x00b\tc\nd")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r["text"] for r in normalize_text(df, "text").collect()}
+    assert out[0] == plain          # ZWSP stripped -> exact-dup now visible
+    assert out[2] is None           # null passthrough
+    assert out[3] == "ab\tc\nd"     # NUL stripped, tab/LF kept
+    # the motivating composition: normalization BEFORE exact dedup
+    groups = dedup_exact(
+        normalize_text(df.where("text IS NOT NULL"), "text"), ["text"], "doc_id"
+    ).collect()
+    by_digest = {r["key_digest"]: r["n_dups"] for r in groups}
+    assert 2 in by_digest.values()  # sneaky+plain collapsed to one group
+
+    # NFKC folds full-width; collapse_whitespace squashes runs
+    df2 = spark.createDataFrame([(0, "ａ  ｂ　x")], "id LONG, text STRING")
+    out2 = normalize_text(
+        df2, "text", form="NFKC", collapse_whitespace=True
+    ).collect()[0]["text"]
+    assert out2 == "a b x"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        normalize_text(df, "text", form="NFX")

@@ -52,6 +52,7 @@ from time_series_loader_spark.operators.text import (
     language_id,
     quality_features,
     simhash_bits,
+    normalize_text,
     unigram_logprob,
     token_stats,
 )
@@ -94,6 +95,7 @@ __all__ = [
     "language_id",
     "quality_features",
     "simhash_bits",
+    "normalize_text",
     "unigram_logprob",
     "token_stats",
     "cosine_topk",

@@ -645,3 +645,69 @@ def hamming_bits(a: Column, b: Column, n_bits: int = 32) -> Column:
 
 def hamming16(a: Column, b: Column) -> Column:
     return hamming_bits(a, b, 16)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    out_col: str | None = None,
+    form: str = "NFC",
+    strip_controls: bool = True,
+    collapse_whitespace: bool = False,
+) -> DataFrame:
+    """Unicode normalization for scraped corpora — the hygiene step that
+    belongs BEFORE any hash-based dedup: visually-identical strings with
+    different codepoint sequences (composed \u00e9 vs e+combining-accent,
+    full-width digits, ligatures under NFKC) otherwise land in different
+    exact-dedup groups and different span/minhash shingles.
+
+    - ``form``: 'NFC' (canonical compose, the safe default) / 'NFKC'
+      (also folds compatibility forms — ligatures, full-width, squared
+      digits; lossy by design) / 'NFD' / 'NFKD'.
+    - ``strip_controls``: drop C0/C1 control chars (except tab/LF/CR)
+      and the zero-width/bidi set (ZWSP ZWNJ ZWJ BOM LRM RLM) — the
+      invisible characters that defeat exact dedup silently.
+    - ``collapse_whitespace``: runs of whitespace to one space + trim
+      (off by default: it destroys document structure the line-based
+      Gopher rules read).
+
+    Scale shape: per-ROW Arrow kernel (``pandas_udf`` over stdlib
+    ``unicodedata`` — no external model/lib), embarrassingly parallel,
+    zero shuffle; composes with every downstream text operator. Python
+    is unavoidable here (Spark has no unicode-normalize expression);
+    Arrow batching keeps it off the row-at-a-time path. Deterministic:
+    unicodedata implements the frozen Unicode normalization algorithm,
+    so outputs are identical across partitionings and platforms
+    (differential-tested against DuckDB's nfc_normalize).
+    """
+    import re as _re
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    # C0/C1 controls minus tab/LF/CR, plus zero-width & bidi marks
+    ctrl = _re.compile(
+        "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f"
+        "\u200b\u200c\u200d\u200e\u200f\ufeff]"
+    )
+    ws = _re.compile(r"\s+")
+
+    @pandas_udf("string")
+    def _norm(s):  # pd.Series -> pd.Series (hints omitted: local import
+        # of pandas makes string annotations unresolvable for pyspark's
+        # type-hint inference)
+        def one(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            if strip_controls:
+                y = ctrl.sub("", y)
+            if collapse_whitespace:
+                y = ws.sub(" ", y).strip()
+            return y
+
+        return s.map(one)
+
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))
