@@ -280,7 +280,7 @@ WITH d AS (
 ), m AS (SELECT median(ds) AS med FROM d WHERE ds IS NOT NULL)
 SELECT gap_start, gap_end, floor((ds)*1000000 + 0.5)/1000000 AS gap_seconds,
        CAST(floor(ds / med) - 1 AS BIGINT) AS expected_points
-FROM d, m WHERE ds > 10 * med
+FROM d, m WHERE ds > med + 9 * med
 """
 
 
@@ -1782,9 +1782,12 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram LM (``quantile_bucket ∘ unigram_logprob``, Wenzek et al.
     2020's quality-partition step) — certifying the composition the
     round-5 verdict asked for, with an integer output (micro-unit logp
-    scores are bit-identical cross-engine; interpolated decile
-    boundaries can't flip an assignment because no data value lies
-    strictly between consecutive order statistics).
+    scores are bit-identical cross-engine; a decile flip would need the
+    two engines' interpolated boundary to round to OPPOSITE sides of a
+    data value — possible only when two adjacent order stats sit ~1 ulp
+    apart with a doc exactly at the upper one; the boundary-margin
+    canary in test_sampling asserts the gate corpora are nowhere near
+    that).
 
     The synthetic corpus contains no PII, so deterministic PII spans
     (email + phone + IPv4, doc_id-derived; skipped when doc_id % 5 == 0)
@@ -1874,15 +1877,20 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CCNet perplexity partition (r6, the quantile_bucket ∘
     # unigram_logprob composition): per-doc mean logp under the
     # scrubbed corpus's own unigram LM, binned into deciles by exact
-    # percentile boundaries. The decile is an INTEGER (micro-unit logp →
-    # bit-identical scores; boundary interpolation can't flip a bucket
-    # because no data value lies strictly between consecutive order
-    # stats), so the composition certifies with zero float output.
+    # percentile boundaries. The decile is an INTEGER built from
+    # bit-identical micro-unit logp scores; cross-engine boundary-
+    # interpolation drift is benign unless two adjacent order stats are
+    # ~1 ulp apart with a doc exactly at the upper one (margin canary
+    # in test_sampling).
     from time_series_loader_spark.operators.sampling import quantile_bucket
     from time_series_loader_spark.operators.text import unigram_logprob
 
+    # feed the already-tokenized frame: this branch re-executes the
+    # scrub lineage (a second aggregation granularity can't share the
+    # feat groupBy's exchange), but toks_col at least keeps it from
+    # re-tokenizing every row a second time within the branch
     ppl = quantile_bucket(
-        unigram_logprob(clean, "text", "doc_id"),
+        unigram_logprob(toksed, "text", "doc_id", toks_col="_toks"),
         "mean_logprob",
         n_buckets=10,
         out_col="ppl_decile",

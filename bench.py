@@ -100,20 +100,13 @@ def main() -> None:
         n = fn(spark, sf_dir).count()
         return time.time() - t0, n
 
-    qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs] + [
-        n for n in qs if n not in HEADLINE
-    ]
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = qs[name]
+    def measure(name, fn) -> float:
         # 3 runs, first discarded: run 1 absorbs this query's codegen /
         # JIT / Arrow-kernel warm-up; best of the remaining 2 is the
         # steady-state number (these are throughput measurements at the
         # 100 TB design point, not cold-start measurements)
         _, n = timed(fn)
-        runs = [timed(fn)[0] for _ in range(2)]
-        best = min(runs)
+        best = min(timed(fn)[0] for _ in range(2))
         # outlier guard: a best still >1.5x the recorded floor is far more
         # likely background-load noise than a real regression — re-measure
         # before reporting it
@@ -122,31 +115,26 @@ def main() -> None:
         while floor is not None and best > 1.5 * floor and extra < 2:
             best = min(best, timed(fn)[0])
             extra += 1
-        timings[name] = round(best, 3)
         flag = " [re-ran %d]" % extra if extra else ""
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows){flag}",
-              file=sys.stderr)
+        print(f"# {name}: {best:.3f}s ({n} rows){flag}", file=sys.stderr)
         if floor is None or best < floor:
             floors[name] = round(best, 3)
+        return round(best, 3)
 
-    # composite-slot sections (bench-only, not gate queries): timed with
-    # the same 3-run-drop-first + floor discipline, reported in a
-    # SEPARATE field so they never inflate the headline total (their
-    # work is already inside their parent slot's number)
-    sections: dict[str, float] = {}
-    for name, fn in getattr(entrymod, "bench_sections", dict)().items():
-        _, n = timed(fn)
-        runs = [timed(fn)[0] for _ in range(2)]
-        best = min(runs)
-        floor = floors.get(name)
-        extra = 0
-        while floor is not None and best > 1.5 * floor and extra < 2:
-            best = min(best, timed(fn)[0])
-            extra += 1
-        sections[name] = round(best, 3)
-        print(f"# {name}: {sections[name]:.3f}s ({n} rows)", file=sys.stderr)
-        if floor is None or best < floor:
-            floors[name] = round(best, 3)
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n not in HEADLINE
+    ]
+    timings = {name: measure(name, qs[name]) for name in names}
+
+    # composite-slot sections (bench-only, not gate queries): identical
+    # measurement discipline, reported in a SEPARATE field so they never
+    # inflate the headline total (their work is already inside their
+    # parent slot's number)
+    sections = {
+        name: measure(name, fn)
+        for name, fn in getattr(entrymod, "bench_sections", dict)().items()
+    }
 
     try:
         all_floors[sf_key] = dict(sorted(floors.items()))

@@ -413,3 +413,47 @@ def test_quantile_bucket_with_unigram_scores(spark):
     c = Counter(r["q_bucket"] for r in out.collect())
     assert set(c) == {0, 1, 2, 3}
     assert sum(c.values()) == 500
+
+
+def test_ppl_decile_boundary_margins(spark, sf_dir):
+    """r6 parity canary for corpus_filter's ppl_decile: every document's
+    mean_logprob on the REAL gate corpus must sit far (>1e-9) from every
+    interpolated decile boundary, so cross-engine interpolation-rounding
+    drift (~ulp) can never flip a bucket assignment."""
+    import os
+
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    from pyspark.sql import functions as F
+
+    from time_series_loader_spark.operators.text import redact_pii, unigram_logprob
+    from time_series_loader_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    # mirror q_corpus_filter's PII graft + scrub exactly — the gate's
+    # deciles are computed over THIS text, not the raw corpus
+    graft = F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +123 456 789"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        )
+    )
+    grafted = docs.withColumn("text", F.concat(F.col("text"), graft))
+    clean = (
+        redact_pii(grafted, "text", out_col="text_clean", count_col="n_pii")
+        .drop("text")
+        .withColumnRenamed("text_clean", "text")
+    )
+    uni = unigram_logprob(clean, "text", "doc_id")
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = uni.agg(
+        F.percentile("mean_logprob", F.array(*[F.lit(q) for q in qs]))
+    ).collect()[0][0]
+    vals = [r[0] for r in uni.select("mean_logprob").collect()]
+    margin = min(abs(v - b) for v in vals for b in bounds)
+    assert margin > 1e-9, f"decile boundary margin too small: {margin}"

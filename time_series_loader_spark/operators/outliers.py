@@ -11,7 +11,7 @@ side) and a single filter drops outliers. Stddev is ddof=1 (pandas
 aggregate + broadcast-able join — the 100 TB path.
 
 Numeric discipline (round-6 hardening): mean/std come from EXACT
-DECIMAL moments — values cast to DECIMAL(19,6), Σx and Σx² accumulated
+DECIMAL moments — values cast to DECIMAL(18,6), Σx and Σx² accumulated
 as decimals (the x² product is a decimal×decimal multiply, exact at
 12dp) — then one IEEE division/sqrt. ``F.avg``/``F.stddev_samp`` over
 doubles merge partial moments in partition order, so the kept-row SET
@@ -38,7 +38,13 @@ def remove_outliers_zscore(
 ) -> DataFrame:
     aggs = []
     for c in cols:
-        xd = F.col(c).cast("decimal(19,6)")
+        # (18,6) not (19,6): the square must stay EXACT — Spark's product
+        # precision is p1+p2+1, so (18,6)² = DECIMAL(37,12) keeps all 12
+        # fractional digits, while (19,6)² would hit the 38-digit cap and
+        # silently round to scale 11 (losing the 12th digit and decimal
+        # parity with the oracle, whose DECIMAL(18,6) product is exact).
+        # Bound: |x| < 10^12, ample for any physical reading.
+        xd = F.col(c).cast("decimal(18,6)")
         aggs.append(F.sum(xd).cast("double").alias(f"_sx_{c}"))
         aggs.append(F.sum(xd * xd).cast("double").alias(f"_sx2_{c}"))
         aggs.append(F.count(c).alias(f"_n_{c}"))

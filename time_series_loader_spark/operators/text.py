@@ -332,7 +332,11 @@ def tfidf(
 
 
 def unigram_logprob(
-    df: DataFrame, text_col: str, id_col: str, k: float = 1.0
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: float = 1.0,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality signal: each document's mean
     ``ln P(token)`` under the corpus's OWN add-k-smoothed unigram
@@ -361,8 +365,13 @@ def unigram_logprob(
     a term-hash shuffle join) → per-doc integer-accumulated sum (merge-
     order independent, so scores are bit-stable under repartitioning).
     N and V are two driver scalars (one tiny action).
+
+    ``toks_col``: optional pre-tokenized array column — callers that
+    already materialized ``tokens(text)`` (corpus_filter's one-scan
+    projection) skip a second per-row tokenize in this branch.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tok_expr = F.col(toks_col) if toks_col else tokens(text_col)
+    toks = df.select(F.col(id_col), F.explode(tok_expr).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     totals = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
     nv = totals.agg(

@@ -65,7 +65,12 @@ def streaming_gap_detector(
         else:
             last = None
         out = []
-        for pdf in pdfs:
+        # applyInPandasWithState delivers the group's micro-batch as
+        # MULTIPLE Arrow chunks (arrow.maxRecordsPerBatch) with no global
+        # time order — concatenate before sorting, or rows in a later
+        # chunk that precede an earlier chunk's max would be mis-ordered
+        chunks = list(pdfs)
+        for pdf in [pd.concat(chunks)] if chunks else []:
             for ts in pdf[ts_col].sort_values():
                 if last is not None:
                     delta = (ts - last).total_seconds()
@@ -157,7 +162,11 @@ def streaming_counter_rate(
         else:
             last_ts, last_v = None, None
         buckets: dict[int, list[int]] = {}  # b -> [inc_micro, n_resets]
-        for pdf in pdfs:
+        # concat ALL Arrow chunks before sorting: chunk boundaries carry
+        # no ordering guarantee (see streaming_gap_detector note) — a
+        # per-chunk sort would drop later-chunk rows behind the state
+        chunks = list(pdfs)
+        for pdf in [pd.concat(chunks)] if chunks else []:
             pdf = pdf[pdf[value_col].notna()].sort_values(ts_col)
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
                 t_us = int(pd.Timestamp(ts).value // 1000)
@@ -264,7 +273,8 @@ def streaming_ewm_mean(
             num, den, last_ts = None, 0.0, None
             poisoned = False
         out = []
-        for pdf in pdfs:
+        chunks = list(pdfs)  # concat-then-sort: see streaming_gap_detector
+        for pdf in [pd.concat(chunks)] if chunks else []:
             pdf = pdf.sort_values(ts_col)
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
                 t_us = int(pd.Timestamp(ts).value // 1000)

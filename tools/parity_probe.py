@@ -85,8 +85,15 @@ def main() -> int:
                 same += 1
             else:
                 diffs.append((a, b))
+        rowcount_mismatch = len(ls) != len(ld)
         print(f"== {name}: {same}/{len(ls)} rows full-precision identical; "
-              f"{len(diffs)} differ (rowcount s={len(ls)} d={len(ld)})")
+              f"{len(diffs)} differ (rowcount s={len(ls)} d={len(ld)}"
+              + (" — ROWCOUNT MISMATCH" if rowcount_mismatch else "") + ")")
+        if rowcount_mismatch:
+            # the unmatched tail rows ARE the divergence — show them
+            longer, tag = (ls, "spark-only") if len(ls) > len(ld) else (ld, "duckdb-only")
+            for extra in longer[min(len(ls), len(ld)):][:10]:
+                print(f"  {tag}: {[_full(v) for v in extra]}")
         for a, b in diffs[:40]:
             print(f"  spark : {[_full(v) for v in a]}")
             print(f"  duckdb: {[_full(v) for v in b]}")
@@ -104,7 +111,7 @@ def main() -> int:
                 if isinstance(v, float) and not math.isnan(v) and _boundary_dist(v) < 1e-9:
                     risky += 1
         print(f"   near-boundary floats (<1e-9 from a 6dp flip): {risky}")
-        if diffs:
+        if diffs or rowcount_mismatch:
             any_diff = True
     return 1 if any_diff else 0
 
