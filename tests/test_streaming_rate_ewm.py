@@ -200,3 +200,43 @@ def test_streaming_ewm_null_semantics_mirror_batch(spark, tmp_path):
                 assert got[ts] is None, (adjust, ts)
             else:
                 assert got[ts] == pytest.approx(exp[ts], abs=1e-12), (adjust, ts)
+
+
+def test_counter_rate_multichunk_group(spark, tmp_path):
+    """Regression (r6 review): applyInPandasWithState splits a group's
+    micro-batch into multiple Arrow chunks at arrow.maxRecordsPerBatch
+    with NO cross-chunk time order — the operator must concat before
+    sorting or later-chunk rows behind an earlier chunk's max are
+    silently dropped. Force 2-row chunks and feed a batch whose global
+    order interleaves across chunks."""
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf, None)
+    spark.conf.set(conf, "2")
+    try:
+        # one file = one batch; 7 rows -> 4 chunks; values strictly
+        # increasing in TIME but written in ts-shuffled file order so
+        # chunk boundaries interleave
+        rows_time_order = [
+            (f"2023-01-01 00:{m:02d}:00", float(10 + m)) for m in range(0, 35, 5)
+        ]
+        import random
+
+        shuffled = rows_time_order[:]
+        random.Random(3).shuffle(shuffled)
+        _write(tmp_path, "a.csv", shuffled, mtime=1_700_000_000)
+        sdf = stream_csv_directory(spark, str(tmp_path), SCHEMA)
+        out = run_available_now(
+            streaming_counter_rate(
+                sdf.withColumn("user_id", F.lit(1).cast("bigint")), 3600.0
+            ),
+            spark,
+            shuffle_partitions=8,
+        ).collect()
+        # all 6 deltas of 5.0 must be counted: 30.0 total, zero resets
+        assert sum(r["increase"] for r in out) == pytest.approx(30.0)
+        assert sum(r["n_resets"] for r in out) == 0
+    finally:
+        if old is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, old)
