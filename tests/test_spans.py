@@ -438,3 +438,33 @@ def test_winnowed_plan_shape(spark):
         )
         assert in_line is not None, block
         assert "_t#" not in in_line, block
+
+
+def test_winnowed_skew_one_giant_doc(spark):
+    """Skew guard (SCALING.md max-tokens-per-doc note): one 20k-token
+    document among small ones — the per-doc O(m·w) selection must
+    complete promptly and the giant doc's shared boilerplate with a
+    small doc must still be detected."""
+    import time
+
+    from time_series_loader_spark.operators.spans import repeated_spans_winnowed
+
+    shared = " ".join(f"b{j}" for j in range(40))
+    giant = " ".join(f"g{j}" for j in range(10_000)) + " " + shared + " " + " ".join(
+        f"h{j}" for j in range(10_000)
+    )
+    rows = [(0, giant), (1, shared + " tail here")] + [
+        (i, f"tiny doc {i}") for i in range(2, 10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    t0 = time.time()
+    out = repeated_spans_winnowed(df, "text", "doc_id", n=10, w=12, min_docs=2)
+    flagged = out.collect()
+    wall = time.time() - t0
+    docs_hit = {r["doc_id"] for r in flagged}
+    assert docs_hit == {0, 1}
+    # the giant doc's anchors sit inside the planted boilerplate region
+    for r in flagged:
+        if r["doc_id"] == 0:
+            assert 10_000 <= r["start"] and r["end"] <= 10_000 + 40
+    assert wall < 60, f"skewed doc took {wall:.1f}s"

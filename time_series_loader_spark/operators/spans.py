@@ -249,25 +249,39 @@ def repeated_spans_winnowed(
             ),
         ).otherwise(F.array().cast("array<bigint>"))
 
-    sel = F.element_at(
-        F.transform(F.array(F.col("_h")), _selected), 1
+    # resolve each selected anchor to a SMALL struct (start, h64, span
+    # text) INSIDE the let-binding, BEFORE exploding. The first cut
+    # exploded positions while carrying _t/_h alongside — which copies
+    # the full token+hash arrays into EVERY anchor row, an O(m²/w)
+    # blowup per document (a 20k-token doc took 136 s; linear after).
+    # Both arrays are bound via one struct lambda so neither recomputes.
+    anchors = F.element_at(
+        F.transform(
+            F.array(F.struct(F.col("_t").alias("t"), F.col("_h").alias("h"))),
+            lambda th: F.transform(
+                _selected(th["h"]),
+                lambda p: F.struct(
+                    (p - 1).cast("int").alias("start"),
+                    F.element_at(th["h"], p.cast("int")).alias("h64"),
+                    F.concat_ws(
+                        " ", F.slice(th["t"], p.cast("int"), n)
+                    ).alias("span"),
+                ),
+            ),
+        ),
+        1,
     )
     picked = (
-        toked.withColumn("_sel", sel)
+        toked.select(F.col(id_col), F.explode(anchors).alias("_a"))
         .select(
             F.col(id_col),
-            F.col("_t"),
-            F.col("_h"),
-            F.explode("_sel").alias("_pos1"),  # 1-based n-gram position
-        )
-        .select(
-            F.col(id_col),
-            "_t",
-            (F.col("_pos1") - 1).cast("int").alias("start"),
-            F.element_at("_h", F.col("_pos1").cast("int")).alias("_h64"),
+            F.col("_a.start").alias("start"),
+            F.col("_a.h64").alias("_h64"),
+            F.col("_a.span").alias("_span"),
         )
     )
-    # candidate hashes shared by >= min_docs distinct docs (8-byte keys)
+    # candidate hashes shared by >= min_docs distinct docs (8-byte keys;
+    # column pruning drops _span for this branch)
     cand = (
         picked.groupBy("_h64")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
@@ -275,15 +289,10 @@ def repeated_spans_winnowed(
         .select("_h64")
     )
     # verify on the span TEXT (candidate-only — duplicate-sized frame).
-    # broadcast the candidate keys: the token array (_t) then never
-    # crosses an exchange — it is sliced executor-side post-join
-    verified = (
-        picked.join(F.broadcast(cand), "_h64")
-        .select(
-            F.col(id_col),
-            "start",
-            F.concat_ws(" ", F.slice(F.col("_t"), F.col("start") + 1, n)).alias("_span"),
-        )
+    # broadcast the candidate keys: anchor span strings then never cross
+    # an exchange until the final candidate-sized regroup
+    verified = picked.join(F.broadcast(cand), "_h64").select(
+        F.col(id_col), "start", "_span"
     )
     exact = (
         verified.groupBy("_span")
