@@ -249,23 +249,24 @@ def repeated_spans_winnowed(
             ),
         ).otherwise(F.array().cast("array<bigint>"))
 
-    # resolve each selected anchor to a SMALL struct (start, h64, span
-    # text) INSIDE the let-binding, BEFORE exploding. The first cut
-    # exploded positions while carrying _t/_h alongside — which copies
-    # the full token+hash arrays into EVERY anchor row, an O(m²/w)
-    # blowup per document (a 20k-token doc took 136 s; linear after).
-    # Both arrays are bound via one struct lambda so neither recomputes.
+    # resolve each selected anchor to a SMALL (start, h64) struct INSIDE
+    # the let-binding, BEFORE exploding. Two traps fixed here: (1) the
+    # first cut exploded positions while carrying _t/_h alongside, which
+    # copies the full token+hash arrays into EVERY anchor row — an
+    # O(m²/w) blowup per document (a 20k-token doc took 136 s; linear
+    # after); (2) the structs must NOT embed the span text — Catalyst
+    # cannot prune a struct field built inside a generator's nested
+    # lambda, so a span field would materialize n-token strings for all
+    # anchors corpus-wide even in the count branch that only needs the
+    # 8-byte hash. Span text is attached later, for CANDIDATE docs only.
     anchors = F.element_at(
         F.transform(
-            F.array(F.struct(F.col("_t").alias("t"), F.col("_h").alias("h"))),
-            lambda th: F.transform(
-                _selected(th["h"]),
+            F.array(F.col("_h")),
+            lambda harr: F.transform(
+                _selected(harr),
                 lambda p: F.struct(
                     (p - 1).cast("int").alias("start"),
-                    F.element_at(th["h"], p.cast("int")).alias("h64"),
-                    F.concat_ws(
-                        " ", F.slice(th["t"], p.cast("int"), n)
-                    ).alias("span"),
+                    F.element_at(harr, p.cast("int")).alias("h64"),
                 ),
             ),
         ),
@@ -277,22 +278,27 @@ def repeated_spans_winnowed(
             F.col(id_col),
             F.col("_a.start").alias("start"),
             F.col("_a.h64").alias("_h64"),
-            F.col("_a.span").alias("_span"),
         )
     )
-    # candidate hashes shared by >= min_docs distinct docs (8-byte keys;
-    # column pruning drops _span for this branch)
+    # candidate hashes shared by >= min_docs distinct docs (8-byte keys)
     cand = (
         picked.groupBy("_h64")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
         .where(F.col("_nd") >= min_docs)
         .select("_h64")
     )
-    # verify on the span TEXT (candidate-only — duplicate-sized frame).
-    # broadcast the candidate keys: anchor span strings then never cross
-    # an exchange until the final candidate-sized regroup
-    verified = picked.join(F.broadcast(cand), "_h64").select(
-        F.col(id_col), "start", "_span"
+    # candidate anchors (broadcast keys — picked never shuffles), then
+    # re-attach the token arrays for CANDIDATE DOCS ONLY to build the
+    # span text: hits is duplicate-sized and broadcast EXPLICITLY, so
+    # the corpus-sized token frame neither shuffles (guarded by
+    # test_winnowed_plan_shape) nor materializes spans for
+    # non-candidate rows; the slice happens post-join, same stage
+    hits = picked.join(F.broadcast(cand), "_h64").select(id_col, "start")
+    toked_t = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    verified = toked_t.join(F.broadcast(hits), id_col).select(
+        F.col(id_col),
+        "start",
+        F.concat_ws(" ", F.slice(F.col("_t"), F.col("start") + 1, n)).alias("_span"),
     )
     exact = (
         verified.groupBy("_span")
