@@ -457,3 +457,42 @@ def test_ppl_decile_boundary_margins(spark, sf_dir):
     vals = [r[0] for r in uni.select("mean_logprob").collect()]
     margin = min(abs(v - b) for v in vals for b in bounds)
     assert margin > 1e-9, f"decile boundary margin too small: {margin}"
+
+
+def test_exact_k_per_group(spark):
+    """Per-stratum exact-k: exactly min(k, n_g) rows per group,
+    deterministic, salt-independent draws, displacement <= 1 per group
+    on insert — the per-group mirror of the sample_exact_k contracts."""
+    from time_series_loader_spark.operators.sampling import sample_exact_k_per_group
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(90)] + [
+        (1000, "tiny"), (1001, "tiny")
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = sample_exact_k_per_group(df, "doc_id", ["lang"], k=5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert {l: len(v) for l, v in by_lang.items()} == {
+        "en": 5, "de": 5, "fr": 5, "tiny": 2
+    }
+    # deterministic across reruns and partitionings
+    again = sample_exact_k_per_group(df.repartition(13), "doc_id", ["lang"], 5).collect()
+    assert {(r["doc_id"], r["lang"]) for r in again} == {
+        (r["doc_id"], r["lang"]) for r in out
+    }
+    # independent draw under a different salt (overwhelmingly likely to differ)
+    salted = sample_exact_k_per_group(df, "doc_id", ["lang"], 5, salt="x").collect()
+    assert {r["doc_id"] for r in salted} != {r["doc_id"] for r in out}
+    # consistency under insert: adding one row changes each group by <= 1
+    df2 = df.union(spark.createDataFrame([(5000, "en")], "doc_id LONG, lang STRING"))
+    after = sample_exact_k_per_group(df2, "doc_id", ["lang"], 5).collect()
+    by_lang2 = {}
+    for r in after:
+        by_lang2.setdefault(r["lang"], set()).add(r["doc_id"])
+    for lang in by_lang:
+        assert len(by_lang[lang] - by_lang2.get(lang, set())) <= 1, lang
+    # null keys excluded
+    df3 = spark.createDataFrame([(None, "en"), (1, "en")], "doc_id LONG, lang STRING")
+    got = sample_exact_k_per_group(df3, "doc_id", ["lang"], 5).collect()
+    assert [r["doc_id"] for r in got] == [1]

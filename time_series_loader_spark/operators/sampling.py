@@ -22,6 +22,8 @@ Beyond-reference capability (BASELINE.json north star): the two ops every
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -149,6 +151,39 @@ def sample_exact_k(df: DataFrame, key_col: str, k: int, salt: str = "") -> DataF
         .orderBy("_sample_rank", key_col)
         .limit(k)
         .drop("_sample_rank")
+    )
+
+
+def sample_exact_k_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic uniform sample of exactly min(k, n_g) rows from
+    EACH group — the per-stratum form of :func:`sample_exact_k` (k docs
+    per language/source/quality-bucket, the balanced-corpus builder's
+    staple). Same md5 rank, same properties: rerun/engine-identical,
+    salt draws an independent sample, a new row displaces at most one
+    old row within its group; null sample keys are excluded for the
+    same slot-squatting reason as the global form.
+
+    Scale shape: one hash-partition window by ``group_cols`` with
+    row_number over (md5, key) — map-side nothing to combine, but the
+    shuffle carries only the surviving columns and each group's sort is
+    local. Unlike the global form there is no TakeOrderedAndProject
+    (that shape is single-result); for millions of groups this is one
+    exchange, which is the floor for per-group ranking.
+    """
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*group_cols).orderBy("_sample_rank", key_col)
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .withColumn("_sample_rank", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_sample_rank", "_rn")
     )
 
 
