@@ -161,3 +161,21 @@ def test_dedup_spans_step(spark):
     assert out[1] == "unique tail here"
     assert out[2] == "totally different text"
     assert p.steps_applied == ["dedup_spans(n=10)"]
+
+
+def test_pipeline_normalize_step(spark):
+    """normalize() canonicalizes before dedup: a zero-width-space
+    disguise and a combining-accent variant both collapse into their
+    plain twins' duplicate groups."""
+    from time_series_loader_spark.plans.corpus import CorpusPipeline
+
+    rows = [
+        (0, "café menu text here"),   # e + combining accent
+        (1, "café menu text here"),    # composed é
+        (2, "same​text body"),          # zero-width space
+        (3, "sametext body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = CorpusPipeline(df, "doc_id", "text").normalize().dedup_exact().df()
+    survivors = sorted(r["doc_id"] for r in out.collect())
+    assert survivors == [0, 2]  # min-id representative of each pair

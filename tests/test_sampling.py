@@ -496,3 +496,20 @@ def test_exact_k_per_group(spark):
     df3 = spark.createDataFrame([(None, "en"), (1, "en")], "doc_id LONG, lang STRING")
     got = sample_exact_k_per_group(df3, "doc_id", ["lang"], 5).collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+def test_quantile_bucket_approx_mode(spark):
+    """exact=False (t-digest boundaries) must agree with exact deciles
+    except possibly for edge-adjacent rows; on a small frame the sketch
+    is exact, so assignments match outright."""
+    from time_series_loader_spark.operators.sampling import quantile_bucket
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "id LONG, v DOUBLE"
+    )
+    ex = {r["id"]: r["q_bucket"] for r in quantile_bucket(df, "v").collect()}
+    ap = {r["id"]: r["q_bucket"]
+          for r in quantile_bucket(df, "v", exact=False).collect()}
+    diffs = sum(1 for k in ex if ex[k] != ap[k])
+    assert diffs <= 10  # ≤ one edge-adjacent row per boundary
+    assert set(ap.values()) == set(range(10))

@@ -278,6 +278,7 @@ def quantile_bucket(
     value_col: str,
     n_buckets: int = 10,
     out_col: str = "q_bucket",
+    exact: bool = True,
 ) -> DataFrame:
     """Assign each row its quantile bucket 0..n_buckets-1 by ``value_col``
     — the CCNet-style corpus partitioning step (bucket documents by
@@ -293,13 +294,24 @@ def quantile_bucket(
     Null values get a null bucket. Ties share the boundary-crossing rule
     ``x > b_i`` (boundary values fall in the LOWER bucket), identical in
     any SQL engine.
+
+    ``exact=False`` switches the boundary aggregate to
+    ``percentile_approx`` (10k-centroid t-digest — one mergeable pass,
+    bounded memory): the TB-scale path, same knob as
+    ``infer_frequency_seconds``. Bucket EDGES are heuristics; sketch
+    error only moves edge-adjacent rows, while exact order statistics
+    buffer every distinct value and are kept for oracle parity.
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    row = df.agg(
-        F.percentile(value_col, F.array(*[F.lit(q) for q in qs])).alias("_b")
-    ).collect()[0]
+    qarr = F.array(*[F.lit(q) for q in qs])
+    agg = (
+        F.percentile(value_col, qarr)
+        if exact
+        else F.percentile_approx(value_col, qarr, F.lit(10000))
+    )
+    row = df.agg(agg.alias("_b")).collect()[0]
     bounds = row["_b"] or []
     c = F.col(value_col)
     bucket = sum(

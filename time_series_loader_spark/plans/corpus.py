@@ -60,6 +60,29 @@ class CorpusPipeline:
 
     # -- projections / filters (fuse into one scan) --------------------
 
+    def normalize(
+        self,
+        form: str = "NFC",
+        strip_controls: bool = True,
+        collapse_whitespace: bool = False,
+    ) -> "CorpusPipeline":
+        """Unicode-normalize the text column
+        (`operators/text.py::normalize_text`) — run FIRST: every
+        downstream hash (exact dedup, shingles, spans, fingerprints)
+        sees one canonical byte form, so composed-vs-combining
+        sequences and zero-width-disguised duplicates collapse."""
+        from time_series_loader_spark.operators.text import normalize_text
+
+        self._df = normalize_text(
+            self._df,
+            self.text_col,
+            form=form,
+            strip_controls=strip_controls,
+            collapse_whitespace=collapse_whitespace,
+        )
+        self.steps_applied.append(f"normalize({form})")
+        return self
+
     def scrub_pii(self) -> "CorpusPipeline":
         """Replace emails/IPs/phones with <TAG> markers IN the text
         column (`operators/text.py::redact_pii`); keeps an ``n_pii``
