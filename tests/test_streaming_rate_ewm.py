@@ -240,3 +240,61 @@ def test_counter_rate_multichunk_group(spark, tmp_path):
             spark.conf.unset(conf)
         else:
             spark.conf.set(conf, old)
+
+
+def test_counter_rate_restart_recovery(spark, tmp_path):
+    """Checkpoint restart contract for the rate dual: stop, add a file,
+    restart a NEW query from the same checkpoint — the carried
+    (last ts, reading) state must recover so the delta straddling the
+    restart is counted exactly once and already-processed files are not
+    re-emitted."""
+    import glob
+    import json as jsonlib
+
+    data = tmp_path / "data"
+    data.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def rate_stream():
+        sdf = stream_csv_directory(
+            spark, str(data), SCHEMA, max_files_per_trigger=1
+        )
+        return streaming_counter_rate(
+            sdf.withColumn("user_id", F.lit(7).cast("bigint")), 3600.0
+        )
+
+    def drain():
+        before = set(glob.glob(f"{out_dir}/*.json"))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                rate_stream()
+                .writeStream.format("json")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        rows = []
+        for f in sorted(set(glob.glob(f"{out_dir}/*.json")) - before):
+            with open(f) as fh:
+                rows += [jsonlib.loads(ln) for ln in fh if ln.strip()]
+        return rows
+
+    _write(data, "a.csv", [("2023-01-01 00:00:00", 10.0),
+                           ("2023-01-01 00:10:00", 16.0)], mtime=1_700_000_000)
+    first = drain()
+    assert sum(r["increase"] for r in first) == pytest.approx(6.0)
+
+    # restart: the next sample's delta (16 -> 21 = +5) must come from
+    # RECOVERED state, and batch a must not re-emit
+    _write(data, "b.csv", [("2023-01-01 00:20:00", 21.0)], mtime=1_700_000_100)
+    second = drain()
+    assert sum(r["increase"] for r in second) == pytest.approx(5.0)
+    assert sum(r["n_resets"] for r in second) == 0
