@@ -302,67 +302,111 @@ SELECT floor((median(d))*1000000 + 0.5)/1000000 AS freq_seconds FROM (
 def q_continuity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 continuity statistics (reference load_file.py:2094-2111); gap
     threshold = 10× the inferred median spacing (scale-factor-relative).
-    The W3 inferred frequency is emitted as ``freq_seconds`` (the round-1/2
-    standalone infer_freq query folds into this slot — the oracle
-    recomputes the exact median in SQL, so the inference stays checked)."""
+    W3 frequency inference rides as the ``freq_us_x2`` metric; the
+    reset-aware counter totals (`operators/rate.py`, exercising the
+    bucketed-lag + broadcast boundary path — one 10-year bucket holds
+    the fixture, so per-bucket sums collapse to global totals) ride as
+    ``counter_increase_u``/``counter_resets``.
+
+    INTEGER-PURE + LONG FORMAT (round-7, VERDICT r6 directives #1/#2):
+    two driver rounds proved the float math locally bit-identical yet
+    driver-red, so no engine-evaluated float, transcendental, or
+    quantile call remains in either engine's plan — epoch-µs BIGINTs,
+    an order-statistic doubled-median (``infer_frequency_us2``), split
+    integer division for coverage micro-pct, and µunit counter sums
+    (``micro_units=True``). Integers hash identically under any driver
+    normalization and engine build. One ``(metric, value_u)`` row per
+    statistic, so any future driver mismatch localizes to the exact
+    metric in the record's row diff."""
     _prep(spark)
+    from time_series_loader_spark.operators.continuity import (
+        continuity_stats_exact,
+        infer_frequency_us2,
+    )
     from time_series_loader_spark.operators.rate import counter_increase
 
     ev = _t(spark, sf_dir, "events")
-    med = float(infer_frequency_seconds(ev, "ts").collect()[0][0])
-    s = continuity_stats(ev, "ts", expected_freq=med, min_gap=9 * med)
-    # reset-aware counter totals over the UNKEYED global timeline
-    # (`operators/rate.py`, r5 — exercises the bucketed-lag + broadcast
-    # boundary path): one 10-year bucket holds the whole fixture, so the
-    # per-bucket sums collapse to the global increase/reset counts
-    ci = counter_increase(ev, "ts", "value", "3650D").agg(
-        F.sum(F.col("increase").cast(_DEC)).cast("double").alias("_inc"),
+    # exact 2×median inter-row delta in µs (odd counts: 2×middle; even:
+    # sum of the two middles — never an interpolation)
+    f2 = int(infer_frequency_us2(ev, "ts").collect()[0][0])
+    # ds > 10×median  ⇔  ds_us > 5×freq_us_x2 (same rows as the float
+    # form's expected=med, min_gap=9×med — certified in tests)
+    s = continuity_stats_exact(ev, "ts", gap_threshold_us=5 * f2)
+    ci = counter_increase(ev, "ts", "value", "3650D", micro_units=True).agg(
+        F.sum("increase_u").alias("_inc_u"),
         F.sum("n_resets").alias("_nr"),
     )
-    return s.crossJoin(ci).select(
-        "start_time",
-        "end_time",
-        "n_rows",
+    wide = s.crossJoin(ci).select(
+        "start_us",
+        "end_us",
+        F.col("n_rows").cast("long").alias("n_rows"),
         "n_gaps",
-        _r6(F.col("gap_seconds_total"), "gap_seconds_total"),
-        _r6(F.col("span_seconds"), "span_seconds"),
-        _r6(F.col("coverage_pct"), "coverage_pct"),
-        _r6(F.lit(med), "freq_seconds"),
-        _r6(F.col("_inc"), "counter_increase_total"),
+        "gap_total_us",
+        "span_us",
+        "coverage_micropct",
+        F.lit(f2).cast("long").alias("freq_us_x2"),
+        F.col("_inc_u").cast("long").alias("counter_increase_u"),
         F.col("_nr").cast("long").alias("counter_resets"),
+    )
+    return wide.selectExpr(
+        "stack(10, "
+        "'start_us', start_us, 'end_us', end_us, 'n_rows', n_rows, "
+        "'n_gaps', n_gaps, 'gap_total_us', gap_total_us, 'span_us', span_us, "
+        "'coverage_micropct', coverage_micropct, 'freq_us_x2', freq_us_x2, "
+        "'counter_increase_u', counter_increase_u, 'counter_resets', counter_resets"
+        ") AS (metric, value_u)"
     )
 
 
 SQL_continuity_stats = """
-WITH d AS (
-  SELECT ts, epoch(ts) - epoch(lag(ts) OVER (ORDER BY ts)) AS ds FROM events
-), m AS (SELECT median(ds) AS med FROM d WHERE ds IS NOT NULL
-), g AS (
-  SELECT count(*) AS n_gaps,
-         CAST(COALESCE(SUM(CAST(ds AS DECIMAL(27,6))), 0) AS DOUBLE) AS gap_total
-  FROM d, m WHERE ds > med + 9 * med
-), b AS (
-  SELECT min(ts) AS start_time, max(ts) AS end_time, count(*) AS n_rows,
-         epoch(max(ts)) - epoch(min(ts)) AS span FROM events
-), ci AS (
-  -- quantize-first (matches operators/rate.py): readings become exact
-  -- DECIMAL(27,6) BEFORE the reset comparison and the subtraction
-  SELECT CAST(SUM(CASE WHEN v < pv THEN v ELSE v - pv END) AS DOUBLE) AS inc,
-         SUM(CASE WHEN v < pv THEN 1 ELSE 0 END) AS n_resets
-  FROM (SELECT CAST(value AS DECIMAL(27,6)) AS v,
-               lag(CAST(value AS DECIMAL(27,6))) OVER (ORDER BY ts) AS pv
-        FROM events WHERE value IS NOT NULL)
+WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+d AS (SELECT us, us - lag(us) OVER (ORDER BY us) AS du FROM e),
+-- exact doubled-median by order statistics over the distinct-delta frame:
+-- ranks (n+1)//2 and (n+2)//2, integer division, no interpolation
+dd AS (SELECT du, count(*) AS c FROM d WHERE du IS NOT NULL GROUP BY 1),
+cum AS (SELECT du, sum(c) OVER (ORDER BY du) AS hi, sum(c) OVER () AS n FROM dd),
+m AS (SELECT
+  (SELECT min(du) FROM cum WHERE hi >= (SELECT max(n) FROM cum) // 2 + CASE WHEN (SELECT max(n) FROM cum) % 2 = 1 THEN 1 ELSE 0 END)
+  + (SELECT min(du) FROM cum WHERE hi >= (SELECT max(n) FROM cum) // 2 + 1) AS f2),
+g AS (
+  SELECT count(*) AS n_gaps, CAST(coalesce(sum(du), 0) AS BIGINT) AS gap_total_us
+  FROM d, m WHERE du > 5 * m.f2
+),
+b AS (SELECT min(us) AS start_us, max(us) AS end_us, count(*) AS n_rows,
+             max(us) - min(us) AS span_us FROM e),
+-- coverage micro-pct = round_half_up((span-gap)*1e8/span) by exact
+-- integer split division (two 1e4 steps; half-up via the remainder)
+cov AS (
+  SELECT CASE WHEN span_us > 0 THEN
+    (num * 10000) // span_us * 10000
+    + ((num * 10000) % span_us) * 10000 // span_us
+    + CASE WHEN 2 * (((num * 10000) % span_us) * 10000 % span_us) >= span_us
+           THEN 1 ELSE 0 END
+    ELSE 100000000 END AS mp
+  FROM (SELECT span_us, span_us - g.gap_total_us AS num FROM b, g)
+),
+-- counter totals in exact µunits: quantize-first to DECIMAL(27,6)
+-- (matches operators/rate.py), ×1e6 → BIGINT, integer deltas and sums
+ci AS (
+  SELECT CAST(coalesce(sum(CASE WHEN v < pv THEN v ELSE v - pv END), 0) AS BIGINT) AS inc_u,
+         CAST(coalesce(sum(CASE WHEN v < pv THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_resets
+  FROM (SELECT CAST(CAST(value AS DECIMAL(27,6)) * 1000000 AS BIGINT) AS v,
+               lag(CAST(CAST(value AS DECIMAL(27,6)) * 1000000 AS BIGINT)) OVER (ORDER BY us) AS pv
+        FROM e WHERE value IS NOT NULL)
   WHERE pv IS NOT NULL
 )
-SELECT b.start_time, b.end_time, b.n_rows, g.n_gaps,
-       floor((g.gap_total)*1000000 + 0.5)/1000000 AS gap_seconds_total,
-       floor((b.span)*1000000 + 0.5)/1000000 AS span_seconds,
-       floor((CASE WHEN b.span > 0 THEN (1.0 - g.gap_total / b.span) * 100.0 ELSE 100.0 END)*1000000 + 0.5)/1000000
-         AS coverage_pct,
-       floor((m.med)*1000000 + 0.5)/1000000 AS freq_seconds,
-       floor((ci.inc)*1000000 + 0.5)/1000000 AS counter_increase_total,
-       ci.n_resets AS counter_resets
-FROM b, g, m, ci
+SELECT metric, CAST(value_u AS BIGINT) AS value_u FROM (
+  SELECT 'start_us' AS metric, start_us AS value_u FROM b
+  UNION ALL SELECT 'end_us', end_us FROM b
+  UNION ALL SELECT 'n_rows', n_rows FROM b
+  UNION ALL SELECT 'n_gaps', n_gaps FROM g
+  UNION ALL SELECT 'gap_total_us', gap_total_us FROM g
+  UNION ALL SELECT 'span_us', span_us FROM b
+  UNION ALL SELECT 'coverage_micropct', mp FROM cov
+  UNION ALL SELECT 'freq_us_x2', f2 FROM m
+  UNION ALL SELECT 'counter_increase_u', inc_u FROM ci
+  UNION ALL SELECT 'counter_resets', n_resets FROM ci
+)
 """
 
 

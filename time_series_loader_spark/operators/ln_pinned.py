@@ -1,0 +1,58 @@
+"""Pinned natural-log micro-unit lookup (round-7 oracle hardening).
+
+``ln_u_micro.parquet`` maps every integer ``k`` in [1, 1e6] to
+``floor(ln(k)*1e6 + 0.5)`` — ONE frozen libm evaluation (CPython
+``math.log``; regenerate with ``tools/gen_ln_table.py``). Oracle-gated
+queries that need a logarithm of an integer quantity (tfidf idf on
+document frequencies, unigram-LM logp on term counts) take it from this
+table on BOTH engines: the Spark plan joins / looks up the parquet, and
+the DuckDB oracle SQL ``read_parquet``s the same file. No engine
+evaluates ``ln`` at query time, so last-ulp libm drift — the only
+remaining float channel the r6 VERDICT could not exclude for the two
+driver-red slots — is removed by construction.
+
+Quantities whose logarithm is needed on a NON-integer or unbounded
+domain keep the engine-side micro-quantized ``ln`` path in
+``operators/text.py`` — that is the 100 TB tool; this is the
+bit-certification tool for oracle-gated scales (the table's 1e6 ceiling
+covers ~3× the largest gated corpus; helpers raise loudly beyond it).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+
+LN_U_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "resources", "ln_u_micro.parquet")
+LN_U_MAX_K = 1_000_000
+
+
+def ln_u_df(spark: SparkSession) -> DataFrame:
+    """The pinned table as a DataFrame ``(k BIGINT, ln_u BIGINT)`` —
+    join it (broadcast: ≤ a few MB) wherever a plan needs ln of an
+    integer column. Callers must ensure their argument domain is within
+    [1, LN_U_MAX_K]; an inner join would silently DROP out-of-range rows,
+    so joiners use left + a null-check, or :func:`ln_u_lookup` driver-side."""
+    return spark.read.parquet(LN_U_PATH)
+
+
+@lru_cache(maxsize=1)
+def _ln_u_arrays():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(LN_U_PATH)
+    return t.column("ln_u").to_numpy()
+
+
+def ln_u_lookup(k: int) -> int:
+    """Driver-side exact lookup of the pinned ``ln_u(k)`` (for literal
+    injection into plans / SQL strings). Raises on out-of-domain k."""
+    if not 1 <= k <= LN_U_MAX_K:
+        raise ValueError(
+            f"ln_u_lookup({k}): outside pinned domain [1, {LN_U_MAX_K}] — "
+            "regenerate tools/gen_ln_table.py with a larger MAX_K or use "
+            "the engine-side quantized-ln path for unbounded scales"
+        )
+    return int(_ln_u_arrays()[k - 1])

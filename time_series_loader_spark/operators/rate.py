@@ -87,12 +87,22 @@ def counter_increase(
     freq: str | int,
     group_cols: Sequence[str] = (),
     num_buckets: int | None = None,
+    micro_units: bool = False,
 ) -> DataFrame:
     """Per-bucket counter increase and per-second rate.
 
     Returns (group_cols..., ``ts_col`` = bucket left edge, ``increase``
     DOUBLE, ``rate`` DOUBLE = increase / bucket seconds, ``n_resets``
     BIGINT) for every bucket containing at least one delta.
+
+    ``micro_units=True`` (round-7, for oracle-gated integer-pure plans):
+    readings quantize to BIGINT micro-units right after the exact
+    DECIMAL(27,6) cast, every comparison/delta/sum is then 64-bit integer
+    arithmetic, and the output carries ``increase_u`` BIGINT (µunits)
+    instead of the ``increase``/``rate`` doubles — not one float is
+    computed anywhere in the plan. Bound: per-bucket Σ|increase_u| must
+    stay under 2^63 (µunit readings ≤ ~9.2e18, i.e. |value| ≤ ~9.2e12 —
+    same envelope the DECIMAL(27,6) cast already implies for parity).
     """
     step_s = freq_to_seconds(freq)
     step_us = int(round(step_s * 1_000_000))
@@ -101,8 +111,12 @@ def counter_increase(
 
     # quantize-first: all reset detection and delta arithmetic happens on
     # exact DECIMAL(27,6) values (see module docstring)
+    v_dec = F.col(value_col).cast("decimal(27,6)")
+    # (27,6)×(7,0) → DECIMAL(35,6): the ×1e6 product is exact (no 38-cap
+    # rounding), so the long cast is the true µunit integer
+    v_expr = (v_dec * F.lit(1_000_000)).cast("long") if micro_units else v_dec
     base = df.where(F.col(value_col).isNotNull()).select(
-        *group_cols, ts_col, F.col(value_col).cast("decimal(27,6)").alias("_v")
+        *group_cols, ts_col, v_expr.alias("_v")
     )
     lagged = _with_prev_value(base, ts_col, group_cols, num_buckets).where(
         F.col("_prev").isNotNull()
@@ -114,7 +128,7 @@ def counter_increase(
         lagged.select(
             *group_cols,
             bucket.alias("_b"),
-            contrib.cast("decimal(27,6)").alias("_c"),
+            (contrib if micro_units else contrib.cast("decimal(27,6)")).alias("_c"),
             reset.cast("int").alias("_r"),
         )
         .groupBy(*group_cols, "_b")
@@ -123,6 +137,13 @@ def counter_increase(
             F.sum("_r").alias("n_resets"),
         )
     )
+    if micro_units:
+        return out.select(
+            *group_cols,
+            F.timestamp_micros((F.col("_b") * step_us).cast("long")).alias(ts_col),
+            F.col("_inc").cast("long").alias("increase_u"),
+            "n_resets",
+        )
     inc = F.col("_inc").cast("double")
     return out.select(
         *group_cols,
