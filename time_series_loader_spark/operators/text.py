@@ -282,6 +282,8 @@ def tfidf(
     text_col: str,
     id_col: str,
     top_k: int | None = None,
+    pinned_ln: bool = False,
+    integer_scores: bool = False,
 ) -> DataFrame:
     """TF-IDF per (doc, term) over the whitespace-token stream.
 
@@ -299,6 +301,21 @@ def tfidf(
     bit-identical on every platform and engine. Scores differ from
     unquantized sklearn by < 5e-7·tf — far below any ranking signal.
 
+    ``pinned_ln=True`` (round-7 oracle hardening): idf micro-units come
+    from the pinned log table instead of the engine's ``ln`` —
+    ``idf_u = ln_u(N+1) − ln_u(df+1) + 1e6`` where ``ln_u`` is the ONE
+    frozen ``math.log`` evaluation in ``resources/ln_u_micro.parquet``
+    (operators/ln_pinned.py; the oracle SQL reads the same file), so no
+    engine evaluates a transcendental at query time. Differs from the
+    quantized-engine-ln idf by ≤1 µunit (two roundings instead of one) —
+    a deliberate, deterministic quantization choice shared by both
+    engines. The pinned domain caps at N+1 ≤ 1e6 documents; the default
+    engine-``ln`` path has no such cap and is the 100 TB tool.
+
+    ``integer_scores=True`` emits ``score_u`` (exact BIGINT µunits)
+    instead of the ``tfidf`` double — for plans that must stay
+    integer-pure end-to-end.
+
     Scale shape: explode → one (doc,term) groupBy with map-side combine →
     term-level df aggregate (small — vocabulary-sized) broadcast back. The
     N scalar is computed once.
@@ -309,13 +326,35 @@ def tfidf(
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf_raw = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
-    idf_u = F.floor(idf_raw * F.lit(1e6) + F.lit(0.5))  # BIGINT micro-units
+    if pinned_ln:
+        from time_series_loader_spark.operators.ln_pinned import (
+            ln_u_df,
+            ln_u_lookup,
+        )
+
+        # driver-side lookup raises if N+1 is beyond the pinned domain;
+        # df+1 ≤ N+1, so the inner join below can never drop a term
+        base_u = ln_u_lookup(n_docs + 1)
+        lnu = ln_u_df(df.sparkSession)
+        docfreq = docfreq.join(
+            F.broadcast(lnu), docfreq["df"] + 1 == lnu["k"]
+        ).select(
+            "term",
+            "df",
+            (F.lit(base_u) - F.col("ln_u") + F.lit(1_000_000)).alias("_idf_u"),
+        )
+    else:
+        idf_raw = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
+        docfreq = docfreq.select(
+            "term",
+            "df",
+            F.floor(idf_raw * F.lit(1e6) + F.lit(0.5)).alias("_idf_u"),
+        )
     scored = tf.join(F.broadcast(docfreq), "term").select(
         id_col,
         "term",
         "tf",
-        (F.col("tf") * idf_u).alias("_score_u"),
+        (F.col("tf") * F.col("_idf_u")).alias("_score_u"),
     )
     if top_k is not None:
         w = Window.partitionBy(id_col).orderBy(
@@ -326,6 +365,8 @@ def tfidf(
             .where(F.col("_rn") <= top_k)
             .drop("_rn")
         )
+    if integer_scores:
+        return scored.withColumnRenamed("_score_u", "score_u")
     return scored.withColumn(
         "tfidf", F.col("_score_u").cast("double") / F.lit(1e6)
     ).drop("_score_u")
@@ -337,6 +378,8 @@ def unigram_logprob(
     id_col: str,
     k: float = 1.0,
     toks_col: str | None = None,
+    pinned_ln: bool = False,
+    integer_outputs: bool = False,
 ) -> DataFrame:
     """CCNet-style language-model quality signal: each document's mean
     ``ln P(token)`` under the corpus's OWN add-k-smoothed unigram
@@ -369,6 +412,20 @@ def unigram_logprob(
     ``toks_col``: optional pre-tokenized array column — callers that
     already materialized ``tokens(text)`` (corpus_filter's one-scan
     projection) skip a second per-row tokenize in this branch.
+
+    ``pinned_ln=True`` (round-7 oracle hardening; requires the add-1
+    integer smoothing, k=1): per-term micro-units come from the pinned
+    log table — ``logp_u = ln_u(ct+1) − ln_u(N+V)`` (both integer
+    arguments; ``ln_u`` = the ONE frozen ``math.log`` table in
+    ``resources/ln_u_micro.parquet``, which the oracle SQL reads too) —
+    so no engine evaluates ``ln`` at query time. Differs from the
+    quantized-engine-ln value by ≤1 µunit (two roundings instead of
+    one); a deterministic quantization shared by both engines. Pinned
+    domain caps at N+V ≤ 1e6; the engine-``ln`` path is the 100 TB tool.
+
+    ``integer_outputs=True`` emits ``contrib_u`` (exact BIGINT: the
+    doc's Σ tf·logp_u micro-units; mean_logprob = contrib_u/1e6/
+    n_tokens) instead of the float mean — for integer-pure plans.
     """
     tok_expr = F.col(toks_col) if toks_col else tokens(text_col)
     toks = df.select(F.col(id_col), F.explode(tok_expr).alias("term"))
@@ -377,13 +434,38 @@ def unigram_logprob(
     nv = totals.agg(
         F.sum("ct").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
-    denom = float(nv["n"] or 0) + k * float(nv["v"] or 0)
-    logp_u = F.floor(
-        F.log((F.col("ct") + F.lit(k)) / F.lit(denom)) * F.lit(1e6) + F.lit(0.5)
-    )  # BIGINT micro-units (negative)
-    scored = tf.join(totals, "term").select(
-        id_col, "tf", (F.col("tf") * logp_u).alias("_contrib_u")
+    if pinned_ln:
+        if k != 1.0:
+            raise ValueError("pinned_ln requires integer add-1 smoothing (k=1)")
+        from time_series_loader_spark.operators.ln_pinned import (
+            ln_u_df,
+            ln_u_lookup,
+        )
+
+        # driver-side lookup raises if N+V is beyond the pinned domain;
+        # ct+1 ≤ N+1 ≤ N+V, so the inner join can never drop a term
+        denom_u = ln_u_lookup(int(nv["n"] or 0) + int(nv["v"] or 1))
+        lnu = ln_u_df(df.sparkSession)
+        lp = totals.join(F.broadcast(lnu), totals["ct"] + 1 == lnu["k"]).select(
+            "term", (F.col("ln_u") - F.lit(denom_u)).alias("_logp_u")
+        )
+    else:
+        denom = float(nv["n"] or 0) + k * float(nv["v"] or 0)
+        lp = totals.select(
+            "term",
+            F.floor(
+                F.log((F.col("ct") + F.lit(k)) / F.lit(denom)) * F.lit(1e6)
+                + F.lit(0.5)
+            ).alias("_logp_u"),  # BIGINT micro-units (negative)
+        )
+    scored = tf.join(lp, "term").select(
+        id_col, "tf", (F.col("tf") * F.col("_logp_u")).alias("_contrib_u")
     )
+    if integer_outputs:
+        return scored.groupBy(id_col).agg(
+            F.sum("_contrib_u").cast("long").alias("contrib_u"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
     return scored.groupBy(id_col).agg(
         (
             F.sum("_contrib_u").cast("double") / F.lit(1e6) / F.sum("tf")
