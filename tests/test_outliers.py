@@ -239,3 +239,25 @@ def test_local_detectors_preserve_null_key_rows(spark):
     assert s.count() == 6
     nullrow = [r for r in s.collect() if r["ts"] is None][0]
     assert nullrow["seasonal_z"] is None
+
+
+def test_zscore_nonfinite_excluded_from_moments(spark):
+    """ADVICE r6: values the DECIMAL(18,6) cast nulls out (NaN, Inf,
+    |x| ≥ 1e12) must be excluded from n exactly as from the sums — the
+    clean rows' mean/std (and kept set) must match the same data without
+    the non-finite rows; the non-finite rows themselves are removed."""
+    from time_series_loader_spark.operators.outliers import (
+        remove_outliers_zscore,
+    )
+
+    clean = [float(v) for v in [10, 11, 9, 10, 12, 8, 10, 11, 9, 1000]]
+    dirty = clean + [float("nan"), float("inf"), 5e13]
+    mk = lambda vals: spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+    kept_clean = sorted(
+        r["x"] for r in remove_outliers_zscore(mk(clean), ["x"], 2.0).collect()
+    )
+    kept_dirty = sorted(
+        r["x"] for r in remove_outliers_zscore(mk(dirty), ["x"], 2.0).collect()
+    )
+    assert kept_clean == kept_dirty  # same stats → same kept set
+    assert 1000.0 not in kept_clean  # the genuine outlier still goes

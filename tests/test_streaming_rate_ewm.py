@@ -298,3 +298,64 @@ def test_counter_rate_restart_recovery(spark, tmp_path):
     second = drain()
     assert sum(r["increase"] for r in second) == pytest.approx(5.0)
     assert sum(r["n_resets"] for r in second) == 0
+
+
+def test_counter_rate_negative_readings_match_batch(spark, tmp_path):
+    """Sign-aware µunit quantization (ADVICE r6): negative readings must
+    round half-AWAY-FROM-ZERO like the batch operator's DECIMAL(27,6)
+    HALF_UP cast, including an exact -.5-µunit boundary value."""
+    from time_series_loader_spark.operators.rate import counter_increase
+
+    boundary = -1000000.5 / 1e6  # round-trips to exactly -1000000.5 µunits
+    rows = [
+        ("2023-01-01 00:05:00", repr(boundary)),
+        ("2023-01-01 00:25:00", "-0.3"),
+        ("2023-01-01 01:05:00", "-7.25"),   # decrease → reset semantics
+        ("2023-01-01 01:45:00", "2.5"),
+    ]
+    _write(tmp_path, "a.csv", rows, mtime=1_700_000_000)
+    sdf = stream_csv_directory(spark, str(tmp_path), SCHEMA)
+    stream_out = {
+        r["bucket_ts"]: (r["increase"], r["n_resets"])
+        for r in run_available_now(
+            streaming_counter_rate(
+                sdf.withColumn("user_id", F.lit(1).cast("bigint")), 3600.0
+            ),
+            spark,
+            shuffle_partitions=8,
+        ).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(1, datetime.fromisoformat(ts), float(v)) for ts, v in rows],
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+    )
+    batch_out = {
+        r["ts"]: (r["increase"], r["n_resets"])
+        for r in counter_increase(
+            batch_df, "ts", "value", 3600, group_cols=["user_id"]
+        ).collect()
+    }
+    assert stream_out == batch_out
+
+
+def test_streaming_ewm_alpha_one_null_after_valid(spark, tmp_path):
+    """alpha=1.0 + adjust=True decays num=den to exactly 0 on a null row;
+    the stream must emit a null ewm there (batch/pandas yield NaN), not
+    crash with ZeroDivisionError (ADVICE r6)."""
+    rows = [
+        ("2023-01-01 00:00:00", "5.0"),
+        ("2023-01-01 00:01:00", ""),      # null reading
+        ("2023-01-01 00:02:00", "7.0"),
+    ]
+    _write(tmp_path, "a.csv", rows, mtime=1_700_000_000)
+    sdf = stream_csv_directory(spark, str(tmp_path), SCHEMA)
+    out = run_available_now(
+        streaming_ewm_mean(
+            sdf.withColumn("user_id", F.lit(1).cast("bigint")),
+            alpha=1.0,
+            adjust=True,
+        ),
+        spark,
+        shuffle_partitions=8,
+    ).orderBy("ts").collect()
+    assert [r["ewm"] for r in out] == [5.0, None, 7.0]

@@ -44,10 +44,18 @@ def remove_outliers_zscore(
         # silently round to scale 11 (losing the 12th digit and decimal
         # parity with the oracle, whose DECIMAL(18,6) product is exact).
         # Bound: |x| < 10^12, ample for any physical reading.
-        xd = F.col(c).cast("decimal(18,6)")
+        # try_cast, not cast: NaN/±Inf/|x| ≥ 1e12 become null under BOTH
+        # ANSI (where a plain cast would abort the job) and legacy mode,
+        # so the moment sums have defined semantics everywhere
+        xd = F.col(c).try_cast("decimal(18,6)")
         aggs.append(F.sum(xd).cast("double").alias(f"_sx_{c}"))
         aggs.append(F.sum(xd * xd).cast("double").alias(f"_sx2_{c}"))
-        aggs.append(F.count(c).alias(f"_n_{c}"))
+        # count the CAST column, not the raw one: a value the cast nulls
+        # out must be excluded from n exactly as it is excluded from the
+        # sums, or mean/std silently skew (ADVICE r6). Such rows then
+        # z-test as NaN/Inf against the clean moments and are removed —
+        # they are extreme by definition.
+        aggs.append(F.count(xd).alias(f"_n_{c}"))
     moments = df.groupBy(*group_cols).agg(*aggs)
     stat_cols = []
     for c in cols:

@@ -169,6 +169,14 @@ def sample_exact_k_per_group(
     old row within its group; null sample keys are excluded for the
     same slot-squatting reason as the global form.
 
+    Precondition (same latent caveat as the global form, ADVICE r6):
+    ``key_col`` must be UNIQUE within each group — rows sharing a key
+    value share the whole ``(md5, key)`` rank, so which physical row
+    survives at the k boundary would be row_number's arbitrary pick,
+    varying across runs/engines. With duplicate keys, pass a derived
+    unique key (e.g. ``concat(key, '|', file, '|', offset)``) instead;
+    determinism is the contract here, so the rank must totally order.
+
     Scale shape: one hash-partition window by ``group_cols`` with
     row_number over (md5, key) — map-side nothing to combine, but the
     shuffle carries only the surviving columns and each group's sort is

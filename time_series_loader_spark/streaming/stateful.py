@@ -170,7 +170,15 @@ def streaming_counter_rate(
             pdf = pdf[pdf[value_col].notna()].sort_values(ts_col)
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
                 t_us = int(pd.Timestamp(ts).value // 1000)
-                v_u = int(np.floor(float(v) * 1e6 + 0.5))
+                # half-AWAY-FROM-ZERO, sign-aware: Java/Spark HALF_UP on
+                # DECIMAL(27,6) rounds -1.0000005 to -1.000001, but a bare
+                # floor(v*1e6+0.5) would give -1.000000 — counters may
+                # legitimately carry negative readings (ADVICE r6), so the
+                # documented stream/batch parity must hold for them too
+                fv = float(v)
+                v_u = int(np.floor(abs(fv) * 1e6 + 0.5))
+                if fv < 0:
+                    v_u = -v_u
                 if last_ts is not None and t_us <= last_ts:
                     continue  # late/duplicate sample: state already past it
                 if last_v is not None:
@@ -288,7 +296,13 @@ def streaming_ewm_mean(
                             out.append((uid, ts, None, None))
                         else:
                             num, den = q * num, q * den
-                            out.append((uid, ts, None, num / den))
+                            # alpha=1 (q=0) decays den to 0 on a null row:
+                            # 0/0 is NaN in the batch operator/pandas, but
+                            # a Python ZeroDivisionError here — emit None
+                            # instead of crashing the query (ADVICE r6)
+                            out.append(
+                                (uid, ts, None, num / den if den != 0.0 else None)
+                            )
                     else:
                         x = float(v)
                         num = x if num is None else x + q * num
