@@ -289,14 +289,23 @@ def infer_frequency_us2(
 def continuity_stats_exact(
     df: DataFrame,
     ts_col: str,
-    gap_threshold_us: int,
+    gap_threshold_us: int | None = None,
     group_cols: Sequence[str] = (),
+    median_multiple: int = 10,
 ) -> DataFrame:
     """A3 continuity statistics, INTEGER-EXACT form — every output column
     a BIGINT, no float computed anywhere in the plan (round-7 hardening;
     semantics identical to :func:`continuity_stats` with
     expected+min_gap = gap_threshold_us, which the float form expresses
     as seconds).
+
+    ``gap_threshold_us=None`` infers the threshold from the data —
+    gap ⇔ 2·Δus > ``median_multiple``·freq_us_x2 (i.e. Δ strictly above
+    ``median_multiple``× the exact median spacing) — and emits the
+    inferred ``freq_us_x2`` as a column. The inference joins in as a
+    one-row broadcast scalar (no driver collect), so the whole statistic
+    is ONE action; with ``group_cols`` the per-group medians broadcast-
+    join on the key.
 
     Columns: ``start_us``/``end_us`` (epoch µs extrema), ``n_rows``,
     ``n_gaps``/``gap_total_us`` (deltas strictly above the threshold),
@@ -310,7 +319,18 @@ def continuity_stats_exact(
     prev = _with_prev_ts(slim, ts_col, group_cols)
     d_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_prev_ts"))
     per = prev.select(*group_cols, F.unix_micros(F.col(ts_col)).alias("_us"), d_us.alias("_du"))
-    gap = F.col("_du").isNotNull() & (F.col("_du") > F.lit(int(gap_threshold_us)))
+    auto = gap_threshold_us is None
+    if auto:
+        f2 = infer_frequency_us2(df, ts_col, group_cols)
+        per = (
+            per.join(F.broadcast(f2), list(group_cols))
+            if group_cols
+            else per.crossJoin(F.broadcast(f2))
+        )
+        gap_cond = (F.col("_du") * 2) > (F.col("freq_us_x2") * F.lit(int(median_multiple)))
+    else:
+        gap_cond = F.col("_du") > F.lit(int(gap_threshold_us))
+    gap = F.col("_du").isNotNull() & gap_cond
     aggs = [
         F.min("_us").alias("start_us"),
         F.max("_us").alias("end_us"),
@@ -318,11 +338,14 @@ def continuity_stats_exact(
         F.sum(gap.cast("long")).alias("n_gaps"),
         F.coalesce(F.sum(F.when(gap, F.col("_du"))), F.lit(0)).alias("gap_total_us"),
     ]
+    if auto:
+        aggs.append(F.min("freq_us_x2").alias("freq_us_x2"))
     base = per.groupBy(*group_cols).agg(*aggs) if group_cols else per.agg(*aggs)
     span = F.col("end_us") - F.col("start_us")
     num = span - F.col("gap_total_us")
     # coverage micro-pct by exact integer split division: two 1e4-digit
     # groups of num*1e8/span; half-up via the final remainder
+    extra = ["freq_us_x2"] if auto else []
     kept = base.select(
         *group_cols,
         "start_us",
@@ -331,6 +354,7 @@ def continuity_stats_exact(
         F.col("n_gaps").cast("long").alias("n_gaps"),
         F.col("gap_total_us").cast("long").alias("gap_total_us"),
         span.cast("long").alias("span_us"),
+        *extra,
         num.cast("long").alias("_num"),
     )
     return kept.select(
@@ -341,6 +365,7 @@ def continuity_stats_exact(
         "n_gaps",
         "gap_total_us",
         "span_us",
+        *extra,
         F.when(
             F.col("span_us") > 0,
             F.expr(
