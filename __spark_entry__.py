@@ -19,6 +19,17 @@ import os
 from collections.abc import Callable
 from datetime import datetime
 
+# one-line environment echo (VERDICT r6 directive #5): if the driver
+# captures stdout around the gate run, the oracle engine's build lands in
+# the round record; '# '-prefixed like bench.py's section lines so JSON
+# tail-parsers skip it
+try:  # pragma: no cover - trivially environment-dependent
+    import duckdb as _duckdb_v
+
+    print(f"# env: duckdb={_duckdb_v.__version__}", flush=True)
+except Exception:
+    pass
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -4013,6 +4024,54 @@ def bench_sections() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def q_env_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-environment fingerprint (VERDICT r6 directive #5) —
+    rows-only, no oracle: library versions plus transcendental canaries
+    from BOTH runtimes (CPython ``math.log`` and the executing JVM's
+    ``ln``, full 17-significant-digit round-trip precision) over the
+    pinned-idf input domain. The record's value hash is a pure function
+    of the environment, so any environment hypothesis for a red slot is
+    falsifiable by hashing a candidate environment's fingerprint locally
+    and comparing. (The two contested slots are integer-pure as of r7,
+    so this exists to characterize the gate, not to defend the slots.)"""
+    import math
+    import sys
+
+    import numpy
+    import pandas
+    import pyarrow
+    import pyspark
+
+    static = [
+        ("pyspark", pyspark.__version__),
+        ("spark_jvm", spark.version),
+        ("python", sys.version.split()[0]),
+        ("pyarrow", pyarrow.__version__),
+        ("pandas", pandas.__version__),
+        ("numpy", numpy.__version__),
+    ]
+    try:
+        import duckdb
+
+        static.append(("duckdb", duckdb.__version__))
+    except Exception:  # pragma: no cover - duckdb is baked into this env
+        static.append(("duckdb", "unavailable"))
+    try:
+        static.append(
+            ("java", spark.sparkContext._jvm.java.lang.System.getProperty("java.version"))
+        )
+    except Exception:  # pragma: no cover - connect-mode sessions
+        static.append(("java", "unavailable"))
+    canary_in = [2, 10, 501, 28160, 999983]
+    static += [(f"py_ln_{k}", repr(math.log(float(k)))) for k in canary_in]
+    base = spark.createDataFrame(static, "key STRING, value STRING")
+    jvm = spark.createDataFrame([(k,) for k in canary_in], "k INT").select(
+        F.concat(F.lit("jvm_ln_"), F.col("k").cast("string")).alias("key"),
+        F.format_string("%.17g", F.log(F.col("k").cast("double"))).alias("value"),
+    )
+    return base.unionByName(jvm)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "resample_1h_mean": q_resample_1h_mean,
@@ -4065,6 +4124,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": q_distinct_agg,
         "set_ops": q_set_ops,
         "quantiles": q_quantiles,
+        # rows-only, deliberately LAST in dict order and with NO
+        # oracle_sql entry: records the driver environment so a version-
+        # drift hypothesis for any red slot is falsifiable from the
+        # correctness record itself (VERDICT r6 directive #5). If the
+        # driver caps recorded slots, this is the one that drops.
+        "env_fingerprint": q_env_fingerprint,
     }
 
 
