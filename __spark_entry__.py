@@ -897,7 +897,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.lit(None).cast("long").alias("n_dups"),
     )
-    from time_series_loader_spark.operators.spans import repeated_spans
+    from time_series_loader_spark.operators.spans import (
+        repeated_spans,
+        repeated_spans_winnowed,
+    )
 
     spans = repeated_spans(docs, "text", "doc_id", n=20, min_docs=2).select(
         F.lit("spans").alias("section"),
@@ -905,7 +908,21 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_docs").cast("long").alias("n_dups"),
     )
-    return exact.unionByName(incr).unionByName(spans)
+    # r7 (VERDICT directive #6): the winnowed variant — the designed
+    # 100 TB answer to the spans slope — enters the gate. md5 minimizer
+    # ranking so the SELECTED ANCHOR SET is engine-reproducible (the
+    # xxhash64 8-byte scale path keeps its property/equivalence tests);
+    # w=8 ⇒ any verbatim repeat of ≥ 27 tokens is guaranteed flagged,
+    # rows are (doc, anchor) with exact-verified span digests.
+    winn = repeated_spans_winnowed(
+        docs, "text", "doc_id", n=20, w=8, min_docs=2, minimizer_hash="md5"
+    ).select(
+        F.lit("winnowed").alias("section"),
+        F.col("digest").alias("key_digest"),
+        "doc_id",
+        F.col("n_docs").cast("long").alias("n_dups"),
+    )
+    return exact.unionByName(incr).unionByName(spans).unionByName(winn)
 
 
 def _sql_shingles_of(src: str) -> str:
@@ -998,7 +1015,40 @@ spdig AS (
 spdup AS (
   SELECT digest, count(DISTINCT doc_id) AS n_docs FROM spdig
   GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
-)
+),
+-- winnowed section (r7): minimizer-sampled span dedup, mirroring
+-- operators/spans.py::repeated_spans_winnowed(n=20, w=8, md5 ranking):
+-- per-position 20-gram md5s; each length-8 window keeps its LEFTMOST
+-- minimum; distinct selected positions are the anchors; anchors shared
+-- by >= 2 docs are text-verified before counting
+wtok AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+wh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) - 19 >= 1 THEN
+           list_transform(range(1, len(t) - 19 + 1),
+             i -> md5(array_to_string(t[CAST(i AS BIGINT):CAST(i + 19 AS BIGINT)], ' ')))
+         ELSE [] END AS h
+  FROM wtok
+),
+wwin AS (SELECT doc_id, h, least(len(h), 8) AS win FROM wh WHERE len(h) >= 1),
+wpos AS (
+  SELECT doc_id, h,
+         UNNEST(list_distinct(list_transform(range(1, len(h) - win + 2),
+           tt -> tt - 1 + list_position(
+                   h[CAST(tt AS BIGINT):CAST(tt + win - 1 AS BIGINT)],
+                   list_aggregate(h[CAST(tt AS BIGINT):CAST(tt + win - 1 AS BIGINT)], 'min')))))
+           AS pos
+  FROM wwin
+),
+wpicked AS (SELECT doc_id, pos - 1 AS start, h[CAST(pos AS BIGINT)] AS hkey FROM wpos),
+wcand AS (SELECT hkey FROM wpicked GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+wver AS (
+  SELECT p.doc_id, p.start,
+         array_to_string(t[CAST(p.start + 1 AS BIGINT):CAST(p.start + 20 AS BIGINT)], ' ') AS span
+  FROM wpicked p JOIN wcand USING (hkey) JOIN wtok USING (doc_id)
+),
+wdup AS (SELECT span, count(DISTINCT doc_id) AS n_docs FROM wver
+         GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
 SELECT 'exact' AS section, md5(coalesce(text, ' ')) AS key_digest,
        min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY 2
@@ -1010,6 +1060,10 @@ UNION ALL
 SELECT 'spans' AS section, spdig.digest AS key_digest, spdig.doc_id,
        spdup.n_docs AS n_dups
 FROM spdig JOIN spdup USING (digest)
+UNION ALL
+SELECT 'winnowed' AS section, md5(wver.span) AS key_digest, wver.doc_id,
+       wdup.n_docs AS n_dups
+FROM wver JOIN wdup USING (span)
 """
 
 
@@ -4017,10 +4071,22 @@ def bench_sections() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             num_hashes=16, bands=4, threshold=0.5, min_parallelism=par,
         )
 
+    def winnowed_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        from time_series_loader_spark.operators.spans import (
+            repeated_spans_winnowed,
+        )
+
+        return repeated_spans_winnowed(
+            _t(spark, sf_dir, "documents"), "text", "doc_id",
+            n=20, w=8, min_docs=2, minimizer_hash="md5",
+        )
+
     return {
         "dedup_incremental/spans": spans_only,
         "dedup_incremental/exact": exact_only,
         "dedup_incremental/incr": incr_only,
+        "dedup_incremental/winnowed": winnowed_only,
     }
 
 

@@ -468,3 +468,35 @@ def test_winnowed_skew_one_giant_doc(spark):
         if r["doc_id"] == 0:
             assert 10_000 <= r["start"] and r["end"] <= 10_000 + 40
     assert wall < 60, f"skewed doc took {wall:.1f}s"
+
+
+def test_winnowed_md5_variant_detects_same_guaranteed_repeats(spark):
+    """minimizer_hash='md5' (the oracle-replicable variant) selects
+    different anchors than xxhash64 but must detect the same guaranteed
+    repeats (length ≥ w+n−1) — the guarantee is hash-agnostic."""
+    from time_series_loader_spark.operators.spans import repeated_spans_winnowed
+
+    rep = " ".join(f"tok{i}" for i in range(30))  # 30-token repeat
+    rows = [
+        (1, f"alpha beta {rep} gamma"),
+        (2, f"{rep} delta epsilon zeta"),
+        (3, "unrelated words only here nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    for h in ("xxhash64", "md5"):
+        out = repeated_spans_winnowed(
+            df, "text", "doc_id", n=5, w=8, min_docs=2, minimizer_hash=h
+        ).collect()
+        docs = {r["doc_id"] for r in out}
+        assert docs == {1, 2}, h
+        assert all(r["n_docs"] == 2 for r in out), h
+
+
+def test_winnowed_md5_rejects_unknown_hash(spark):
+    from time_series_loader_spark.operators.spans import repeated_spans_winnowed
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id BIGINT, text STRING")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        repeated_spans_winnowed(df, "text", "doc_id", minimizer_hash="sha9")

@@ -161,6 +161,7 @@ def repeated_spans_winnowed(
     n: int = 50,
     w: int = 16,
     min_docs: int = 2,
+    minimizer_hash: str = "xxhash64",
 ) -> DataFrame:
     """Winnowed (minimizer-sampled) repeated-span detection — the 100 TB
     scale path for :func:`repeated_spans`.
@@ -207,15 +208,28 @@ def repeated_spans_winnowed(
     """
     if w < 2:
         raise ValueError("w must be >= 2 (w=1 degenerates to every position)")
+    # minimizer_hash picks the n-gram hash the window-minimum ranks on:
+    # - "xxhash64" (default): 8-byte keys — the 100 TB shuffle shape.
+    # - "md5": 32-char hex keys ranked lexicographically — 4× wider
+    #   rows, but md5 is the one hash every engine evaluates identically,
+    #   so the SELECTED ANCHOR SET (not just the verified output) is
+    #   cross-engine reproducible — what the oracle-gated winnowed
+    #   section certifies. Detection guarantees are hash-agnostic.
+    if minimizer_hash == "xxhash64":
+        _hash1, _hty = F.xxhash64, "array<bigint>"
+    elif minimizer_hash == "md5":
+        _hash1, _hty = F.md5, "array<string>"
+    else:
+        raise ValueError(f"unknown minimizer_hash {minimizer_hash!r}")
     toked = df.select(F.col(id_col), tokens(text_col).alias("_t"))
     m = F.size("_t") - (n - 1)  # number of n-gram positions
     h = F.when(
         m >= 1,
         F.transform(
             F.sequence(F.lit(1), m),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_t"), i, n))),
+            lambda i: _hash1(F.concat_ws(" ", F.slice(F.col("_t"), i, n))),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    ).otherwise(F.array().cast(_hty))
     toked = toked.withColumn("_h", h)
 
     # minimizer selection: for each window t (1-based, length w — or the
