@@ -1994,7 +1994,28 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpora already arrive partitioned and skip this.
     if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    grafted = docs.withColumn("text", F.concat(F.col("text"), graft))
+    # r7 (VERDICT directive #7): normalize() is the pipeline's FIRST
+    # stage (the CorpusPipeline.normalize() composition), oracle-
+    # certified by grafting unicode hazards onto every 3rd doc — a
+    # DECOMPOSED accent (e + U+0301, which NFC must compose to é) and a
+    # zero-width space inside a token (which strip_controls must
+    # remove) — so every downstream tokenize/quality/digest/LM hash
+    # breaks unless both engines normalize identically. The oracle
+    # mirrors with nfc_normalize + ZWSP replace (the corpora carry no
+    # other strippable controls; normalize-then-strip order matters
+    # only for combining chars adjacent to stripped ones, which the
+    # graft deliberately avoids).
+    from time_series_loader_spark.operators.text import normalize_text
+
+    ugraft = F.when(F.col("doc_id") % 3 == 0, F.lit(" cafe\u0301 zw\u200bsp")).otherwise(
+        F.lit("")
+    )
+    grafted = normalize_text(
+        docs.withColumn("text", F.concat(F.col("text"), graft, ugraft)),
+        "text",
+        form="NFC",
+        strip_controls=True,
+    )
     clean = (
         redact_pii(grafted, "text", out_col="text_clean", count_col="n_pii")
         .drop("text")
@@ -2179,12 +2200,22 @@ def _sql_corpus_filter() -> str:
     pats = dict(PII_PATTERNS)
     email, ipv4, phone = pats["EMAIL"], pats["IPV4"], pats["PHONE"]
     return f"""
-WITH grafted AS (
+WITH grafted0 AS (
   SELECT doc_id,
          text || CASE WHEN doc_id % 5 = 0 THEN '' ELSE
            ' reach user' || doc_id || '@example.com or +123 456 789'
-           || (doc_id % 10) || ' at 10.0.' || (doc_id % 256) || '.1' END AS text
+           || (doc_id % 10) || ' at 10.0.' || (doc_id % 256) || '.1' END
+         || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' zw' || chr(8203) || 'sp'
+            ELSE '' END AS text
   FROM documents
+),
+-- normalize-first stage (r7): NFC composes the decomposed e+U+0301 to é
+-- and the zero-width space is stripped — mirrors
+-- operators/text.py::normalize_text(form='NFC', strip_controls=True)
+-- (the corpora carry no other strippable control characters)
+grafted AS (
+  SELECT doc_id, replace(nfc_normalize(text), chr(8203), '') AS text
+  FROM grafted0
 ),
 clean AS (
   SELECT doc_id,
