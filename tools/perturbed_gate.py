@@ -36,6 +36,10 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     fails = []
     for name, fn in qs.items():
+        if name not in oracles:  # rows-only slots (env_fingerprint)
+            n = fn(spark, sf_dir).count()
+            print(f"{name:32s} SKIP (rows-only) rows={n}")
+            continue
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         cur = con.execute(oracles[name])
