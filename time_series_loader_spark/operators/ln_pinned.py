@@ -28,14 +28,27 @@ from pyspark.sql import DataFrame, SparkSession
 LN_U_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "resources", "ln_u_micro.parquet")
 LN_U_MAX_K = 1_000_000
 
+_LNU_CACHE: dict[str, DataFrame] = {}
+
 
 def ln_u_df(spark: SparkSession) -> DataFrame:
-    """The pinned table as a DataFrame ``(k BIGINT, ln_u BIGINT)`` —
-    join it (broadcast: ≤ a few MB) wherever a plan needs ln of an
-    integer column. Callers must ensure their argument domain is within
-    [1, LN_U_MAX_K]; an inner join would silently DROP out-of-range rows,
-    so joiners use left + a null-check, or :func:`ln_u_lookup` driver-side."""
-    return spark.read.parquet(LN_U_PATH)
+    """The pinned table as a DataFrame ``(k BIGINT, ln_u BIGINT)``.
+    Callers must ensure their argument domain is within [1, LN_U_MAX_K]
+    (an inner join would silently DROP out-of-range rows), normally by
+    a driver-side :func:`ln_u_lookup` of the domain maximum, which
+    raises loudly.
+
+    Cached per application: this is a 2.6 MB STATIC dimension table
+    (content pinned by construction — no staleness), and queries that
+    use it join it twice per invocation; re-scanning the parquet per
+    join measurably dominates the pinned paths' overhead at bench
+    scale. An immutable, trivially-sized dimension cache is exempt from
+    the no-corpus-sized-cache house rule by definition."""
+    key = spark.sparkContext.applicationId
+    if key not in _LNU_CACHE:
+        _LNU_CACHE.clear()  # at most one live session in this process model
+        _LNU_CACHE[key] = spark.read.parquet(LN_U_PATH).cache()
+    return _LNU_CACHE[key]
 
 
 @lru_cache(maxsize=1)

@@ -333,11 +333,14 @@ def tfidf(
         )
 
         # driver-side lookup raises if N+1 is beyond the pinned domain;
-        # df+1 ≤ N+1, so the inner join below can never drop a term
+        # df+1 ≤ N+1, so the inner join below can never drop a term.
+        # Join sides: broadcast the VOCABULARY (small), scan the pinned
+        # table distributed — broadcasting the 1M-row table itself would
+        # ship ~16 MB to every executor per query for a vocab-sized output
         base_u = ln_u_lookup(n_docs + 1)
         lnu = ln_u_df(df.sparkSession)
-        docfreq = docfreq.join(
-            F.broadcast(lnu), docfreq["df"] + 1 == lnu["k"]
+        docfreq = lnu.join(
+            F.broadcast(docfreq), lnu["k"] == docfreq["df"] + 1
         ).select(
             "term",
             "df",
@@ -443,10 +446,11 @@ def unigram_logprob(
         )
 
         # driver-side lookup raises if N+V is beyond the pinned domain;
-        # ct+1 ≤ N+1 ≤ N+V, so the inner join can never drop a term
+        # ct+1 ≤ N+1 ≤ N+V, so the inner join can never drop a term.
+        # Broadcast the vocabulary side, not the 1M-row pinned table
         denom_u = ln_u_lookup(int(nv["n"] or 0) + int(nv["v"] or 1))
         lnu = ln_u_df(df.sparkSession)
-        lp = totals.join(F.broadcast(lnu), totals["ct"] + 1 == lnu["k"]).select(
+        lp = lnu.join(F.broadcast(totals), lnu["k"] == totals["ct"] + 1).select(
             "term", (F.col("ln_u") - F.lit(denom_u)).alias("_logp_u")
         )
     else:
