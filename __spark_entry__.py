@@ -35,7 +35,6 @@ from pyspark.sql import functions as F
 
 from time_series_loader_spark.operators.asof import asof_nearest
 from time_series_loader_spark.operators.continuity import (
-    continuity_stats,
     find_gaps,
     infer_frequency_seconds,
 )
@@ -293,21 +292,6 @@ WITH d AS (
 SELECT gap_start, gap_end, floor((ds)*1000000 + 0.5)/1000000 AS gap_seconds,
        CAST(floor(ds / med) - 1 AS BIGINT) AS expected_points
 FROM d, m WHERE ds > med + 9 * med
-"""
-
-
-def q_infer_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3 frequency inference: median inter-row delta
-    (reference load_file.py:2063-2074)."""
-    _prep(spark)
-    ev = _t(spark, sf_dir, "events")
-    return infer_frequency_seconds(ev, "ts").select(_r6(F.col("freq_seconds"), "freq_seconds"))
-
-
-SQL_infer_freq = """
-SELECT floor((median(d))*1000000 + 0.5)/1000000 AS freq_seconds FROM (
-  SELECT epoch(ts) - epoch(lag(ts) OVER (ORDER BY ts)) AS d FROM events
-) WHERE d IS NOT NULL
 """
 
 
