@@ -290,3 +290,63 @@ def test_tfidf_slot_integer_columns(spark, sf_dir):
     types = dict(out.dtypes)
     assert types["score_u"] == "bigint" and types["tf"] == "bigint"
     assert not any(t in ("double", "float") for t in types.values())
+
+
+def test_stats_exact_auto_threshold_keyed(spark):
+    """Auto-inferred threshold with group_cols: per-group doubled
+    medians broadcast-join on the key; gaps classify per group."""
+    base = datetime(2023, 1, 1)
+    rows = (
+        # series a: 10s spacing, one 300s gap (> 10×median)
+        [("a", base + timedelta(seconds=s)) for s in [0, 10, 20, 30, 330, 340, 350]]
+        # series b: 60s spacing, no gap beyond 10×median
+        + [("b", base + timedelta(seconds=60 * i)) for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP")
+    out = {
+        r["k"]: r
+        for r in continuity_stats_exact(df, "ts", group_cols=["k"]).collect()
+    }
+    assert out["a"]["freq_us_x2"] == 2 * 10 * 1_000_000
+    assert out["a"]["n_gaps"] == 1 and out["a"]["gap_total_us"] == 300 * 1_000_000
+    assert out["b"]["freq_us_x2"] == 2 * 60 * 1_000_000
+    assert out["b"]["n_gaps"] == 0 and out["b"]["coverage_micropct"] == 100_000_000
+
+
+def test_stats_exact_auto_matches_fixed(spark, sf_dir):
+    """Auto mode (broadcast-scalar threshold) must classify exactly the
+    rows the two-step collect-then-literal form classifies."""
+    ev = read_table(spark, sf_dir, "events")
+    f2 = int(infer_frequency_us2(ev, "ts").collect()[0][0])
+    auto = continuity_stats_exact(ev, "ts").collect()[0]
+    fixed = continuity_stats_exact(ev, "ts", gap_threshold_us=5 * f2).collect()[0]
+    for c in ("start_us", "end_us", "n_rows", "n_gaps", "gap_total_us",
+              "span_us", "coverage_micropct"):
+        assert auto[c] == fixed[c], c
+    assert auto["freq_us_x2"] == f2
+
+
+def test_dedup_store_mtime_staleness(spark, sf_dir, tmp_path):
+    """_dedup_store's retention contract (ADVICE r6): rewriting the
+    corpus under the same dir within one application must rebuild the
+    store (mtime in the key), and superseded builds are evicted."""
+    import os
+    import shutil
+
+    import __spark_entry__ as entry
+
+    d = tmp_path / "sfcopy"
+    d.mkdir()
+    for t in ("documents",):
+        shutil.copy(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
+    sdir = str(d)
+    s1 = entry._dedup_store(spark, sdir)
+    key1 = [k for k in entry._DEDUP_STORES if k[1] == sdir]
+    assert len(key1) == 1
+    assert entry._dedup_store(spark, sdir) is s1  # memo hit
+    # rewrite the corpus → different mtime → rebuild + eviction
+    os.utime(d / "documents.parquet")
+    s2 = entry._dedup_store(spark, sdir)
+    assert s2 is not s1
+    key2 = [k for k in entry._DEDUP_STORES if k[1] == sdir]
+    assert len(key2) == 1 and key2 != key1  # old entry evicted

@@ -426,12 +426,19 @@ def test_ppl_decile_boundary_margins(spark, sf_dir):
         pytest.skip("driver testdata not present")
     from pyspark.sql import functions as F
 
-    from time_series_loader_spark.operators.text import redact_pii, unigram_logprob
+    from time_series_loader_spark.operators.text import (
+        normalize_text,
+        redact_pii,
+        unigram_logprob,
+    )
     from time_series_loader_spark.session import read_table
 
     docs = read_table(spark, sf_dir, "documents")
-    # mirror q_corpus_filter's PII graft + scrub exactly — the gate's
-    # deciles are computed over THIS text, not the raw corpus
+    # mirror q_corpus_filter's r7 lineage exactly — PII graft + unicode
+    # graft + NFC normalize + scrub, pinned-ln logp — the gate's deciles
+    # are computed over THIS text with THESE integer micro-units
+    # (unigram_logprob(pinned_ln=True) produces the identical
+    # logp_u/mean values as the slot's str_to_map literal fold)
     graft = F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
         F.concat(
             F.lit(" reach user"),
@@ -443,13 +450,21 @@ def test_ppl_decile_boundary_margins(spark, sf_dir):
             F.lit(".1"),
         )
     )
-    grafted = docs.withColumn("text", F.concat(F.col("text"), graft))
+    ugraft = F.when(
+        F.col("doc_id") % 3 == 0, F.lit(" café zw​sp")
+    ).otherwise(F.lit(""))
+    grafted = normalize_text(
+        docs.withColumn("text", F.concat(F.col("text"), graft, ugraft)),
+        "text",
+        form="NFC",
+        strip_controls=True,
+    )
     clean = (
         redact_pii(grafted, "text", out_col="text_clean", count_col="n_pii")
         .drop("text")
         .withColumnRenamed("text_clean", "text")
     )
-    uni = unigram_logprob(clean, "text", "doc_id")
+    uni = unigram_logprob(clean, "text", "doc_id", pinned_ln=True)
     qs = [i / 10 for i in range(1, 10)]
     bounds = uni.agg(
         F.percentile("mean_logprob", F.array(*[F.lit(q) for q in qs]))
