@@ -66,21 +66,20 @@ def _with_prev_ts(
         w = Window.partitionBy(*group_cols).orderBy(ts_col)
         return df.withColumn("_prev_ts", F.lag(ts_col).over(w))
 
+    from time_series_loader_spark.functions.bucketing import (
+        time_bucket_column,
+        time_span,
+    )
+
     spark = df.sparkSession
     n = num_buckets or spark.sparkContext.defaultParallelism
-    b = df.agg(
-        F.min(ts_col).cast("double").alias("lo"), F.max(ts_col).cast("double").alias("hi")
-    ).collect()[0]
-    if b["lo"] is None or b["hi"] is None or b["hi"] <= b["lo"] or n <= 1:
+    lo, hi = time_span(df, ts_col)
+    if lo is None or hi is None or hi <= lo or n <= 1:
         w = Window.orderBy(ts_col)
         return df.withColumn("_prev_ts", F.lag(ts_col).over(w))
-    span = b["hi"] - b["lo"]
-    pid = F.least(
-        F.lit(n - 1),
-        F.floor((F.col(ts_col).cast("double") - F.lit(b["lo"])) / F.lit(span / n)),
-    ).alias("_pid")
-
-    bucketed = df.withColumn("_pid", pid)
+    # integer-µs bucketing (functions/bucketing.py): routing only —
+    # results are bucketing-invariant via the boundary carry below
+    bucketed = df.withColumn("_pid", time_bucket_column(ts_col, lo, hi - lo, n))
     # bounds from the PRE-window frame: a map-side-combined agg over
     # (pid, ts) — computing it from the windowed frame would force the
     # expensive sort to evaluate twice

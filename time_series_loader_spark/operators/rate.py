@@ -123,7 +123,15 @@ def counter_increase(
     )
     reset = F.col("_v") < F.col("_prev")
     contrib = F.when(reset, F.col("_v")).otherwise(F.col("_v") - F.col("_prev"))
-    bucket = F.floor(F.unix_micros(F.col(ts_col)) / step_us)
+    # integer floor-division for the bucket id: the float form
+    # floor(us/step) is exact only while us/step stays clear of a
+    # double-rounding boundary — for very large steps (e.g. 3650D,
+    # step ≈ 3.2e17 µs) a sample 1 µs before a bucket edge can round
+    # UP across it. Sign-corrected `div` is exact for every int64.
+    bucket = F.expr(
+        f"unix_micros(`{ts_col}`) div {step_us}L"
+        f" - CASE WHEN unix_micros(`{ts_col}`) % {step_us}L < 0 THEN 1 ELSE 0 END"
+    )
     out = (
         lagged.select(
             *group_cols,
