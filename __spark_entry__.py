@@ -2818,7 +2818,11 @@ def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ti.unionByName(uni)
 
 
-_SQL_LNU = "read_parquet('/root/repo/time_series_loader_spark/resources/ln_u_micro.parquet')"
+from time_series_loader_spark.operators.ln_pinned import LN_U_PATH as _LN_U_PATH
+
+# path derived from the installed package location (not hardcoded) so the
+# oracle SQL keeps working if the repo is checked out elsewhere
+_SQL_LNU = f"read_parquet('{_LN_U_PATH}')"
 
 SQL_tfidf_top3 = f"""
 WITH lnu AS (SELECT k, ln_u FROM {_SQL_LNU}),
