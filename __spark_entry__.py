@@ -2920,6 +2920,189 @@ FROM lineitem GROUP BY 1
 """
 
 
+_DSIR_B = 4096
+_DSIR_K = 100
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-weighted data selection (Xie et al. 2023,
+    arXiv:2302.03169; operators/dsir.py): hashed unigram+bigram bucket
+    models of the en-language target vs the raw corpus, per-doc log
+    importance ratio, deterministic top-100 selection.
+
+    INTEGER-PURE by construction: every logarithm is a pinned-table
+    lookup (``resources/ln_u_micro.parquet``, the r7 contract shared
+    with tfidf_top3), scores are exact BIGINT µunits, and the selection
+    boundary is an integer/id comparison — output columns are BIGINT/INT
+    only, so the slot hashes identically under any driver normalization.
+
+    Scale shape: ONE corpus explode → (doc,bucket) counts; both LMs are
+    two conditional sums over that frame (bucket-sized agg); the λ table
+    broadcasts back; selection = TakeOrderedAndProject of the k-th
+    (score, id) boundary (k driver rows) + broadcast flag — no global
+    rank window over the doc frame."""
+    _prep(spark)
+    from time_series_loader_spark.operators.dsir import dsir_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = dsir_score(
+        docs, "text", "doc_id", F.col("lang") == "en",
+        n_buckets=_DSIR_B, pinned_ln=True, integer_outputs=True,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    kth = (
+        scored.select("score_u", "doc_id")
+        .orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+        .limit(_DSIR_K)
+        .collect()
+    )
+    if kth:
+        b_s, b_id = kth[-1]["score_u"], kth[-1]["doc_id"]
+        sel = (F.col("score_u") > F.lit(b_s)) | (
+            (F.col("score_u") == F.lit(b_s)) & (F.col("doc_id") <= F.lit(b_id))
+        )
+    else:
+        sel = F.lit(False)
+    return scored.select(
+        "doc_id", "n_feats", "score_u", sel.cast("int").alias("selected")
+    )
+
+
+def _sql_dsir_select(n_buckets: int = _DSIR_B, k: int = _DSIR_K) -> str:
+    d = [
+        _SQL_HEXD.format(h="md5(f)", i=i) for i in (1, 2, 3, 4)
+    ]
+    bucket = (
+        f"(4096*({d[0]}) + 256*({d[1]}) + 16*({d[2]}) + ({d[3]})) % {n_buckets}"
+    )
+    return f"""
+WITH lnu AS (SELECT k, ln_u FROM {_SQL_LNU}),
+tok AS (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents),
+feats AS (
+  SELECT doc_id, lang, f
+  FROM tok, LATERAL (SELECT UNNEST(list_concat(
+    t, list_transform(range(1, len(t)), i -> t[CAST(i AS BIGINT)] || ' ' || t[CAST(i + 1 AS BIGINT)])
+  )) AS f)
+),
+dbc AS (
+  SELECT doc_id, lang, CAST({bucket} AS BIGINT) AS bucket, count(*) AS c
+  FROM feats GROUP BY 1, 2, 3
+),
+model AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(c) AS BIGINT) AS cr
+  FROM dbc GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM model),
+lam AS (
+  SELECT bucket,
+         (l1.ln_u - (SELECT ln_u FROM lnu, tot WHERE k = nt + {n_buckets}))
+       - (l2.ln_u - (SELECT ln_u FROM lnu, tot WHERE k = nr + {n_buckets})) AS lam_u
+  FROM model
+  JOIN lnu l1 ON l1.k = model.ct + 1
+  JOIN lnu l2 ON l2.k = model.cr + 1
+),
+scored AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+         CAST(SUM(c * lam_u) AS BIGINT) AS score_u
+  FROM dbc JOIN lam USING (bucket) GROUP BY 1
+)
+SELECT doc_id, n_feats, score_u,
+       CAST(CASE WHEN row_number() OVER (ORDER BY score_u DESC, doc_id ASC) <= {k}
+                 THEN 1 ELSE 0 END AS INT) AS selected
+FROM scored
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540;
+    operators/semdedup.py): k-means-cluster embeddings with the PINNED
+    coarse quantizer (operators/ivf_pinned.py, fold_assign → bit-exact
+    cell choice), connect intra-cluster pairs with cosine ≥ 0.45 (demo
+    threshold — the synthetic embeddings top out near 0.51), keep the
+    lowest-centroid-cosine member of each duplicate group. Every float
+    in the verdict path (cell distance, centroid cosine, pair cosine)
+    is an ordered fold shared bit-for-bit with the oracle, so keep/drop
+    decisions are engine-identical; output rounds cent_cos to 6dp via
+    the shared floor form."""
+    _prep(spark)
+    from time_series_loader_spark.operators.ivf_pinned import IVF_CENTROIDS
+    from time_series_loader_spark.operators.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semdedup(
+        emb, "vec_id", "embedding", IVF_CENTROIDS, threshold=0.45,
+        fold_assign=True,
+    )
+    return out.select(
+        "vec_id", "cell", _r6(F.col("cent_cos"), "cent_cos"), "kept"
+    )
+
+
+def _sql_semantic_dedup(threshold: float = 0.45) -> str:
+    from time_series_loader_spark.operators.ivf_pinned import IVF_CENTROIDS
+    from time_series_loader_spark.operators.similarity import fold_sq_norms
+
+    c2 = fold_sq_norms(IVF_CENTROIDS)
+    rows = ",\n         ".join(
+        f"({j}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]), {c2[j]!r})"
+        for j, c in enumerate(IVF_CENTROIDS)
+    )
+    cdot = (
+        "list_reduce(list_transform(range(1, 65), i -> "
+        "CAST(e.embedding[CAST(i AS BIGINT)] AS DOUBLE) * c.cvec[CAST(i AS BIGINT)]), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+WITH RECURSIVE cents(cell, cvec, c2) AS (
+  VALUES {rows}
+),
+cell_rank AS (
+  SELECT e.vec_id, c.cell, {cdot} AS cd, c.c2 AS cc2,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY c.c2 - 2 * {cdot}, c.cell) AS r
+  FROM embeddings e CROSS JOIN cents c
+),
+norms AS (
+  SELECT vec_id, sqrt({_SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+assigned AS (
+  SELECT a.vec_id, a.cell, a.cd / (n.nrm * sqrt(a.cc2)) AS cent_cos
+  FROM cell_rank a JOIN norms n USING (vec_id) WHERE a.r = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  WHERE {_SQL_DOT.format(a='ea.embedding', b='eb.embedding')} / (na.nrm * nb.nrm)
+        >= {threshold}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+ranked AS (
+  SELECT m.node, row_number() OVER (PARTITION BY m.component
+           ORDER BY a.cent_cos ASC, m.node ASC) AS rn
+  FROM comp m JOIN assigned a ON a.vec_id = m.node
+),
+dropped AS (SELECT node AS vec_id FROM ranked WHERE rn > 1)
+SELECT a.vec_id, a.cell,
+       floor((a.cent_cos)*1000000 + 0.5)/1000000 AS cent_cos,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
 def q_tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-like shipping priority: filter both sides of a 3-way join,
     aggregate revenue, top-10. Catalyst pushes both date filters to the
@@ -4209,6 +4392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": q_distinct_agg,
         "set_ops": q_set_ops,
         "quantiles": q_quantiles,
+        "dsir_select": q_dsir_select,
+        "semantic_dedup": q_semantic_dedup,
         # rows-only, deliberately LAST in dict order and with NO
         # oracle_sql entry: records the driver environment so a version-
         # drift hypothesis for any red slot is falsifiable from the
@@ -4270,4 +4455,6 @@ def oracle_sql() -> dict[str, str]:
         "distinct_agg": SQL_distinct_agg,
         "set_ops": SQL_set_ops,
         "quantiles": SQL_quantiles,
+        "dsir_select": _sql_dsir_select(),
+        "semantic_dedup": _sql_semantic_dedup(),
     }
