@@ -3025,7 +3025,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the verdict path (cell distance, centroid cosine, pair cosine)
     is an ordered fold shared bit-for-bit with the oracle, so keep/drop
     decisions are engine-identical; output rounds cent_cos to 6dp via
-    the shared floor form."""
+    the shared floor form. Runs the default ``kernel="block"`` — the
+    blocked-matmul scale path — which is bit-equal to the all-pairs
+    fold form (margin candidates + fold verification; equality pinned
+    by test_block_kernel_bit_equals_fold), so the gate certifies the
+    100 TB kernel, not a toy stand-in."""
     _prep(spark)
     from time_series_loader_spark.operators.ivf_pinned import IVF_CENTROIDS
     from time_series_loader_spark.operators.semdedup import semdedup
@@ -3100,6 +3104,65 @@ SELECT a.vec_id, a.cell,
        floor((a.cent_cos)*1000000 + 0.5)/1000000 AS cent_cos,
        CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
 FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
+_MIX_W = {"en": 50, "de": 15, "fr": 15, "es": 10, "zh": 10}
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture plan with per-domain epochs (operators/mixing.py;
+    the published data-mixing recipe — Pile arXiv:2101.00027 Table 1,
+    LLaMA arXiv:2302.13971 Table 1, DoReMi arXiv:2305.10429): target
+    lang weights 50/15/15/10/10 over a budget of 2× the corpus's total
+    tokens, so under-weighted-supply domains repeat (epochs ≥ 2) and
+    the rest carry a deterministic md5-greedy partial epoch.
+
+    INTEGER-PURE end to end: token counts, integer-floor budget split,
+    div/mod epochs, greedy prefix sums — no float exists in either
+    engine's plan. Runs ``mode="hist"`` (the 100 TB boundary-bucket
+    form) against a window-cumsum oracle: the gate certifies both the
+    plan AND the hist≡window equivalence cross-engine. The collected
+    corpus token total is a sanctioned query-shaping scalar (the oracle
+    derives the same total as a subquery)."""
+    _prep(spark)
+    from time_series_loader_spark.operators.mixing import mixture_plan
+    from time_series_loader_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.select(
+        F.sum(F.size(tokens("text")).cast("long")).alias("t")
+    ).collect()[0]["t"]
+    return mixture_plan(
+        docs, "lang", "doc_id", _MIX_W, 2 * int(total), mode="hist"
+    )
+
+
+def _sql_domain_mix(weights: dict[str, int] = _MIX_W) -> str:
+    sw = sum(weights.values())
+    vals = ", ".join(f"('{d}', {w})" for d, w in sorted(weights.items()))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, CAST(len({_SQL_TOKENS}) AS BIGINT) AS toks FROM documents
+),
+nd AS (
+  SELECT w.lang, CAST((2 * t.total * w.w) // {sw} AS BIGINT) AS nd
+  FROM (VALUES {vals}) AS w(lang, w)
+  CROSS JOIN (SELECT SUM(toks) AS total FROM tok) t
+),
+cum AS (
+  SELECT doc_id, lang, toks,
+         SUM(toks) OVER (PARTITION BY lang) AS t,
+         SUM(toks) OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok
+)
+SELECT c.doc_id, c.lang, c.toks,
+       CAST(COALESCE(n.nd // c.t
+              + CASE WHEN c.cum <= n.nd % c.t THEN 1 ELSE 0 END, 0)
+            AS BIGINT) AS n_copies
+FROM cum c LEFT JOIN nd n ON n.lang = c.lang
 """
 
 
@@ -4394,6 +4457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "dsir_select": q_dsir_select,
         "semantic_dedup": q_semantic_dedup,
+        "domain_mix": q_domain_mix,
         # rows-only, deliberately LAST in dict order and with NO
         # oracle_sql entry: records the driver environment so a version-
         # drift hypothesis for any red slot is falsifiable from the
@@ -4457,4 +4521,5 @@ def oracle_sql() -> dict[str, str]:
         "quantiles": SQL_quantiles,
         "dsir_select": _sql_dsir_select(),
         "semantic_dedup": _sql_semantic_dedup(),
+        "domain_mix": _sql_domain_mix(),
     }

@@ -141,3 +141,41 @@ def test_pinned_centroids_on_testdata(spark, sf_dir):
     # verdicts are deterministic across a second run
     again = {(r["vec_id"], r["kept"]) for r in out.collect()}
     assert again == {(r["vec_id"], r["kept"]) for r in rows}
+
+
+def test_block_kernel_bit_equals_fold(spark, sf_dir):
+    """kernel='block' (margin matmul candidates + fold verify) must be
+    bit-identical to kernel='fold' (all-pairs exact fold) — the scale
+    path IS the certified path."""
+    from time_series_loader_spark.operators.ivf_pinned import IVF_CENTROIDS
+    from time_series_loader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    kw = dict(threshold=0.45, fold_assign=True)
+    fold = {
+        (r["vec_id"], r["cell"], r["cent_cos"], r["kept"])
+        for r in semdedup(
+            emb, "vec_id", "embedding", IVF_CENTROIDS, kernel="fold", **kw
+        ).collect()
+    }
+    blk = {
+        (r["vec_id"], r["cell"], r["cent_cos"], r["kept"])
+        for r in semdedup(
+            emb, "vec_id", "embedding", IVF_CENTROIDS, kernel="block", **kw
+        ).collect()
+    }
+    assert blk == fold
+    # and with a tile size that forces multi-tile paths inside a cell
+    tiny = {
+        (r["vec_id"], r["kept"])
+        for r in semdedup(
+            emb, "vec_id", "embedding", IVF_CENTROIDS, kernel="block",
+            block=16, **kw
+        ).collect()
+    }
+    assert tiny == {(v, k) for v, _, _, k in fold}
+
+
+def test_bad_kernel(spark, emb_df):
+    with pytest.raises(ValueError, match="kernel"):
+        semdedup(emb_df, "vec_id", "embedding", CENTS, kernel="nope")

@@ -18,11 +18,16 @@ Pipeline (the paper's, re-expressed Spark-first):
 
 Scale shape: cluster assignment is one Arrow matvec kernel pass (no
 shuffle); the ONLY shuffle keys by cell, so every pairwise comparison
-is cluster-local — never corpus×corpus. Cluster sizes play the role
-`embedding_near_dup_pairs` gives LSH buckets: k chosen so n/k rows fit
-a task (the paper uses k ≈ √n·C; for degenerate hot cells the blocked-
-matmul kernel of `embedding_near_dup_pairs` is the drop-in — this
-module's exact-fold join path is the oracle-certifiable form). The
+is cluster-local — never corpus×corpus. Within a cell the default
+``kernel="block"`` runs the `embedding_near_dup_pairs` phase-1 recipe
+(blocked numpy matmul tiles over an applyInPandas group, margin-safe
+candidates) and verifies only the survivors with the exact fold — so
+the m²·dim bulk is vectorized while the verdict stays bit-identical to
+the plain all-pairs fold join (``kernel="fold"``, kept as the
+differential-certification form; the r7 10× probe measured the fold
+join at 12× wall vs the kernel's near-flat slope). k still governs m:
+the paper's k ≈ √n·C keeps cells task-sized as n grows; degenerate hot
+cells are bounded by the same O(m·dim + block²) tile memory. The
 duplicate-group relabeling is pair-set-sized (`graph.connected_
 components`: driver union-find under `driver_max_edges`, distributed
 label propagation above). Cross-cluster near-dups are invisible by
@@ -37,6 +42,8 @@ same literals (`similarity._nearest_cells_udf` fold semantics ≡ DuckDB
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -51,6 +58,54 @@ from .similarity import (
 __all__ = ["semdedup"]
 
 
+def _cell_candidates_block(
+    base: DataFrame, id_col: str, threshold: float, block: int
+) -> DataFrame:
+    """Intra-cell candidate pairs via blocked matmul tiles — the
+    `similarity.embedding_near_dup_pairs` phase-1 kernel with cells as
+    the buckets. Keeps every pair whose EXACT fold cosine could reach
+    ``threshold`` (margin 1e-6 ≫ the ≲1e-15 relative fold-vs-matmul
+    summation-order drift at these dims); the caller's exact-fold
+    phase 2 makes the final verdict, so the composition is bit-identical
+    to the all-pairs fold join while the m²·dim work runs as numpy
+    matmuls, O(m·dim + block²) memory per task."""
+    margin = 1e-6
+    id_type = base.schema[id_col].dataType.simpleString()
+    cand_schema = f"id_a {id_type}, id_b {id_type}"
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                pdf[id_col].dtype
+            )
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].to_numpy()[order]]
+        )
+        nrm = pdf["_n"].to_numpy()[order]
+        out_a, out_b = [], []
+        for i0 in range(0, m, block):
+            i1 = min(i0 + block, m)
+            for j0 in range(i0, m, block):
+                j1 = min(j0 + block, m)
+                cos = (V[i0:i1] @ V[j0:j1].T) / np.outer(nrm[i0:i1], nrm[j0:j1])
+                keep = cos >= threshold - margin
+                if i0 == j0:
+                    keep &= np.triu(np.ones_like(keep), k=1).astype(bool)
+                ii, jj = np.nonzero(keep)
+                out_a.append(ids[i0 + ii])
+                out_b.append(ids[j0 + jj])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return base.select(id_col, "cell", "_v", "_n").groupBy("cell").applyInPandas(
+        cell_pairs, cand_schema
+    )
+
+
 def semdedup(
     df: DataFrame,
     id_col: str,
@@ -59,13 +114,26 @@ def semdedup(
     threshold: float = 0.95,
     fold_assign: bool = False,
     driver_max_edges: int | None = 100_000,
+    kernel: str = "block",
+    block: int = 2048,
 ) -> DataFrame:
     """Per-embedding SemDeDup verdict:
     (``id_col``, cell, cent_cos, kept) — ``kept=0`` iff the row is a
     non-representative member of an intra-cluster duplicate group.
 
     ``threshold`` is the paper's 1−ε on pairwise cosine; the kept
-    representative per group is argmin (cent_cos, id)."""
+    representative per group is argmin (cent_cos, id).
+
+    ``kernel``: how intra-cell pairs are found. ``"block"`` (default,
+    the scale path) generates margin-safe candidates with per-cell
+    blocked matmul tiles and verifies ONLY the survivors with the exact
+    fold — same verdicts bit-for-bit, but the m²·dim bulk runs as numpy
+    instead of a Catalyst fold per pair (measured 12× at a 10× corpus).
+    ``"fold"`` evaluates the exact fold on every intra-cell pair via a
+    self-join — the plain oracle-shaped form, kept for differential
+    certification of the kernel itself."""
+    if kernel not in ("block", "fold"):
+        raise ValueError(f"kernel must be 'block' or 'fold', got {kernel!r}")
     spark = df.sparkSession
     c2 = fold_sq_norms(centroids)
     cents = F.broadcast(
@@ -90,27 +158,48 @@ def semdedup(
             "cent_cos"
         ),
     )
-    a = base.select(
-        F.col(id_col).alias("id_a"), "cell",
-        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
-    )
-    b = base.select(
-        F.col(id_col).alias("id_b"), "cell",
-        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
-    )
-    pairs = (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (dot_exact(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
-                "_cos"
-            ),
+    if kernel == "block":
+        cand = _cell_candidates_block(base, id_col, threshold, block)
+        va = base.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("_va"), F.col("_n").alias("_na"),
         )
-        .where(F.col("_cos") >= F.lit(threshold))
-        .select("id_a", "id_b")
-    )
+        vb = base.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+        )
+        pairs = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .where(
+                dot_exact(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+                >= F.lit(threshold)
+            )
+            .select("id_a", "id_b")
+        )
+    else:
+        a = base.select(
+            F.col(id_col).alias("id_a"), "cell",
+            F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"), "cell",
+            F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+        )
+        pairs = (
+            a.join(b, "cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                (dot_exact(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                    "_cos"
+                ),
+            )
+            .where(F.col("_cos") >= F.lit(threshold))
+            .select("id_a", "id_b")
+        )
     comp = connected_components(
         pairs, "id_a", "id_b", driver_max_edges=driver_max_edges
     )
