@@ -20,13 +20,17 @@ from collections.abc import Callable
 from datetime import datetime
 
 # one-line environment echo (VERDICT r6 directive #5): if the driver
-# captures stdout around the gate run, the oracle engine's build lands in
-# the round record; '# '-prefixed like bench.py's section lines so JSON
-# tail-parsers skip it
+# captures output around the gate run, the oracle engine's build lands in
+# the round record. MUST go to stderr: bench.py imports this module and
+# its stdout contract is EXACTLY ONE JSON line (a stdout echo here broke
+# `python bench.py 2>/dev/null` — caught in r7 verification), and stderr
+# is where bench.py's own '# '-prefixed section lines already go
 try:  # pragma: no cover - trivially environment-dependent
+    import sys as _sys
+
     import duckdb as _duckdb_v
 
-    print(f"# env: duckdb={_duckdb_v.__version__}", flush=True)
+    print(f"# env: duckdb={_duckdb_v.__version__}", file=_sys.stderr, flush=True)
 except Exception:
     pass
 
@@ -2391,6 +2395,42 @@ FROM w
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/chunking.py): HF-stride
+    semantics — windows of 64 tokens every 48 (overlap 16), the first
+    window reaching the document end is the last. INTEGER/STRING-pure:
+    window count, starts and lengths are exact integer arithmetic over
+    the token array; chunk text is a token-slice join. Zero shuffle —
+    the fan-out is a map-side sequence+explode inside one codegen stage."""
+    _prep(spark)
+    from time_series_loader_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, "doc_id", chunk_tokens=64, overlap_tokens=16)
+
+
+SQL_chunk_documents = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+sized AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM tok
+  WHERE len(t) > 0
+),
+fan AS (
+  SELECT doc_id, t, n,
+         UNNEST(range(0, 1 + (greatest(n - 64, 0) + 47) // 48)) AS chunk_id
+  FROM sized
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+       CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_chunk_tok,
+       array_to_string(t[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ') AS chunk_text
+FROM fan
+"""
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization (``F.session_window`` + watermark), the
     streaming counterpart of `sessionize`: per-user sessions split on
@@ -4458,6 +4498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "semantic_dedup": q_semantic_dedup,
         "domain_mix": q_domain_mix,
+        "chunk_documents": q_chunk_documents,
         # rows-only, deliberately LAST in dict order and with NO
         # oracle_sql entry: records the driver environment so a version-
         # drift hypothesis for any red slot is falsifiable from the
@@ -4522,4 +4563,5 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _sql_dsir_select(),
         "semantic_dedup": _sql_semantic_dedup(),
         "domain_mix": _sql_domain_mix(),
+        "chunk_documents": SQL_chunk_documents,
     }
