@@ -2978,9 +2978,13 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE corpus explode → (doc,bucket) counts; both LMs are
     two conditional sums over that frame (bucket-sized agg); the λ table
-    broadcasts back; selection = TakeOrderedAndProject of the k-th
-    (score, id) boundary (k driver rows) + broadcast flag — no global
-    rank window over the doc frame."""
+    (pinned-ln joins, in-plan) broadcasts back; selection =
+    TakeOrderedAndProject of the k-th (score, id) boundary (k driver
+    rows) + broadcast flag — no global rank window over the doc frame.
+    The scored frame (3 integer cols per doc — the materialization any
+    DSIR selection pass writes before top-k at 100 TB) is
+    localCheckpoint'ed once so the boundary probe and the final result
+    read it instead of replaying the corpus explode per action."""
     _prep(spark)
     from time_series_loader_spark.operators.dsir import dsir_score
 
@@ -2989,7 +2993,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", F.col("lang") == "en",
         n_buckets=_DSIR_B, pinned_ln=True, integer_outputs=True,
         min_parallelism=spark.sparkContext.defaultParallelism,
-    )
+    ).localCheckpoint()
     kth = (
         scored.select("score_u", "doc_id")
         .orderBy(F.col("score_u").desc(), F.col("doc_id").asc())

@@ -25,8 +25,13 @@ count), not text. BOTH models then derive from that same frame by a
 ``n_buckets``-sized second aggregate (no second corpus scan: the
 target flag rides the rows as a boolean and the two models are two
 conditional sums). The per-bucket log-ratio table is ``n_buckets``
-rows — broadcast back, one per-doc integer sum. N_target/N_raw are two
-driver scalars (one tiny action, sanctioned query-shaping scalars).
+rows — broadcast back, one per-doc integer sum. N_target/N_raw come
+from a LIGHT tokenizer scan (closed-form per-doc feature count
+``n + max(n−1, 0)`` — no explode, no shuffle, one 1-row agg), so the
+expensive explode lineage is never evaluated just for the totals; in
+pinned mode λ joins the cached pinned-ln table IN-PLAN, keeping the
+bucket model inside the same action as the doc scores (shared exchange
+reused, not replayed).
 
 ``pinned_ln=True`` (oracle-certification mode, same contract as
 `text.py::tfidf`): every logarithm is a lookup in the frozen
@@ -127,46 +132,88 @@ def dsir_score(
     ``score = Σ_b c_b · (logp_target(b) − logp_raw(b))`` with add-1
     smoothing; buckets absent from the corpus contribute nothing.
     """
-    dbc = hashed_ngram_counts(
-        df.withColumn("_tgt", target), text_col, id_col, n_buckets, ("_tgt",),
-        min_parallelism=min_parallelism,
+    # Model totals N_t/N_r from a LIGHT tokenizer scan — no explode, no
+    # shuffle (one 1-row agg): per-doc feature count is closed-form,
+    # n + max(n−1, 0) unigrams+bigrams, and equals the model's column
+    # sums by construction. The previous shape collected the bucket
+    # model itself for the totals, which evaluated the full explode
+    # lineage as a separate action (⅓ of the slot's r7 bench cost).
+    t = tokens(text_col)
+    nf = (F.size(t) + F.greatest(F.size(t) - F.lit(1), F.lit(0))).cast("long")
+    tot = (
+        df.select(target.alias("_tgt"), nf.alias("_nf"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_tgt"), F.col("_nf")).otherwise(F.lit(0))),
+                F.lit(0),
+            ).alias("nt"),
+            F.coalesce(F.sum("_nf"), F.lit(0)).alias("nr"),
+        )
+        .collect()[0]
     )
-    model = dbc.groupBy("bucket").agg(
-        F.sum(F.when(F.col("_tgt"), F.col("c")).otherwise(F.lit(0))).alias("ct"),
-        F.sum("c").alias("cr"),
+    nt, nr = int(tot["nt"]), int(tot["nr"])
+    d2 = df.withColumn("_tgt", target)
+    if min_parallelism and d2.rdd.getNumPartitions() < min_parallelism:
+        d2 = d2.repartition(min_parallelism)
+    feats = d2.select(
+        F.col(id_col),
+        F.col("_tgt"),
+        F.explode(F.concat(t, _bigrams(t))).alias("_feat"),
+    ).select(
+        id_col, "_tgt", feature_bucket(F.col("_feat"), n_buckets).alias("bucket")
+    )
+    dbc = feats.groupBy(id_col, "_tgt", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # The bucket model aggregates the exploded stream DIRECTLY (4096
+    # distinct keys → map-side combine collapses the exchange to
+    # ~n_buckets rows per partition) instead of stacking a second
+    # exchange on the (doc, bucket) aggregate: Spark 4's AQE does not
+    # reuse the shared sub-exchange across the model and score branches
+    # (verified empirically on the minimal agg-rejoin repro), so each
+    # branch pays its own corpus pass and the model branch should be
+    # the cheap straight-pipeline one.
+    model = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tgt"), F.lit(1)).otherwise(F.lit(0))).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
     )
     if pinned_ln:
-        from .ln_pinned import ln_u_lookup
+        from .ln_pinned import ln_u_df, ln_u_lookup
 
-        # the model is BOUNDED by n_buckets (a config constant — the
-        # paper uses ~1e4), so collecting it is a driver-safe panel
-        # (same sanctioned pattern as corpus_filter's decile
-        # boundaries), and λ comes from driver-side pinned lookups —
-        # no 4M-row pinned-table join in the plan, and the totals fall
-        # out of the same collect instead of a second action. Lookups
-        # raise loudly if N+B leaves the pinned domain.
-        rows = model.collect()
-        nt = sum(int(r["ct"]) for r in rows)
-        nr = sum(int(r["cr"]) for r in rows)
+        # Driver-side lookups of the DOMAIN MAXIMA are the loud
+        # out-of-range guard: every per-bucket key satisfies
+        # ct+1 ≤ nt+B and cr+1 ≤ nr+B, so if these two succeed the
+        # in-plan inner joins below cannot drop a bucket.
         base_t = ln_u_lookup(nt + n_buckets)
         base_r = ln_u_lookup(nr + n_buckets)
-        lam = df.sparkSession.createDataFrame(
-            [
+        # λ stays IN-PLAN: the bucket model (≤ n_buckets rows) joins the
+        # cached pinned table twice (broadcast model side) instead of
+        # being collected — so the corpus explode lineage is evaluated
+        # inside the same action as the scores, where the shared
+        # (id, bucket) aggregate exchange is reused, not replayed.
+        lnu = ln_u_df(df.sparkSession)
+        keyed = model.select(
+            "bucket",
+            (F.col("ct") + 1).alias("_kt"),
+            (F.col("cr") + 1).alias("_kr"),
+        )
+        j1 = (
+            lnu.select(F.col("k").alias("_kt"), F.col("ln_u").alias("_lt"))
+            .join(F.broadcast(keyed), "_kt")
+            .select("bucket", "_kr", "_lt")
+        )
+        lam = (
+            lnu.select(F.col("k").alias("_kr"), F.col("ln_u").alias("_lr"))
+            .join(F.broadcast(j1), "_kr")
+            .select(
+                "bucket",
                 (
-                    int(r["bucket"]),
-                    (ln_u_lookup(int(r["ct"]) + 1) - base_t)
-                    - (ln_u_lookup(int(r["cr"]) + 1) - base_r),
-                )
-                for r in rows
-            ],
-            "bucket long, _lam_u long",
+                    (F.col("_lt") - F.lit(base_t))
+                    - (F.col("_lr") - F.lit(base_r))
+                ).alias("_lam_u"),
+            )
         )
     else:
-        tot = model.agg(
-            F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"),
-            F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"),
-        ).collect()[0]
-        nt, nr = int(tot["nt"]), int(tot["nr"])
         lam = model.select(
             "bucket",
             F.floor(
