@@ -2993,7 +2993,11 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", F.col("lang") == "en",
         n_buckets=_DSIR_B, pinned_ln=True, integer_outputs=True,
         min_parallelism=spark.sparkContext.defaultParallelism,
-    ).localCheckpoint()
+    )
+    if not os.environ.get("SPARK_GRAFT_PLAN_AUDIT"):
+        # tools/plan_audit.py sets the flag to audit the real compute
+        # plan — a checkpoint-backed frame would show an empty plan
+        scored = scored.localCheckpoint()
     kth = (
         scored.select("score_u", "doc_id")
         .orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
