@@ -156,3 +156,41 @@ def test_validation():
 def test_bad_mode(spark, docs):
     with pytest.raises(ValueError, match="mode"):
         mixture_plan(docs, "lang", "doc_id", W, 10, mode="nope")
+
+
+def test_zero_token_domain_via_tok_col(spark):
+    """A domain whose every doc has 0 tokens (reachable only through a
+    caller tok_col — the tokenizer path floors at 1) must yield
+    n_copies = 0 everywhere, never NULL (`_nd div _t` guard), in BOTH
+    modes."""
+    rows = [(i, "empty", 0) for i in range(5)] + [
+        (10 + i, "en", 100) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, toks long")
+    for mode in ("window", "hist"):
+        out = mixture_plan(
+            df, "lang", "doc_id", {"empty": 1, "en": 1}, 400,
+            text_col=None, tok_col="toks", mode=mode,
+        ).collect()
+        got = {r["doc_id"]: r["n_copies"] for r in out}
+        assert all(v is not None for v in got.values()), mode
+        assert all(got[i] == 0 for i in range(5)), mode  # zero-token domain
+        assert sum(got[10 + i] * 100 for i in range(5)) <= 200, mode
+
+
+def test_null_toks_count_as_zero(spark):
+    """NULL token counts coalesce to 0: the plan stays fully defined and
+    window/hist stay bit-equal."""
+    rows = [(0, "en", None), (1, "en", 60), (2, "en", 40), (3, "en", 50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, toks long")
+    a = plan_dict(
+        mixture_plan(df, "lang", "doc_id", {"en": 1}, 100,
+                     text_col=None, tok_col="toks", mode="window")
+    )
+    b = plan_dict(
+        mixture_plan(df, "lang", "doc_id", {"en": 1}, 100,
+                     text_col=None, tok_col="toks", mode="hist")
+    )
+    assert a == b
+    assert all(n is not None for _, (_, _, n) in a.items())
+    assert a[0][1] == 0  # null toks emitted as 0

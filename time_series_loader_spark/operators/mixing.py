@@ -95,6 +95,13 @@ def mixture_plan(
     ``mode="window"`` is the exact oracle-certifiable form;
     ``mode="hist"`` computes the identical plan with the boundary-bucket
     trick (module doc) and is the 100 TB path.
+
+    Caller-``tok_col`` edge semantics (identical in both modes, tested):
+    NULL token counts coalesce to 0; zero-token docs inside a
+    positive-token domain still ride the greedy prefix for free (they
+    cost nothing); a domain whose TOTAL is 0 gets ``n_copies = 0``
+    everywhere — it cannot absorb budget, and the unguarded math
+    (``_nd div 0``) would be NULL.
     """
     if mode not in ("window", "hist"):
         raise ValueError(f"mode must be 'window' or 'hist', got {mode!r}")
@@ -108,10 +115,15 @@ def mixture_plan(
         *[x for d, n in sorted(budgets.items()) for x in (F.lit(d), F.lit(n))]
     )
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    # NULL token counts (possible only via a caller tok_col) count as 0,
+    # so domain totals are always defined; an ALL-zero domain (_t = 0 —
+    # again only reachable via tok_col, the tokenizer path floors at 1)
+    # would make `_nd div _t` NULL in both modes, so n_copies is guarded
+    # to 0 there: a domain holding zero tokens can't absorb budget.
     base = df.select(
         F.col(id_col),
         F.col(domain_col),
-        toks.alias("toks"),
+        F.coalesce(toks, F.lit(0)).alias("toks"),
         h.alias("_h"),
     ).withColumn("_nd", F.coalesce(nd_map[F.col(domain_col)], F.lit(0)))
 
@@ -127,12 +139,15 @@ def mixture_plan(
             .withColumn("_rem", F.col("_nd") % F.col("_t"))
             .withColumn(
                 "n_copies",
-                (
+                F.when(
+                    F.col("_t") > 0,
                     F.col("_q")
                     + F.when(F.col("_cum") <= F.col("_rem"), F.lit(1)).otherwise(
                         F.lit(0)
-                    )
-                ).cast("long"),
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long"),
             )
         )
         return planned.select(id_col, domain_col, "toks", "n_copies")
@@ -153,43 +168,65 @@ def mixture_plan(
     panel = (
         hist.withColumn("_t", F.sum("_bt").over(wdom))
         .withColumn("_before", F.sum("_bt").over(wpre) - F.col("_bt"))
-        .withColumn("_q", F.expr("_nd div _t"))
-        .withColumn("_rem", F.col("_nd") % F.col("_t"))
+        .withColumn(
+            "_q",
+            F.when(F.col("_t") > 0, F.expr("_nd div _t")).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_rem",
+            F.when(F.col("_t") > 0, F.col("_nd") % F.col("_t")).otherwise(
+                F.lit(0)
+            ),
+        )
         .select(
             domain_col,
             "_b",
             "_q",
-            # residual partial-epoch budget entering this bucket,
-            # clamped to [0, _bt]: buckets fully inside the partial
-            # epoch take all their rows, buckets past it take none,
-            # exactly one bucket per domain needs a within-bucket rank
-            F.greatest(
-                F.lit(0), F.least(F.col("_bt"), F.col("_rem") - F.col("_before"))
-            ).alias("_take"),
+            # UNCLAMPED residual partial-epoch budget entering this
+            # bucket (may be negative). Routing must use it raw: a
+            # clamped take=0 cannot distinguish "budget exhausted
+            # strictly before this bucket" (no copies at all) from
+            # "budget lands exactly on this bucket's doorstep"
+            # (_avail = 0 — zero-token rows at the bucket's greedy
+            # FRONT still ride free, as the window form grants them)
+            (F.col("_rem") - F.col("_before")).alias("_avail"),
             F.col("_bt"),
+            F.col("_t"),
         )
     )
     joined = based.join(
-        F.broadcast(panel.select(domain_col, "_b", "_q", "_take", "_bt")),
+        F.broadcast(
+            panel.select(domain_col, "_b", "_q", "_avail", "_bt", "_t")
+        ),
         [domain_col, "_b"],
     )
+    # _avail ≥ _bt → the whole bucket fits in the partial epoch (+1 for
+    # every row, incl. _bt = 0 buckets sitting before the cut);
+    # _avail < 0 → the cut fell strictly earlier (+0 for every row);
+    # 0 ≤ _avail < _bt → only this bucket ranks its rows
     whole = joined.where(
-        (F.col("_take") == 0) | (F.col("_take") == F.col("_bt"))
+        (F.col("_avail") >= F.col("_bt")) | (F.col("_avail") < 0)
     ).withColumn(
         "n_copies",
-        (F.col("_q") + F.when(F.col("_take") > 0, 1).otherwise(0)).cast("long"),
+        F.when(
+            F.col("_t") > 0,
+            F.col("_q")
+            + F.when(F.col("_avail") >= F.col("_bt"), 1).otherwise(0),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
     )
     wcut = Window.partitionBy(domain_col, "_b").orderBy(
         F.col("_h").asc(), F.col(id_col).asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     boundary = (
-        joined.where((F.col("_take") > 0) & (F.col("_take") < F.col("_bt")))
+        joined.where((F.col("_avail") >= 0) & (F.col("_avail") < F.col("_bt")))
         .withColumn("_cum", F.sum("toks").over(wcut))
         .withColumn(
             "n_copies",
             (
                 F.col("_q")
-                + F.when(F.col("_cum") <= F.col("_take"), 1).otherwise(0)
+                + F.when(F.col("_cum") <= F.col("_avail"), 1).otherwise(0)
             ).cast("long"),
         )
     )
