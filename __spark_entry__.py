@@ -2395,6 +2395,46 @@ FROM w
 """
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (operators/packing.py; the
+    GPT / HF group_texts pre-training recipe): documents' token streams
+    concatenated in doc_id order and split every 64 tokens; one row per
+    (doc, context-window) overlap with exact integer offsets. Every bin
+    except the last is exactly full. INTEGER-pure both sides; the Spark
+    side runs the distributed range-bucketed prefix scan (shard_pack's),
+    the oracle the sequential window-cumsum definition."""
+    _prep(spark)
+    from time_series_loader_spark.operators.packing import pack_concat
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_concat(docs, "doc_id", context_len=64)
+
+
+SQL_sequence_pack = f"""
+WITH w AS (
+  SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS BIGINT) AS s
+  FROM w
+),
+fan AS (
+  SELECT doc_id, n_tokens, s,
+         UNNEST(range(s // 64, (s + n_tokens - 1) // 64 + 1)) AS bin_id
+  FROM cum WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(greatest(bin_id * 64, s) - s AS BIGINT) AS doc_off,
+       CAST(greatest(bin_id * 64, s) - bin_id * 64 AS BIGINT) AS bin_off,
+       CAST(least((bin_id + 1) * 64, s + n_tokens)
+            - greatest(bin_id * 64, s) AS BIGINT) AS seg_len
+FROM fan
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (operators/chunking.py): HF-stride
     semantics — windows of 64 tokens every 48 (overlap 16), the first
@@ -4507,6 +4547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "domain_mix": q_domain_mix,
         "chunk_documents": q_chunk_documents,
+        "sequence_pack": q_sequence_pack,
         # rows-only, deliberately LAST in dict order and with NO
         # oracle_sql entry: records the driver environment so a version-
         # drift hypothesis for any red slot is falsifiable from the
@@ -4572,4 +4613,5 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _sql_semantic_dedup(),
         "domain_mix": _sql_domain_mix(),
         "chunk_documents": SQL_chunk_documents,
+        "sequence_pack": SQL_sequence_pack,
     }
