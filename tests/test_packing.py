@@ -2,6 +2,8 @@
 pure-Python reference of the HF group_texts recipe."""
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from time_series_loader_spark.operators.packing import pack_concat
@@ -126,3 +128,17 @@ def test_validation(spark):
         pack_concat(df, "doc_id", 0, weight_col="w")
     with pytest.raises(ValueError, match="required"):
         pack_concat(df, "doc_id", 4, text_col=None)
+
+
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+    C=st.integers(min_value=1, max_value=17),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_property_matches_python(spark, weights, C):
+    rows = [(i, w) for i, w in enumerate(weights)]
+    assert spark_pack(spark, rows, C) == py_pack(rows, C)

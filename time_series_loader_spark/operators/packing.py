@@ -58,7 +58,10 @@ def pack_concat(
     Token counts come from ``weight_col`` (precomputed) or ``tok_col``
     (array length) or ``text_col`` (whitespace tokenizer). ``id_col``
     must be numeric/timestamp and SHOULD be unique (`shard_pack`'s
-    range-bucketed prefix scan inherits both contracts).
+    range-bucketed prefix scan inherits both contracts). A NEGATIVE
+    ``weight_col`` value is invalid and NOT checked (same contract as
+    `shard_pack`) — it would misalign every later prefix sum; validate
+    upstream if the weight source is untrusted.
     """
     if context_len <= 0:
         raise ValueError(f"context_len must be > 0, got {context_len}")
