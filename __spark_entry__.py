@@ -2395,6 +2395,49 @@ FROM w
 """
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Deequ-style table profiler (operators/profile.py) on
+    `orders`, exact-distinct mode, restricted to its INTEGER/STRING-pure
+    facets: per-column row/non-null/exact-distinct counts and min/max
+    rendered as strings — profiled columns are BIGINT/VARCHAR only, so
+    the string casts have no float-formatting channel (doubles,
+    null_frac, mean, stddev stay on the ○-tested surface; they ARE
+    computed by the same single aggregation pass, just not gated).
+    Plan shape: ONE HashAggregate over one scan — no per-column scans,
+    no joins; the explode is a 4-row struct fan."""
+    _prep(spark)
+    from time_series_loader_spark.operators.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    prof = profile_table(
+        orders,
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        approx=False,
+    )
+    return prof.select(
+        F.col("column").alias("col_name"),
+        "n_rows",
+        "n_nonnull",
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )
+
+
+def _sql_table_profile() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    parts = [
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT({c}) AS n_nonnull,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_str,
+       CAST(MAX({c}) AS VARCHAR) AS max_str
+FROM orders"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-and-chunk sequence packing (operators/packing.py; the
     GPT / HF group_texts pre-training recipe): documents' token streams
@@ -4548,6 +4591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "chunk_documents": q_chunk_documents,
         "sequence_pack": q_sequence_pack,
+        "table_profile": q_table_profile,
         # rows-only, deliberately LAST in dict order and with NO
         # oracle_sql entry: records the driver environment so a version-
         # drift hypothesis for any red slot is falsifiable from the
@@ -4614,4 +4658,5 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": _sql_domain_mix(),
         "chunk_documents": SQL_chunk_documents,
         "sequence_pack": SQL_sequence_pack,
+        "table_profile": _sql_table_profile(),
     }
