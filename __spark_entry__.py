@@ -2314,10 +2314,15 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       p ∝ token count (the token-budget-aware corpus sampling step);
       mean weight accumulates in DECIMAL and broadcasts.
     - ``exactk``: exactly k=100 rows by (md5(id||'k'), id) order — the
-      deterministic reservoir; TakeOrderedAndProject, no global sort."""
+      deterministic reservoir; TakeOrderedAndProject, no global sort.
+    - ``groupk`` (r7 — certifies the previously plan-tested-only
+      per-group form): exactly min(k=25, n_g) rows per language via
+      md5-rank row_number within each stratum (one group-keyed
+      exchange), the balanced-corpus staple."""
     _prep(spark)
     from time_series_loader_spark.operators.sampling import (
         sample_exact_k,
+        sample_exact_k_per_group,
         stratified_sample,
         weighted_sample,
     )
@@ -2336,7 +2341,15 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.lit(None).cast("int").alias("sample_bucket"),
     )
-    return st.unionByName(wt).unionByName(ek)
+    gk = sample_exact_k_per_group(
+        docs, "doc_id", ["lang"], k=25, salt="g"
+    ).select(
+        F.lit("groupk").alias("section"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("int").alias("sample_bucket"),
+    )
+    return st.unionByName(wt).unionByName(ek).unionByName(gk)
 
 
 def _sql_stratified_sample() -> str:
@@ -2363,6 +2376,13 @@ UNION ALL
 SELECT 'exactk' AS section, doc_id, lang, CAST(NULL AS INT) AS sample_bucket
 FROM (SELECT doc_id, lang FROM documents
       ORDER BY md5(CAST(doc_id AS VARCHAR) || 'k'), doc_id LIMIT 100) _ek
+UNION ALL
+SELECT 'groupk' AS section, doc_id, lang, CAST(NULL AS INT) AS sample_bucket
+FROM (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'g'), doc_id) AS rn
+      FROM documents WHERE doc_id IS NOT NULL) _gk
+WHERE rn <= 25
 """
 
 
