@@ -2415,6 +2415,54 @@ FROM w
 """
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-curve key (sources/layout.py::zorder_key) over two
+    BIGINT dimensions of `events` (user_id × event_id, 8 bits each) —
+    the multi-dimensional write-layout key whose footer-stats skipping
+    is measured in test_layout. Inputs are integers; the min-max
+    scaling's intermediate doubles are plain IEEE +−×÷/floor (no libm,
+    no quantile — correctly-rounded and engine-identical by IEEE-754,
+    unlike the ln/median channels that red-flagged r5/r6), and the
+    emitted key is a BIGINT bit-interleave. The oracle mirrors the
+    exact float op order; the two bound scalars fold in as literals on
+    both sides."""
+    _prep(spark)
+    from time_series_loader_spark.sources.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    return zorder_key(ev, ["user_id", "event_id"], bits_per_col=8).select(
+        "event_id", "user_id", F.col("_zorder").alias("zkey")
+    )
+
+
+def _sql_zorder_key(bits: int = 8) -> str:
+    # mirror zorder_key's float op order exactly: v=(x-lo)/(hi-lo),
+    # b=floor(v*256), clamp [0,255]; then interleave bit i of column j
+    # at position i*m+j (m=2; user_id is column 0, event_id column 1)
+    def scaled(c: str, j: int) -> str:
+        return (
+            f"LEAST(GREATEST(CAST(floor(((CAST({c} AS DOUBLE) - lo{j}) / "
+            f"(hi{j} - lo{j})) * {1 << bits}) AS BIGINT), 0), {(1 << bits) - 1})"
+        )
+
+    terms = []
+    for j, c in enumerate(("user_id", "event_id")):
+        s = scaled(c, j)
+        terms += [
+            f"((({s} >> {i}) & 1) << {i * 2 + j})" for i in range(bits)
+        ]
+    z = " + ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT CAST(MIN(user_id) AS DOUBLE) AS lo0, CAST(MAX(user_id) AS DOUBLE) AS hi0,
+         CAST(MIN(event_id) AS DOUBLE) AS lo1, CAST(MAX(event_id) AS DOUBLE) AS hi1
+  FROM events
+)
+SELECT event_id, user_id, CAST({z} AS BIGINT) AS zkey
+FROM events, b
+"""
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass Deequ-style table profiler (operators/profile.py) on
     `orders`, exact-distinct mode, restricted to its INTEGER/STRING-pure
@@ -4612,6 +4660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "sequence_pack": q_sequence_pack,
         "table_profile": q_table_profile,
+        "zorder_key": q_zorder_key,
         # rows-only, deliberately LAST in dict order and with NO
         # oracle_sql entry: records the driver environment so a version-
         # drift hypothesis for any red slot is falsifiable from the
@@ -4679,4 +4728,5 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": SQL_chunk_documents,
         "sequence_pack": SQL_sequence_pack,
         "table_profile": _sql_table_profile(),
+        "zorder_key": _sql_zorder_key(),
     }
