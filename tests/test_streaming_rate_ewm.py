@@ -359,3 +359,44 @@ def test_streaming_ewm_alpha_one_null_after_valid(spark, tmp_path):
         shuffle_partitions=8,
     ).orderBy("ts").collect()
     assert [r["ewm"] for r in out] == [5.0, None, 7.0]
+
+
+def test_counter_rate_infinite_reading_matches_batch(spark, tmp_path):
+    """A ±Inf reading must not crash the stream (int(np.floor(inf)) used
+    to raise OverflowError) and both engines must apply the shared
+    unusable-reading rule: Inf is not a sample — skipped, deltas span
+    across it (10→12 and 12→13 survive). Before the r7 self-audit fix,
+    batch emitted a junk bucket row with NULL increase/resets here."""
+    from time_series_loader_spark.operators.rate import counter_increase
+
+    rows = [
+        ("2023-01-01 00:05:00", "10.0"),
+        ("2023-01-01 00:25:00", "Infinity"),  # skipped: not a sample
+        ("2023-01-01 00:45:00", "12.0"),      # delta 2 vs the 10 reading
+        ("2023-01-01 01:05:00", "13.0"),      # delta 1
+    ]
+    _write(tmp_path, "a.csv", rows, mtime=1_700_000_000)
+    sdf = stream_csv_directory(spark, str(tmp_path), SCHEMA)
+    stream_out = {
+        r["bucket_ts"]: (r["increase"], r["n_resets"])
+        for r in run_available_now(
+            streaming_counter_rate(
+                sdf.withColumn("user_id", F.lit(1).cast("bigint")), 3600.0
+            ),
+            spark,
+            shuffle_partitions=8,
+        ).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(1, datetime.fromisoformat(ts), float(v)) for ts, v in rows],
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+    )
+    batch_out = {
+        r["ts"]: (r["increase"], r["n_resets"])
+        for r in counter_increase(
+            batch_df, "ts", "value", 3600, group_cols=["user_id"]
+        ).collect()
+    }
+    assert stream_out == batch_out
+    assert sum(inc for inc, _ in stream_out.values()) == pytest.approx(3.0)
+    assert all(inc is not None for inc, _ in batch_out.values())

@@ -115,8 +115,15 @@ def counter_increase(
     # (27,6)×(7,0) → DECIMAL(35,6): the ×1e6 product is exact (no 38-cap
     # rounding), so the long cast is the true µunit integer
     v_expr = (v_dec * F.lit(1_000_000)).cast("long") if micro_units else v_dec
-    base = df.where(F.col(value_col).isNotNull()).select(
-        *group_cols, ts_col, v_expr.alias("_v")
+    # filter on the QUANTIZED value, not just isNotNull: NaN/±Inf and
+    # |v| past the DECIMAL(27,6) (or µunit-long) envelope cast to null,
+    # and such readings are NOT samples — they are skipped and the delta
+    # spans across them, exactly like a null reading. (Filtering only the
+    # raw column let an Inf reading through as a null _v, which emitted a
+    # junk bucket row with NULL increase/resets and desynced the
+    # streaming dual — r7 self-audit.)
+    base = df.select(*group_cols, ts_col, v_expr.alias("_v")).where(
+        F.col("_v").isNotNull()
     )
     lagged = _with_prev_value(base, ts_col, group_cols, num_buckets).where(
         F.col("_prev").isNotNull()

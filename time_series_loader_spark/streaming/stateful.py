@@ -14,6 +14,7 @@ a fixed window).
 
 from __future__ import annotations
 
+import math
 from typing import Any, Iterable, Iterator, Tuple
 
 import pandas as pd
@@ -137,7 +138,11 @@ def streaming_counter_rate(
     DECIMAL(27,6) cast for the non-negative values counters carry), so
     reset detection, deltas, and per-bucket sums are exact integer math
     in both engines. State is O(1) per key (two longs) — unbounded
-    streams run indefinitely; null readings observe nothing (skipped).
+    streams run indefinitely. Unusable readings — NULL, NaN, ±Inf, or
+    past the DECIMAL(27,6)/µunit envelope — are NOT samples under the
+    shared contract: both engines skip them and the delta spans across
+    (batch filters the quantized value; here the skip also leaves the
+    stored state untouched).
 
     Ordering contract (inherent to any sequential stateful op): rows
     are sorted by event time WITHIN each micro-batch, but a sample
@@ -170,17 +175,25 @@ def streaming_counter_rate(
             pdf = pdf[pdf[value_col].notna()].sort_values(ts_col)
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
                 t_us = int(pd.Timestamp(ts).value // 1000)
+                if last_ts is not None and t_us <= last_ts:
+                    continue  # late/duplicate sample: state already past it
+                fv = float(v)
+                # non-finite / DECIMAL(27,6)-overflow readings are NOT
+                # samples: the batch operator's quantized-value filter
+                # skips them and the delta spans across (same rule as
+                # null/NaN readings — one uniform contract both engines
+                # share). A bare int(np.floor(inf)) here used to raise
+                # OverflowError and crash the whole query.
+                if not math.isfinite(fv) or abs(fv) >= 1e21:
+                    continue
                 # half-AWAY-FROM-ZERO, sign-aware: Java/Spark HALF_UP on
                 # DECIMAL(27,6) rounds -1.0000005 to -1.000001, but a bare
                 # floor(v*1e6+0.5) would give -1.000000 — counters may
                 # legitimately carry negative readings (ADVICE r6), so the
                 # documented stream/batch parity must hold for them too
-                fv = float(v)
                 v_u = int(np.floor(abs(fv) * 1e6 + 0.5))
                 if fv < 0:
                     v_u = -v_u
-                if last_ts is not None and t_us <= last_ts:
-                    continue  # late/duplicate sample: state already past it
                 if last_v is not None:
                     reset = v_u < last_v
                     contrib = v_u if reset else v_u - last_v
