@@ -28,6 +28,20 @@ import __spark_entry__ as entry
 from time_series_loader_spark.session import TABLES
 
 CONTESTED = ["continuity_stats", "tfidf_top3"]
+# r7's new slots share the integer/string-pure contract by construction —
+# certify them under the same normalization-proof test so a future float
+# column can't silently creep in (zorder's INTERMEDIATE scaling is IEEE
+# float, but its output is a BIGINT key; semantic_dedup is excluded: its
+# cent_cos column is a sanctioned 6dp-floored double)
+INTEGER_PURE = CONTESTED + [
+    "dsir_select",
+    "domain_mix",
+    "chunk_documents",
+    "sequence_pack",
+    "table_profile",
+    "zorder_key",
+    "stratified_sample",
+]
 
 
 @pytest.fixture(scope="module")
@@ -43,10 +57,14 @@ def duck(sf_dir):
 
 def _multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(r[i] for i in order) for r in rows)
+    # None-safe total order (mixed null/int columns, e.g. sample_bucket)
+    def key(t):
+        return tuple((v is None, str(type(v).__name__), v) for v in t)
+
+    return sorted((tuple(r[i] for i in order) for r in rows), key=key)
 
 
-@pytest.mark.parametrize("name", CONTESTED)
+@pytest.mark.parametrize("name", INTEGER_PURE)
 def test_contested_slot_values_are_normalization_proof(
     spark, sf_dir, duck, name
 ):
