@@ -179,3 +179,41 @@ def test_pipeline_normalize_step(spark):
     out = CorpusPipeline(df, "doc_id", "text").normalize().dedup_exact().df()
     survivors = sorted(r["doc_id"] for r in out.collect())
     assert survivors == [0, 2]  # min-id representative of each pair
+
+
+def test_chunk_step_and_pack_sequences_exclusive(spark, corpus):
+    """chunk() re-units the pipeline to windows (text_col -> chunk_text,
+    ids non-unique); pack_sequences is the ALTERNATIVE preparation and
+    the two refuse to compose. Each works alone on the same pipeline."""
+    from time_series_loader_spark.operators.text import tokens
+    from pyspark.sql import functions as F
+
+    # chunk path: every doc's windows reassemble its token stream
+    p = CorpusPipeline(corpus, "doc_id", "text").chunk(16, overlap_tokens=4)
+    assert p.text_col == "chunk_text"
+    rows = p.df().collect()
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in corpus.select(
+            "doc_id", F.size(tokens("text")).alias("n")
+        ).collect()
+    }
+    last_end = {}
+    for r in rows:
+        last_end[r["doc_id"]] = max(
+            last_end.get(r["doc_id"], 0), r["start_tok"] + r["n_chunk_tok"]
+        )
+    assert last_end == n_tok
+    with pytest.raises(ValueError, match="chunk"):
+        p.chunk(8)
+    with pytest.raises(ValueError, match="pack_sequences after chunk"):
+        p.pack_sequences(64)
+
+    # pack path (no chunk): bins except the last are exactly full
+    plan = CorpusPipeline(corpus, "doc_id", "text").pack_sequences(64)
+    per_bin = {
+        r["bin_id"]: r["s"]
+        for r in plan.groupBy("bin_id").agg(F.sum("seg_len").alias("s")).collect()
+    }
+    last = max(per_bin)
+    assert all(v == 64 for b, v in per_bin.items() if b != last)

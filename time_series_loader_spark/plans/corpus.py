@@ -219,11 +219,62 @@ class CorpusPipeline:
         self.steps_applied.append(f"sample_weighted({fraction})")
         return self
 
+    def chunk(
+        self, chunk_tokens: int, overlap_tokens: int = 0
+    ) -> "CorpusPipeline":
+        """Split every document into overlapping token windows
+        (`operators/chunking.py::chunk_documents`, HF-stride semantics).
+        AFTER this step the unit of the pipeline is the CHUNK: the frame
+        becomes (id, chunk_id, start_tok, n_chunk_tok, chunk_text) and
+        ``text_col`` re-points at ``chunk_text``. ``id_col`` is NO
+        LONGER UNIQUE (one row per window) — id-keyed deterministic
+        steps downstream would tie-break arbitrarily, so this is a LATE
+        stage: run filters/dedup/sampling first, then chunk. Zero
+        shuffle. Chunking and ``pack_sequences`` are ALTERNATIVE
+        context-window preparations (stride windows vs concatenate-and-
+        split) — combining them raises."""
+        from time_series_loader_spark.operators.chunking import chunk_documents
+
+        if any(s.startswith("chunk(") for s in self.steps_applied):
+            raise ValueError("chunk() already applied — ids are per-window now")
+        self._df = chunk_documents(
+            self._df, self.id_col, chunk_tokens, overlap_tokens,
+            text_col=self.text_col,
+        )
+        self.text_col = "chunk_text"
+        self.steps_applied.append(
+            f"chunk({chunk_tokens}, overlap={overlap_tokens})"
+        )
+        return self
+
     # -- terminal steps -------------------------------------------------
 
     def df(self) -> DataFrame:
         """The current (lazy) frame."""
         return self._df
+
+    def pack_sequences(self, context_len: int) -> DataFrame:
+        """Concatenate-and-chunk packing plan
+        (`operators/packing.py::pack_concat`, GPT / HF ``group_texts``):
+        the surviving corpus's token streams concatenated in id order
+        and split every ``context_len`` tokens — one row per
+        (doc, context-window) overlap with exact integer offsets.
+        Terminal: returns the packing plan, does not mutate the
+        pipeline. Raises after ``chunk()`` — the two are alternative
+        context-window preparations, and post-chunk ids are non-unique
+        (`shard_pack`'s determinism contract needs a unique order key)."""
+        from time_series_loader_spark.operators.packing import pack_concat
+
+        if any(s.startswith("chunk(") for s in self.steps_applied):
+            raise ValueError(
+                "pack_sequences after chunk(): pick ONE context-window "
+                "preparation — stride windows (chunk) or concatenate-and-"
+                "split (pack_sequences)"
+            )
+        self.steps_applied.append(f"pack_sequences({context_len})")
+        return pack_concat(
+            self._df, self.id_col, context_len, text_col=self.text_col
+        )
 
     def pack_and_write(
         self, path: str, budget: int, weight: str | None = None
