@@ -74,20 +74,36 @@ def spark_flagship(sf_dir: str, replicate: int = 1) -> tuple[int, float]:
             (F.max("ts").cast("double") - F.min("ts").cast("double") + 1).alias("span")
         ).collect()[0]
         span = float(bounds["span"])
-        ev = ev.crossJoin(spark.range(replicate).withColumnRenamed("id", "_k")).select(
-            F.timestamp_seconds(F.col("ts").cast("double") + F.col("_k") * span).alias("ts"),
-            "value",
+        # STREAM the range side, BROADCAST the 100k-row table: the
+        # testdata parquet is one file → one partition, and streaming it
+        # through the BNLJ ran the whole 50M-row generation (and the
+        # aggregation above it) on a single core — the SCALING.md
+        # single-partition trap, caught in the r7 flagship profile
+        # (resample pass 39 s → ~4 s). The range side carries
+        # defaultParallelism partitions, so each core generates its
+        # slice of copies locally from the broadcast table.
+        ev = (
+            spark.range(replicate)
+            .withColumnRenamed("id", "_k")
+            .crossJoin(F.broadcast(ev))
+            .select(
+                F.timestamp_seconds(
+                    F.col("ts").cast("double") + F.col("_k") * span
+                ).alias("ts"),
+                "value",
+            )
         )
-        # pandas holds the replicated frame in RAM; give Spark the same
-        # footing instead of re-deriving the input for every action
-        ev = ev.cache()
-        ev.count()
+        # deliberately NOT cached (r7 measurement): the 50M frame derives
+        # from a 100k-row parquet crossJoin — regenerating it per pass is
+        # two cheap narrow scans, while caching it costs a 50M-row
+        # serialize+store pass plus sustained memory pressure (repeated
+        # runs visibly degraded under accumulated cache blocks)
     hourly = resample(ev, "ts", "1h", method="mean", value_cols=["value"])
     grid = reindex_to_grid(hourly, "ts", "30min")
     filled = ffill(grid, "ts", ["value"])
     n_filled = filled.count()
     # ONE diff pass shared by median + gap detection (pandas holds the diff
-    # series in RAM the same way); approx median = bounded-memory sketch
+    # series in RAM the same way)
     from time_series_loader_spark.operators.continuity import with_time_diff
 
     diffs = (
@@ -95,10 +111,32 @@ def spark_flagship(sf_dir: str, replicate: int = 1) -> tuple[int, float]:
         .where(F.col("diff_seconds").isNotNull())
         .cache()
     )
-    med = float(
-        diffs.agg(
-            F.percentile_approx("diff_seconds", F.lit(0.5), F.lit(10000))
-        ).collect()[0][0]
+    # EXACT interpolated median from value counts: time-series deltas
+    # live on a tiny support (regular spacing ± gaps), so a groupBy
+    # collapses 50M rows map-side to a handful of (delta, n) pairs and
+    # the driver computes the same linear-interpolated median pandas
+    # does — cheaper than a 10k-centroid percentile sketch updated per
+    # row, and exact instead of approximate
+    counts = sorted(
+        (r["diff_seconds"], r["n"])
+        for r in diffs.groupBy("diff_seconds")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(n for _, n in counts)
+
+    def _nth(k: int) -> float:  # 0-based order statistic
+        seen = 0
+        for v, n in counts:
+            seen += n
+            if seen > k:
+                return v
+        return counts[-1][0]
+
+    med = (
+        _nth(total // 2)
+        if total % 2
+        else (_nth(total // 2 - 1) + _nth(total // 2)) / 2.0
     )
     n_gaps = diffs.where(F.col("diff_seconds") > 10 * med).count()
     diffs.unpersist()
