@@ -1081,6 +1081,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         _r6(F.col("mean_token_len"), "mean_token_len"),
         "n_tokens_bpeish",
+        "mojibake_hits",
         _r6(F.col("stopword_ratio"), "stopword_ratio"),
         _r6(F.col("punct_ratio"), "punct_ratio"),
         _r6(F.col("digit_ratio"), "digit_ratio"),
@@ -1185,7 +1186,9 @@ qs AS (SELECT * FROM ({SQL_quality_score}) _qs),
 li AS (SELECT * FROM ({{LANGID}}) _li),
 sh AS (SELECT * FROM ({{SIMHASH}}) _sh),
 bp AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
-         AS n_tokens_bpeish FROM documents),
+         AS n_tokens_bpeish,
+       CAST(len(regexp_extract_all(text, 'Ã.|â€.|Â|�')) AS BIGINT)
+         AS mojibake_hits FROM documents),
 gln AS (SELECT doc_id, text, {_SQL_TOKENS} AS t,
           list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
                       l -> l <> '') AS lines
@@ -1237,6 +1240,7 @@ rep AS (SELECT doc_id,
   FROM bgt),
 fp AS ({SQL_fingerprint})
 SELECT ts.doc_id, ts.n_chars, qs.n_tokens, ts.mean_token_len, bp.n_tokens_bpeish,
+       bp.mojibake_hits,
        qs.stopword_ratio, qs.punct_ratio, qs.digit_ratio, qs.quality_score,
        li.score_de, li.score_en, li.score_es, li.score_fr, li.lang_pred,
        gq.symbol_token_ratio, gq.bullet_line_frac, gq.ellipsis_line_frac,

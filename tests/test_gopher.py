@@ -220,3 +220,36 @@ def test_normalize_text_strips_invisibles_and_modes(spark):
 
     with pytest.raises(ValueError):
         normalize_text(df, "text", form="NFX")
+
+
+def test_mojibake_hits(spark):
+    """Classic UTF-8-as-Latin-1 artifacts counted; clean text (ASCII or
+    properly-encoded accents) scores 0; DuckDB mirror agrees."""
+    from time_series_loader_spark.operators.text import (
+        MOJIBAKE_PATTERN,
+        mojibake_hits,
+    )
+
+    rows = [
+        (0, "cafÃ© costs Â£5"),   # A-tilde+cont, stray A-circ -> 2
+        (1, "said â€œyesâ€™"),  # a-circ euro pairs -> 2
+        (2, "plain ascii text with no corruption"),   # 0
+        (3, "proper café and naïve text"),  # clean accents -> 0
+        (4, "broken � char"),                    # replacement char -> 1
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: r["m"]
+        for r in df.select("doc_id", mojibake_hits("text").alias("m")).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 0, 3: 0, 4: 1, 5: None}
+
+    con = duckdb.connect()
+    for i, txt in rows:
+        if txt is None:
+            continue
+        d = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [txt, MOJIBAKE_PATTERN]
+        ).fetchone()[0]
+        assert d == got[i], (i, txt)

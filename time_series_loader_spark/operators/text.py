@@ -55,6 +55,24 @@ def token_count_bpeish(text: Column | str) -> Column:
     return F.size(pieces)
 
 
+# the classic UTF-8-bytes-decoded-as-Latin-1/Windows-1252 artifacts that
+# mojibake repair tools (ftfy being the canonical public one) target:
+# 'Ã'+continuation (é→Ã©, ü→Ã¼ …), 'â€'+mark (’→â€™, “→â€œ, —→â€”),
+# stray 'Â' (non-breaking-space artifact), and U+FFFD replacement chars.
+# Plain literal alternation + '.', identical semantics in Java regex
+# (Spark) and RE2 (DuckDB) — no classes, no lookaround.
+MOJIBAKE_PATTERN = "Ã.|â€.|Â|�"
+
+
+def mojibake_hits(text: Column | str) -> Column:
+    """Count of classic encoding-corruption artifacts (mojibake) in the
+    text — the data-quality signal curation pipelines use to route docs
+    to re-decoding or the reject pile. Integer, cheap (one regexp scan,
+    whole-stage codegen), zero false positives on pure-ASCII text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(MOJIBAKE_PATTERN)).cast("long")
+
+
 def _quality_named(text_col: str, toks: Column | None = None) -> dict[str, Column]:
     """Quality-feature expressions (shared by quality_features/text_profile)
     as an ordered {output_name: expression} mapping — the names are the
@@ -641,6 +659,7 @@ def text_profile(
         *_quality_exprs(text_col, toks=t),  # n_tokens + ratios + quality_score
         (n_alpha.cast("double") / n_tokens).alias("mean_token_len"),
         token_count_bpeish(text_col).alias("n_tokens_bpeish"),
+        mojibake_hits(text_col).alias("mojibake_hits"),
         *_langid_exprs(text_col, toks=t),
         *_gopher_exprs(text_col, toks=t),
         F.md5(fp).alias("fingerprint"),
