@@ -3063,6 +3063,101 @@ FROM uni
 """
 
 
+_BM25_TERMS = ["hash", "join", "vector", "stream", "zorder"]
+_BM25_TOPK = 20
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (operators/bm25.py::bm25_scores): the global
+    top-20 documents for a fixed 5-term query over the documents corpus
+    ("zorder" matches nothing — exercises the missing-term path).
+
+    INTEGER-PURE + PINNED LOG TABLE (round-7 discipline): with k1=1.2,
+    b=0.75 the score is an exact rational — idf_u comes from the frozen
+    ln table (``idf = ln(2(N+1)) − ln(2·df+1)``, integer arguments
+    only), the tf normalization reduces to
+    ``22·tf·T / (10·tf·T + 3·T + 9·dl·D)``, and each term contributes
+    ``(idf_u·22·tf·T) div (...)`` — DECIMAL(38,0) products + integral
+    division on Spark, HUGEINT ``//`` on DuckDB: the same exact integer
+    on both engines. Output columns are BIGINT only; the (score desc,
+    doc asc) order is total, so top-20 is deterministic."""
+    _prep(spark)
+    from time_series_loader_spark.operators.bm25 import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(
+        docs, "text", "doc_id", _BM25_TERMS, pinned_ln=True, top_k=_BM25_TOPK
+    )
+
+
+SQL_bm25_topk = f"""
+WITH lnu AS (SELECT k, ln_u FROM {_SQL_LNU}),
+base AS (
+  SELECT doc_id,
+         len(list_filter({_SQL_TOKENS}, x -> x <> '')) AS dl
+  FROM documents
+),
+scal AS (SELECT count(*) AS d, CAST(sum(dl) AS BIGINT) AS t FROM base),
+tok AS (
+  SELECT doc_id, UNNEST({_SQL_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT tok.doc_id, term, count(*) AS tf, any_value(base.dl) AS dl
+  FROM tok JOIN base ON tok.doc_id = base.doc_id
+  WHERE term IN ('hash', 'join', 'vector', 'stream', 'zorder')
+  GROUP BY 1, 2
+),
+docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+-- pinned-log BM25 idf: idf_u = ln_u(2(N+1)) - ln_u(2*df+1); both
+-- lookups land in the SAME frozen table Spark joins — no engine ln()
+idf AS (
+  SELECT term,
+         (SELECT ln_u FROM lnu, scal WHERE k = 2 * (d + 1)) - l.ln_u AS idf_u
+  FROM docfreq JOIN lnu l ON l.k = 2 * docfreq.df + 1
+),
+parts AS (
+  SELECT tf.doc_id,
+         (CAST(idf.idf_u AS HUGEINT) * 22 * tf.tf * scal.t)
+           // (CAST(10 AS HUGEINT) * tf.tf * scal.t + 3 * scal.t
+               + CAST(9 AS HUGEINT) * tf.dl * scal.d) AS part_u
+  FROM tf JOIN idf USING (term), scal
+)
+SELECT doc_id, CAST(sum(part_u) AS BIGINT) AS score_u,
+       count(*) AS n_terms_matched
+FROM parts GROUP BY doc_id
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {_BM25_TOPK}
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction (operators/bm25.py::inverted_index):
+    one row per vocabulary term with document frequency, corpus
+    frequency, and postings serialized as the deterministic string
+    "doc:tf,doc:tf,..." ordered by doc id — STRING + BIGINT outputs
+    only, so the row hashes identically under any normalization. The
+    partition-dependent collect_list order is neutralized by the
+    array_sort inside the aggregate (tested under repartition)."""
+    _prep(spark)
+    from time_series_loader_spark.operators.bm25 import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, "text", "doc_id")
+
+
+SQL_inverted_index = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_SQL_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ct,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term
+"""
+
+
 def q_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT / melt (§2.6 beyond-reference): wide per-type hourly counts
     back to long (metric, value) pairs."""
@@ -4665,6 +4760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "table_profile": q_table_profile,
         "zorder_key": q_zorder_key,
+        "bm25_topk": q_bm25_topk,
+        "inverted_index": q_inverted_index,
         # rows-only, deliberately LAST in dict order and with NO
         # oracle_sql entry: records the driver environment so a version-
         # drift hypothesis for any red slot is falsifiable from the
@@ -4733,4 +4830,6 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": SQL_sequence_pack,
         "table_profile": _sql_table_profile(),
         "zorder_key": _sql_zorder_key(),
+        "bm25_topk": SQL_bm25_topk,
+        "inverted_index": SQL_inverted_index,
     }

@@ -41,6 +41,8 @@ INTEGER_PURE = CONTESTED + [
     "table_profile",
     "zorder_key",
     "stratified_sample",
+    "bm25_topk",
+    "inverted_index",
 ]
 
 
