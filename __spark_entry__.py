@@ -794,20 +794,30 @@ FROM (
 
 
 def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP aggregation — beyond-reference grouping sets
-    (SURVEY.md §2.4 'free in Spark')."""
+    """Grouping-sets aggregation — beyond-reference (SURVEY.md §2.4
+    'free in Spark'). Late r7: widened from ROLLUP to full CUBE with a
+    ``grouping_id`` set marker — the ROLLUP grouping sets are the
+    gid ∈ {0,1,3} subset, so the original certification is preserved,
+    and the (NULL, l_linestatus) set plus the bitmask itself (Spark
+    ``grouping_id()`` ≡ DuckDB ``GROUPING(a, b)``) are now also
+    cross-engine-checked."""
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), _r6(_dsum("l_quantity"), "sum_qty"))
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r6(_dsum("l_quantity"), "sum_qty"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
     )
 
 
 SQL_rollup_lineitem = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       floor((CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_qty
-FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       floor((CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE))*1000000 + 0.5)/1000000 AS sum_qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
@@ -2967,7 +2977,7 @@ WINDOW w AS (PARTITION BY b.user_id ORDER BY b.ts ROWS BETWEEN 4 PRECEDING AND C
 
 
 def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite term-statistics slot, two sections off the SAME
+    """Composite term-statistics slot, three sections off the SAME
     (doc, term) tf frame shape:
 
     - ``tfidf``: TF-IDF (SURVEY.md §7 step 8) top-3 terms per doc,
@@ -2978,6 +2988,11 @@ def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
       (`operators/text.py::unigram_logprob`); term is NULL, tf carries
       the doc token count, ``score_u`` = Σ tf·logp_u BIGINT micro-units
       (mean ln P(token) = score_u / 1e6 / tf — derivable, not emitted).
+    - ``entropy`` (late r7): Shannon entropy of each doc's own token
+      distribution (`operators/text.py::token_entropy`) — the
+      repetitive/degenerate-text signal; term is NULL, tf carries the
+      doc token count, ``score_u`` = entropy_u = ln_u(n) − (Σ
+      ct·ln_u(ct)) div n, BIGINT µnats.
 
     INTEGER-PURE + PINNED LOG TABLE (round-7, VERDICT r6 directive #1):
     two driver rounds proved the micro-quantized engine-``ln`` math
@@ -3010,7 +3025,18 @@ def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("tf"),
         F.col("contrib_u").cast("long").alias("score_u"),
     )
-    return ti.unionByName(uni)
+    from time_series_loader_spark.operators.text import token_entropy
+
+    ent = token_entropy(
+        docs, "text", "doc_id", pinned_ln=True, integer_outputs=True
+    ).select(
+        F.lit("entropy").alias("section"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.col("n_tokens").alias("tf"),
+        F.col("entropy_u").cast("long").alias("score_u"),
+    )
+    return ti.unionByName(uni).unionByName(ent)
 
 
 from time_series_loader_spark.operators.ln_pinned import LN_U_PATH as _LN_U_PATH
@@ -3053,6 +3079,14 @@ uni AS (
   SELECT doc_id, CAST(SUM(tf.tf * lp.logp_u) AS BIGINT) AS contrib_u,
          SUM(tf.tf) AS n_tokens
   FROM tf JOIN lp USING(term) GROUP BY 1
+),
+-- entropy section (late r7): H_u = ln_u(n) - (Σ ct·ln_u(ct)) // n over
+-- each doc's own term counts — both lookups from the SAME frozen table
+ent AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n,
+         CAST(SUM(tf * lc.ln_u) AS BIGINT) AS s
+  FROM tf JOIN lnu lc ON lc.k = tf.tf
+  GROUP BY 1
 )
 SELECT 'tfidf' AS section, doc_id, term, tf, CAST(score_u AS BIGINT) AS score_u
 FROM ranked WHERE rn <= 3
@@ -3060,6 +3094,12 @@ UNION ALL
 SELECT 'unigram' AS section, doc_id, CAST(NULL AS VARCHAR) AS term,
        n_tokens AS tf, contrib_u AS score_u
 FROM uni
+UNION ALL
+SELECT 'entropy' AS section, ent.doc_id, CAST(NULL AS VARCHAR) AS term,
+       ent.n AS tf,
+       CAST((SELECT ln_u FROM lnu WHERE k = ent.n) - (ent.s // ent.n)
+            AS BIGINT) AS score_u
+FROM ent
 """
 
 

@@ -125,6 +125,26 @@ def test_inverted_index_postings(docs_df):
     assert "lorem" not in pruned and pruned["fox"] == "1:1,2:1,5:5"
 
 
+def test_update_inverted_index_equals_full_rebuild(docs_df, spark):
+    from time_series_loader_spark.operators.bm25 import update_inverted_index
+
+    old_docs = docs_df.where(F.col("doc_id") <= 3)
+    new_docs = docs_df.where(F.col("doc_id") > 3)  # append-only ids
+    incr = update_inverted_index(
+        inverted_index(old_docs, "text", "doc_id"), new_docs, "text", "doc_id"
+    )
+    full = inverted_index(docs_df, "text", "doc_id")
+    assert sorted(map(tuple, incr.collect())) == sorted(map(tuple, full.collect()))
+    # merging an empty batch is the identity
+    empty = new_docs.where(F.lit(False))
+    ident = update_inverted_index(
+        inverted_index(docs_df, "text", "doc_id"), empty, "text", "doc_id"
+    )
+    assert sorted(map(tuple, ident.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
 def test_inverted_index_partition_invariance(docs_df):
     a = sorted(
         (r["term"], r["postings"])

@@ -221,3 +221,58 @@ def inverted_index(
     if min_df > 1:
         out = out.where(F.col("df") >= min_df)
     return out
+
+
+def update_inverted_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental index maintenance — the daily operating mode at
+    100 TB (same rationale as the incremental dedup store,
+    ``streaming/incremental.py``): index ONLY the new document batch
+    and merge it into the standing index, instead of re-scanning the
+    whole corpus.
+
+    Preconditions (the append-only contract):
+
+    - ``new_docs`` ids are all STRICTLY GREATER than every id already
+      indexed (monotone ingest ids — the normal case for an
+      append-only corpus). Postings concatenation then preserves the
+      by-doc-id order without re-parsing the stored strings; violating
+      this silently breaks posting order.
+    - ``index`` is UNPRUNED (built with ``min_df=1``). Pruning must
+      happen at read time (``WHERE df >= k``): a term pruned from the
+      stored index would lose its old postings on the next merge.
+
+    Result is exactly ``inverted_index(old ∪ new)`` (test-pinned
+    equivalence). Scale shape: the new batch pays explode + two
+    groupBys on ITS OWN size only; the merge is one full-outer join on
+    term — vocabulary-sized, not corpus-sized — and the standing
+    index's postings strings move through the join untouched.
+    """
+    delta = inverted_index(new_docs, text_col, id_col, min_df=1)
+    old = index.select(
+        F.col("term"),
+        F.col("df").alias("_df_o"),
+        F.col("ct").alias("_ct_o"),
+        F.col("postings").alias("_p_o"),
+    )
+    new = delta.select(
+        F.col("term"),
+        F.col("df").alias("_df_n"),
+        F.col("ct").alias("_ct_n"),
+        F.col("postings").alias("_p_n"),
+    )
+    merged = old.join(new, "term", "full_outer")
+    return merged.select(
+        "term",
+        (F.coalesce("_df_o", F.lit(0)) + F.coalesce("_df_n", F.lit(0))).alias("df"),
+        (F.coalesce("_ct_o", F.lit(0)) + F.coalesce("_ct_n", F.lit(0)))
+        .cast("long")
+        .alias("ct"),
+        F.concat_ws(
+            ",", F.col("_p_o"), F.col("_p_n")
+        ).alias("postings"),  # concat_ws skips NULL sides; append-only ids keep order
+    )

@@ -496,6 +496,96 @@ def unigram_logprob(
     )
 
 
+def token_entropy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pinned_ln: bool = False,
+    integer_outputs: bool = False,
+) -> DataFrame:
+    """Shannon entropy of each document's own token distribution —
+    ``H = ln(n) − (Σ_t ct·ln(ct))/n`` over the doc's term counts ct
+    (n = total tokens). Low entropy = repetitive/degenerate text (the
+    keyword-stuffing / copy-loop signal quality pipelines cut on); the
+    ceiling ``ln(n)`` is an all-distinct-token document. Natural-log
+    nats, like :func:`unigram_logprob`.
+
+    Output: (``id_col``, ``n_tokens``, and ``entropy_u`` BIGINT µunits
+    when ``integer_outputs`` else ``entropy`` DOUBLE).
+
+    Per-count ``ln`` contributions are micro-quantized (engine path) or
+    pinned-table lookups (``pinned_ln=True``; requires every ct and n
+    ≤ the table's 4e6 domain — checked with ONE driver-side scalar
+    lookup of max(n) that raises loudly, since ct ≤ n). In
+    ``integer_outputs`` mode ``entropy_u = ln_u(n) − (Σ ct·ln_u(ct))
+    div n`` — BIGINT arithmetic end-to-end, bit-identical across
+    engines and partitionings.
+
+    Scale shape: the same explode → (doc,term) tf groupBy every term
+    statistic pays, then a per-doc integer sum. The log lookups never
+    touch a corpus-sized join side: distinct ct values (≤ distinct doc
+    lengths' worth of small integers) are joined against the pinned
+    table and broadcast back; same for distinct n. The engine-ln path
+    is the unbounded 100 TB tool (no domain cap, no lookup joins).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if pinned_ln:
+        from .ln_pinned import ln_u_df, ln_u_lookup
+
+        lnu = ln_u_df(df.sparkSession)
+        # distinct ct values are FEW (small integers); resolve their
+        # ln_u once and broadcast back — never join the corpus-sized
+        # tf frame against the 4e6-row table directly
+        cts = tf.select(F.col("tf").alias("_ct")).distinct()
+        ctmap = lnu.join(F.broadcast(cts), lnu["k"] == F.col("_ct")).select(
+            "_ct", F.col("ln_u").alias("_ln_ct_u")
+        )
+        scored = tf.join(F.broadcast(ctmap), tf["tf"] == ctmap["_ct"])
+        per_doc = scored.groupBy(id_col).agg(
+            F.sum("tf").cast("long").alias("_n"),
+            F.sum(F.col("tf") * F.col("_ln_ct_u")).cast("long").alias("_s"),
+        )
+        # loud domain check: ct ≤ n ≤ max(n); one tiny scalar action
+        max_n = per_doc.agg(F.max("_n")).collect()[0][0]
+        if max_n is not None:
+            ln_u_lookup(int(max_n))  # raises beyond the pinned domain
+        ns = per_doc.select(F.col("_n").alias("_nk")).distinct()
+        nmap = lnu.join(F.broadcast(ns), lnu["k"] == F.col("_nk")).select(
+            "_nk", F.col("ln_u").alias("_ln_n_u")
+        )
+        per_doc = per_doc.join(
+            F.broadcast(nmap), per_doc["_n"] == nmap["_nk"]
+        )
+    else:
+        ln_ct_u = F.floor(F.log(F.col("tf").cast("double")) * 1e6 + 0.5)
+        per_doc = tf.groupBy(id_col).agg(
+            F.sum("tf").cast("long").alias("_n"),
+            F.sum(F.col("tf") * ln_ct_u).cast("long").alias("_s"),
+        )
+        per_doc = per_doc.withColumn(
+            "_ln_n_u", F.floor(F.log(F.col("_n").cast("double")) * 1e6 + 0.5)
+        )
+    if integer_outputs:
+        # integral div floors the subtracted term → H_u error < 1µ, the
+        # same shared deterministic quantization both engines compute
+        out = per_doc.select(
+            F.col(id_col),
+            F.col("_n").alias("n_tokens"),
+            F.expr("CAST(_ln_n_u - (_s div _n) AS BIGINT)").alias("entropy_u"),
+        )
+    else:
+        out = per_doc.select(
+            F.col(id_col),
+            F.col("_n").alias("n_tokens"),
+            (
+                (F.col("_ln_n_u") - F.col("_s").cast("double") / F.col("_n"))
+                / F.lit(1e6)
+            ).alias("entropy"),
+        )
+    return out
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
 
