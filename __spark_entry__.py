@@ -3171,18 +3171,31 @@ LIMIT {_BM25_TOPK}
 
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Posting-list construction (operators/bm25.py::inverted_index):
-    one row per vocabulary term with document frequency, corpus
-    frequency, and postings serialized as the deterministic string
-    "doc:tf,doc:tf,..." ordered by doc id — STRING + BIGINT outputs
-    only, so the row hashes identically under any normalization. The
-    partition-dependent collect_list order is neutralized by the
-    array_sort inside the aggregate (tested under repartition)."""
+    """Posting-list construction (operators/bm25.py::inverted_index),
+    two sections:
+
+    - ``tf``: one row per vocabulary term with document frequency,
+      corpus frequency, and postings serialized as the deterministic
+      string "doc:tf,doc:tf,..." ordered by doc id.
+    - ``pos`` (late r7): the positional form a phrase/proximity query
+      needs — postings "doc:p1|p2,...", 0-based token positions
+      ascending (operators/bm25.py::phrase_match consumes this shape).
+
+    STRING + BIGINT outputs only, so every row hashes identically under
+    any normalization. The partition-dependent collect_list order is
+    neutralized by array_sort inside the aggregates (tested under
+    repartition)."""
     _prep(spark)
     from time_series_loader_spark.operators.bm25 import inverted_index
 
     docs = _t(spark, sf_dir, "documents")
-    return inverted_index(docs, "text", "doc_id")
+    tf_form = inverted_index(docs, "text", "doc_id").select(
+        F.lit("tf").alias("mode"), "term", "df", "ct", "postings"
+    )
+    pos_form = inverted_index(docs, "text", "doc_id", positional=True).select(
+        F.lit("pos").alias("mode"), "term", "df", "ct", "postings"
+    )
+    return tf_form.unionByName(pos_form)
 
 
 SQL_inverted_index = f"""
@@ -3191,10 +3204,27 @@ WITH tok AS (
 ),
 tf AS (
   SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+-- positional form: DuckDB zips parallel UNNESTs of equal length, so
+-- term/position pairs come from one projection; 0-based like posexplode
+ptok AS (
+  SELECT doc_id,
+         UNNEST({_SQL_TOKENS}) AS term,
+         UNNEST(range(len({_SQL_TOKENS}))) AS pos
+  FROM documents
+),
+ptf AS (
+  SELECT doc_id, term, count(*) AS tf,
+         string_agg(pos, '|' ORDER BY pos) AS positions
+  FROM ptok WHERE term <> '' GROUP BY 1, 2
 )
-SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ct,
+SELECT 'tf' AS mode, term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ct,
        string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
 FROM tf GROUP BY term
+UNION ALL
+SELECT 'pos' AS mode, term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ct,
+       string_agg(doc_id || ':' || positions, ',' ORDER BY doc_id) AS postings
+FROM ptf GROUP BY term
 """
 
 

@@ -125,6 +125,54 @@ def test_inverted_index_postings(docs_df):
     assert "lorem" not in pruned and pruned["fox"] == "1:1,2:1,5:5"
 
 
+def test_positional_index_and_phrase_match(docs_df, spark):
+    from time_series_loader_spark.operators.bm25 import (
+        inverted_index,
+        phrase_match,
+    )
+
+    rows = {
+        r["term"]: r
+        for r in inverted_index(
+            docs_df, "text", "doc_id", positional=True
+        ).collect()
+    }
+    # doc 1: "the quick brown fox jumps over the lazy dog" — 'the' at 0, 6
+    assert rows["the"]["postings"] == "1:0|6,2:0"
+    assert rows["fox"]["postings"] == "1:3,2:3,5:0|1|2|3|4"
+    assert rows["the"]["df"] == 2 and rows["the"]["ct"] == 3
+    # positional and tf forms agree on df/ct for every term
+    tf_rows = {
+        r["term"]: r for r in inverted_index(docs_df, "text", "doc_id").collect()
+    }
+    assert set(rows) == set(tf_rows)
+    for t in rows:
+        assert (rows[t]["df"], rows[t]["ct"]) == (tf_rows[t]["df"], tf_rows[t]["ct"])
+
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_match(docs_df, "text", "doc_id", "the quick").collect()
+    }
+    assert hits == {1: 1, 2: 1}
+    # overlapping self-repeat: "fox fox fox fox fox" has 4 bigram hits
+    hits2 = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_match(docs_df, "text", "doc_id", "fox fox").collect()
+    }
+    assert hits2 == {5: 4}
+    # 3-term phrase and a no-hit phrase
+    hits3 = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_match(
+            docs_df, "text", "doc_id", "quick brown fox"
+        ).collect()
+    }
+    assert hits3 == {1: 1}
+    assert phrase_match(docs_df, "text", "doc_id", "dog sleeps here").count() == 0
+    with pytest.raises(ValueError, match="token"):
+        phrase_match(docs_df, "text", "doc_id", "   ")
+
+
 def test_update_inverted_index_equals_full_rebuild(docs_df, spark):
     from time_series_loader_spark.operators.bm25 import update_inverted_index
 

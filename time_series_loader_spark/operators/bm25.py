@@ -180,6 +180,7 @@ def inverted_index(
     text_col: str,
     id_col: str,
     min_df: int = 1,
+    positional: bool = False,
 ) -> DataFrame:
     """Posting-list construction: one row per term with its document
     frequency, corpus frequency, and the postings serialized as the
@@ -190,6 +191,12 @@ def inverted_index(
     and driver normalizations (integer-pure discipline: every output is
     a string or BIGINT).
 
+    ``positional=True`` emits ``"doc:p1|p2|...,doc:p1|..."`` instead —
+    0-based token positions in ascending order (posexplode), the form a
+    phrase/proximity query needs (positions of adjacent query terms
+    differing by 1 = a phrase hit; see test_bm25 for the two-term
+    phrase-match recipe).
+
     ``min_df`` drops hapax/rare terms (df < min_df) — the standard index
     pruning knob; the filter runs on the term-level aggregate so pruning
     never re-scans the corpus.
@@ -198,11 +205,42 @@ def inverted_index(
     whose postings aggregate is ``array_sort(collect_list(...))``:
     collect_list order is partition-dependent, so the sort inside the
     aggregate restores a total (doc-id) order before serialization —
-    bit-stable under any partitioning. Posting lists for stop-word-like
+    bit-stable under any partitioning. The positional form sorts
+    integer position arrays inside the (doc,term) aggregate the same
+    way. Posting lists for stop-word-like
     terms can be huge; at 100 TB the term-level groupBy is the skew
     point — AQE skew-join handles the shuffle, and ``min_df`` plus a
     stopword cut upstream (quality_features) bound the worst lists.
     """
+    if positional:
+        toks = df.select(
+            F.col(id_col).alias("_doc"),
+            F.posexplode(tokens(text_col)).alias("_pos", "term"),
+        ).where(F.col("term") != "")
+        tf = toks.groupBy("_doc", "term").agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_pos")),
+                    lambda p: p.cast("string"),
+                ),
+                "|",
+            ).alias("_positions"),
+        )
+        posting = F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_doc"), F.col("_positions")))
+            ),
+            lambda s: F.concat_ws(":", s["_doc"].cast("string"), s["_positions"]),
+        )
+        out = tf.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("long").alias("ct"),
+            F.array_join(posting, ",").alias("postings"),
+        )
+        if min_df > 1:
+            out = out.where(F.col("df") >= min_df)
+        return out
     toks = df.select(
         F.col(id_col).alias("_doc"), F.explode(tokens(text_col)).alias("term")
     ).where(F.col("term") != "")  # drop the tokenizer's phantom ''-for-empty-text
@@ -221,6 +259,45 @@ def inverted_index(
     if min_df > 1:
         out = out.where(F.col("df") >= min_df)
     return out
+
+
+def phrase_match(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrase: str,
+) -> DataFrame:
+    """Exact phrase search: documents containing the consecutive token
+    sequence ``phrase`` (whitespace tokenizer, lowercased), with the
+    occurrence count. Output: (``id_col``, ``n_hits`` BIGINT).
+
+    The positional-index join recipe: anchor on the first term's
+    positions, then for term i require a (doc, pos−i) match — n−1
+    equi-joins on (doc, position) keys. Every join side is filtered to
+    the query's terms immediately after the posexplode, so only
+    query-term positions shuffle (the bm25_scores discipline); for a
+    k-term phrase over a 100 TB corpus that is k tiny co-partitioned
+    joins, never a corpus×corpus product.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_match: phrase must contain a token")
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(tokens(text_col)).alias("_pos", "term"),
+    ).where(F.col("term").isin(list(set(terms))))
+    base = toks.where(F.col("term") == terms[0]).select("_doc", "_pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = toks.where(F.col("term") == t).select(
+            F.col("_doc").alias("_d2"), (F.col("_pos") - i).alias("_p2")
+        )
+        base = base.join(
+            nxt,
+            (base["_doc"] == nxt["_d2"]) & (base["_pos"] == nxt["_p2"]),
+        ).select("_doc", "_pos")
+    return base.groupBy(F.col("_doc").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
 
 
 def update_inverted_index(
