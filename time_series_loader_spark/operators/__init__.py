@@ -53,9 +53,17 @@ from time_series_loader_spark.operators.text import (
     quality_features,
     simhash_bits,
     normalize_text,
+    token_entropy,
     unigram_logprob,
     token_stats,
 )
+from time_series_loader_spark.operators.bm25 import (
+    bm25_scores,
+    inverted_index,
+    phrase_match,
+    update_inverted_index,
+)
+from time_series_loader_spark.operators.sketches import hll_merge, hll_rollup
 from time_series_loader_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_ivf,
@@ -123,4 +131,11 @@ __all__ = [
     "seasonal_baseline",
     "remove_outliers_mad",
     "remove_outliers_zscore",
+    "token_entropy",
+    "bm25_scores",
+    "inverted_index",
+    "phrase_match",
+    "update_inverted_index",
+    "hll_merge",
+    "hll_rollup",
 ]
