@@ -3103,6 +3103,80 @@ FROM ent
 """
 
 
+_FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def q_funnel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral analytics over events (operators/behavior.py), two
+    sections:
+
+    - ``funnel``: first-touch ordered conversion funnel
+      signup → view → purchase (strictly-after semantics); k1 = step
+      index, label = event type, n = users reaching the step.
+    - ``retention``: weekly cohort retention — cohort = epoch-week of
+      the user's first event (integral ``div``, no calendar
+      arithmetic), k1 = cohort week, k2 = week offset, n = active
+      users.
+
+    INTEGER/STRING-PURE: epoch-µs integer division and counts only —
+    no float, no engine-local calendar logic, on either side."""
+    _prep(spark)
+    from time_series_loader_spark.operators.behavior import (
+        cohort_retention,
+        funnel_steps,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    fu = funnel_steps(ev, "ts", "user_id", "event_type", _FUNNEL_STEPS).select(
+        F.lit("funnel").alias("section"),
+        F.col("step").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("event_type").alias("label"),
+        F.col("n_users").alias("n"),
+    )
+    re = cohort_retention(ev, "ts", "user_id").select(
+        F.lit("retention").alias("section"),
+        F.col("cohort_week").alias("k1"),
+        F.col("week_offset").alias("k2"),
+        F.lit(None).cast("string").alias("label"),
+        F.col("n_users").alias("n"),
+    )
+    return fu.unionByName(re)
+
+
+SQL_funnel_retention = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'view' GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+),
+-- weekly cohorts: integral epoch-µs division, mirroring Spark's
+-- unix_micros(ts) div 604800000000 exactly
+b AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+coh AS (SELECT user_id, min(wk) AS c FROM b GROUP BY 1),
+act AS (SELECT DISTINCT user_id, wk FROM b)
+SELECT 'funnel' AS section, CAST(1 AS BIGINT) AS k1, CAST(NULL AS BIGINT) AS k2,
+       'signup' AS label, count(*) AS n FROM s1
+UNION ALL
+SELECT 'funnel', 2, NULL, 'view', count(*) FROM s2
+UNION ALL
+SELECT 'funnel', 3, NULL, 'purchase', count(*) FROM s3
+UNION ALL
+SELECT 'retention' AS section, coh.c AS k1, act.wk - coh.c AS k2,
+       CAST(NULL AS VARCHAR) AS label, count(*) AS n
+FROM act JOIN coh USING (user_id)
+GROUP BY 2, 3
+"""
+
+
 _BM25_TERMS = ["hash", "join", "vector", "stream", "zorder"]
 _BM25_TOPK = 20
 
@@ -4832,6 +4906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
+        "funnel_retention": q_funnel_retention,
         # rows-only, deliberately LAST in dict order and with NO
         # oracle_sql entry: records the driver environment so a version-
         # drift hypothesis for any red slot is falsifiable from the
@@ -4902,4 +4977,5 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key": _sql_zorder_key(),
         "bm25_topk": SQL_bm25_topk,
         "inverted_index": SQL_inverted_index,
+        "funnel_retention": SQL_funnel_retention,
     }

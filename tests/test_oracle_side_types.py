@@ -43,6 +43,7 @@ INTEGER_PURE = CONTESTED + [
     "stratified_sample",
     "bm25_topk",
     "inverted_index",
+    "funnel_retention",
 ]
 
 

@@ -64,6 +64,10 @@ from time_series_loader_spark.operators.bm25 import (
     update_inverted_index,
 )
 from time_series_loader_spark.operators.sketches import hll_merge, hll_rollup
+from time_series_loader_spark.operators.behavior import (
+    cohort_retention,
+    funnel_steps,
+)
 from time_series_loader_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_ivf,
@@ -138,4 +142,6 @@ __all__ = [
     "update_inverted_index",
     "hll_merge",
     "hll_rollup",
+    "cohort_retention",
+    "funnel_steps",
 ]
