@@ -3103,6 +3103,53 @@ FROM ent
 """
 
 
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend (operators/trend.py::trend_slope): the
+    least-squares slope of value-vs-time per user over events, from
+    EXACT integer moments — x = whole seconds from the series' own
+    start (integral epoch-µs div), v quantized to µunits via DECIMAL,
+    closed form evaluated as one sign-explicit integral division of
+    DECIMAL(38,0) products (HUGEINT ``//`` on the oracle side; the sign
+    sits outside the division because trunc-vs-floor differ on
+    negatives). INTEGER-PURE: n and slope_nano BIGINTs only."""
+    _prep(spark)
+    from time_series_loader_spark.operators.trend import trend_slope
+
+    ev = _t(spark, sf_dir, "events")
+    return trend_slope(ev, "ts", "value", ["user_id"])
+
+
+SQL_trend_slope = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(TRY_CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vu
+  FROM events
+),
+fit AS (SELECT * FROM base WHERE vu IS NOT NULL AND us IS NOT NULL),
+t0 AS (SELECT user_id, min(us) AS t0 FROM fit GROUP BY 1),
+pts AS (
+  SELECT fit.user_id, (us - t0.t0) // 1000000 AS x, vu
+  FROM fit JOIN t0 ON fit.user_id = t0.user_id
+),
+mom AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(vu) AS HUGEINT) AS sv,
+         CAST(sum(CAST(x AS HUGEINT) * vu) AS HUGEINT) AS sxv,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT user_id, n,
+  CASE WHEN (n * sxx - sx * sx) > 0 THEN
+    CAST(CASE WHEN (n * sxv - sx * sv) < 0
+      THEN -((abs(n * sxv - sx * sv) * 1000) // (n * sxx - sx * sx))
+      ELSE ((n * sxv - sx * sv) * 1000) // (n * sxx - sx * sx)
+    END AS BIGINT)
+  ELSE CAST(NULL AS BIGINT) END AS slope_nano
+FROM mom
+"""
+
+
 _FUNNEL_STEPS = ["signup", "view", "purchase"]
 
 
@@ -4907,6 +4954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
         "funnel_retention": q_funnel_retention,
+        "trend_slope": q_trend_slope,
         # rows-only, deliberately LAST in dict order and with NO
         # oracle_sql entry: records the driver environment so a version-
         # drift hypothesis for any red slot is falsifiable from the
@@ -4978,4 +5026,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": SQL_bm25_topk,
         "inverted_index": SQL_inverted_index,
         "funnel_retention": SQL_funnel_retention,
+        "trend_slope": SQL_trend_slope,
     }

@@ -44,6 +44,7 @@ INTEGER_PURE = CONTESTED + [
     "bm25_topk",
     "inverted_index",
     "funnel_retention",
+    "trend_slope",
 ]
 
 

@@ -1,0 +1,79 @@
+"""Per-series OLS trend slope (operators/trend.py)."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from time_series_loader_spark.operators.trend import trend_slope
+
+T0 = datetime(2024, 1, 1)
+
+
+def _series(key, pairs):
+    return [(key, T0 + timedelta(seconds=s), float(v)) for s, v in pairs]
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rows = (
+        # exact line v = 2.5·x + 1 → slope 2.5
+        _series("up", [(0, 1.0), (10, 26.0), (20, 51.0), (30, 76.0)])
+        # exact negative line v = −0.75·x + 100 (negative-truncation parity)
+        + _series("down", [(0, 100.0), (4, 97.0), (8, 94.0)])
+        # constant series → slope 0
+        + _series("flat", [(0, 5.0), (60, 5.0), (120, 5.0)])
+        # single point and zero-x-variance → NULL
+        + _series("one", [(0, 3.0)])
+        + _series("same_ts", [(7, 1.0), (7, 9.0)])
+        # noisy series for the numpy differential
+        + _series("noisy", [(0, 1.2), (5, 2.9), (11, 3.1), (17, 6.4), (23, 6.0)])
+    )
+    return spark.createDataFrame(rows, ["series", "ts", "value"])
+
+
+def test_exact_lines_and_null_contracts(series_df):
+    got = {
+        r["series"]: (r["n"], r["slope_nano"])
+        for r in trend_slope(series_df, "ts", "value", ["series"]).collect()
+    }
+    assert got["up"] == (4, 2_500_000_000)
+    assert got["down"] == (3, -750_000_000)
+    assert got["flat"] == (3, 0)
+    assert got["one"] == (1, None)
+    assert got["same_ts"] == (2, None)
+
+
+def test_matches_numpy_polyfit(series_df):
+    got = {
+        r["series"]: r["slope_nano"]
+        for r in trend_slope(series_df, "ts", "value", ["series"]).collect()
+    }
+    xs = np.array([0, 5, 11, 17, 23], dtype=float)
+    vs = np.array([1.2, 2.9, 3.1, 6.4, 6.0])
+    ref = np.polyfit(xs, vs, 1)[0]
+    # value quantization (≤0.5µ per reading) + final truncation (1 nano)
+    assert abs(got["noisy"] / 1e9 - ref) < 1e-6
+
+
+def test_excludes_unusable_readings(spark):
+    rows = _series("k", [(0, 0.0), (10, 25.0), (20, 50.0)]) + [
+        ("k", T0 + timedelta(seconds=15), float("nan")),
+        ("k", T0 + timedelta(seconds=16), float("inf")),
+    ]
+    df = spark.createDataFrame(rows, ["series", "ts", "value"])
+    got = trend_slope(df, "ts", "value", ["series"]).collect()[0]
+    assert got["n"] == 3 and got["slope_nano"] == 2_500_000_000
+
+
+def test_partition_invariance(series_df):
+    a = sorted(map(tuple, trend_slope(series_df, "ts", "value", ["series"]).collect()))
+    b = sorted(
+        map(
+            tuple,
+            trend_slope(
+                series_df.repartition(9), "ts", "value", ["series"]
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -68,6 +68,7 @@ from time_series_loader_spark.operators.behavior import (
     cohort_retention,
     funnel_steps,
 )
+from time_series_loader_spark.operators.trend import trend_slope
 from time_series_loader_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_ivf,
@@ -144,4 +145,5 @@ __all__ = [
     "hll_rollup",
     "cohort_retention",
     "funnel_steps",
+    "trend_slope",
 ]
