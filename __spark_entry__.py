@@ -3150,6 +3150,72 @@ FROM mom
 """
 
 
+_CUSUM_THRESHOLD = 200.0
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series CUSUM drift detection (operators/trend.py::
+    cusum_stats, Page 1954) over events per user — the sequential
+    recursions S⁺/S⁻ evaluated via their prefix-sum/running-extrema
+    closed forms (ONE key-partitioned sort, three running windows; the
+    virtual empty prefix P₀=0 included, the subtle half of the
+    identity). INTEGER-PURE: n-scaled exact integer deviations, µunit
+    thresholds, S ≥ 0 so integral division is floor on both engines.
+    event_id breaks timestamp ties so the running sums are total-order
+    deterministic."""
+    _prep(spark)
+    from time_series_loader_spark.operators.trend import cusum_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_stats(
+        ev,
+        "ts",
+        "value",
+        ["user_id"],
+        threshold=_CUSUM_THRESHOLD,
+        order_cols=["event_id"],
+    )
+
+
+SQL_cusum_drift = f"""
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(TRY_CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vu
+  FROM events
+),
+fit AS (SELECT * FROM base WHERE vu IS NOT NULL),
+tot AS (
+  SELECT user_id, count(*) AS n, CAST(sum(vu) AS HUGEINT) AS sv
+  FROM fit GROUP BY 1
+),
+pre AS (
+  SELECT f.user_id, tot.n, f.ts, f.event_id,
+         sum(CAST(tot.n AS HUGEINT) * f.vu - tot.sv) OVER (
+           PARTITION BY f.user_id ORDER BY f.ts, f.event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS p
+  FROM fit f JOIN tot ON f.user_id = tot.user_id
+),
+-- the running extrema must include the virtual empty prefix P_0 = 0
+sc AS (
+  SELECT user_id, n,
+         p - least(CAST(0 AS HUGEINT), min(p) OVER w) AS sp,
+         greatest(CAST(0 AS HUGEINT), max(p) OVER w) - p AS sn
+  FROM pre
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )
+)
+SELECT user_id, CAST(any_value(n) AS BIGINT) AS n,
+       CAST(count(*) FILTER (sp > CAST(n AS HUGEINT) * {int(_CUSUM_THRESHOLD * 1_000_000)}) AS BIGINT) AS n_flags_pos,
+       CAST(count(*) FILTER (sn > CAST(n AS HUGEINT) * {int(_CUSUM_THRESHOLD * 1_000_000)}) AS BIGINT) AS n_flags_neg,
+       CAST(max(sp) // CAST(any_value(n) AS HUGEINT) AS BIGINT) AS max_cusum_pos_u,
+       CAST(max(sn) // CAST(any_value(n) AS HUGEINT) AS BIGINT) AS max_cusum_neg_u
+FROM sc GROUP BY user_id
+"""
+
+
 _FUNNEL_STEPS = ["signup", "view", "purchase"]
 
 
@@ -4955,6 +5021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "funnel_retention": q_funnel_retention,
         "trend_slope": q_trend_slope,
+        "cusum_drift": q_cusum_drift,
         # rows-only, deliberately LAST in dict order and with NO
         # oracle_sql entry: records the driver environment so a version-
         # drift hypothesis for any red slot is falsifiable from the
@@ -5027,4 +5094,5 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": SQL_inverted_index,
         "funnel_retention": SQL_funnel_retention,
         "trend_slope": SQL_trend_slope,
+        "cusum_drift": SQL_cusum_drift,
     }

@@ -45,6 +45,7 @@ INTEGER_PURE = CONTESTED + [
     "inverted_index",
     "funnel_retention",
     "trend_slope",
+    "cusum_drift",
 ]
 
 

@@ -77,3 +77,54 @@ def test_partition_invariance(series_df):
         )
     )
     assert a == b
+
+
+def _ref_cusum(vals, threshold):
+    mean = sum(vals) / len(vals)
+    sp = sn = 0.0
+    fp = fn = 0
+    mp = mn = 0.0
+    for v in vals:
+        d = v - mean
+        sp = max(0.0, sp + d)
+        sn = max(0.0, sn - d)
+        mp, mn = max(mp, sp), max(mn, sn)
+        fp += sp > threshold
+        fn += sn > threshold
+    return fp, fn, mp, mn
+
+
+def test_cusum_matches_sequential_reference(spark):
+    from time_series_loader_spark.operators.trend import cusum_stats
+
+    vals = [10.0, 10.2, 9.9, 10.1, 13.0, 13.2, 12.9, 13.1, 13.0, 12.8]
+    rows = [("k", T0 + timedelta(seconds=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["series", "ts", "value"])
+    got = cusum_stats(df, "ts", "value", ["series"], threshold=2.0).collect()[0]
+    fp, fn, mp, mn = _ref_cusum(vals, 2.0)
+    assert (got["n"], got["n_flags_pos"], got["n_flags_neg"]) == (10, fp, fn)
+    assert abs(got["max_cusum_pos_u"] / 1e6 - mp) < 2e-6
+    assert abs(got["max_cusum_neg_u"] / 1e6 - mn) < 2e-6
+    # mean-referenced CUSUM flags BOTH sides of a step change (below
+    # the global mean before the step, above it after) — the classic
+    # step signature, matching the sequential reference exactly
+    assert got["n_flags_pos"] > 0 and got["n_flags_neg"] > 0
+
+
+def test_cusum_flat_series_and_partition_invariance(spark):
+    from time_series_loader_spark.operators.trend import cusum_stats
+
+    rows = [("a", T0 + timedelta(seconds=i), 5.0) for i in range(20)] + [
+        ("b", T0 + timedelta(seconds=i), float(i)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["series", "ts", "value"])
+    got = {r["series"]: tuple(r) for r in cusum_stats(
+        df, "ts", "value", ["series"], threshold=1.0
+    ).collect()}
+    assert got["a"][1:] == (20, 0, 0, 0, 0)  # flat: no drift either side
+    # monotone ramp drifts BOTH ways around its own mean
+    assert got["b"][2] > 0 and got["b"][3] > 0
+    re = {r["series"]: tuple(r) for r in cusum_stats(
+        df.repartition(11), "ts", "value", ["series"], threshold=1.0
+    ).collect()}
+    assert got == re

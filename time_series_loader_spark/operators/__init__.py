@@ -68,7 +68,7 @@ from time_series_loader_spark.operators.behavior import (
     cohort_retention,
     funnel_steps,
 )
-from time_series_loader_spark.operators.trend import trend_slope
+from time_series_loader_spark.operators.trend import cusum_stats, trend_slope
 from time_series_loader_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_ivf,
@@ -146,4 +146,5 @@ __all__ = [
     "cohort_retention",
     "funnel_steps",
     "trend_slope",
+    "cusum_stats",
 ]

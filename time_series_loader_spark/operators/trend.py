@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -82,4 +82,95 @@ def trend_slope(
         mom.withColumn("_num", num)
         .withColumn("_den", den)
         .select(*g, "n", slope.alias("slope_nano"))
+    )
+
+
+def cusum_stats(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    threshold: float,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-series CUSUM drift detection (Page 1954) against the
+    series' own mean, summarized per series.
+
+    The textbook recursions ``S⁺_i = max(0, S⁺_{i-1} + d_i)`` /
+    ``S⁻_i = max(0, S⁻_{i-1} − d_i)`` look inherently sequential, but
+    both have window-expressible closed forms:
+
+        S⁺_i = P_i − min_{j≤i} P_j      S⁻_i = max_{j≤i} P_j − P_i
+
+    with ``P`` the running prefix sum of deviations — so the whole
+    detector is ONE key-partitioned sort plus three running window
+    aggregates, the same single-exchange cost as any keyed window.
+
+    INTEGER-PURE: values quantize to µunits (DECIMAL try_cast — the
+    shared unusable-reading rule); deviations from the series' own
+    mean are kept exact by scaling with n (``d_i = n·vu_i − Σvu``, an
+    integer), so thresholds compare as ``S > n·threshold_u`` and the
+    emitted magnitudes divide back by n with integral division (S ≥ 0,
+    so trunc ≡ floor on both engines).
+
+    Output per series: ``group_cols`` + ``n`` + ``n_flags_pos`` /
+    ``n_flags_neg`` (samples where the scaled CUSUM exceeds the scaled
+    threshold) + ``max_cusum_pos_u`` / ``max_cusum_neg_u`` (peak
+    excursions, µunits, integral-div by n).
+
+    ``order_cols``: extra tie-breakers after ``ts_col`` — REQUIRED for
+    determinism when a series can repeat timestamps (the running sums
+    are order-dependent within ties).
+    """
+    g = list(group_cols)
+    vu = (
+        F.col(value_col).try_cast("decimal(18,6)") * F.lit(1_000_000)
+    ).cast("long")
+    base = df.select(
+        *g, F.col(ts_col).alias("_ts"), *order_cols, vu.alias("_vu")
+    ).where(F.col("_vu").isNotNull())
+    totals = base.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_vu").alias("_sv")
+    )
+    d38 = "decimal(38,0)"
+    order = [F.col("_ts")] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(*g).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = (
+        base.join(F.broadcast(totals), g)
+        .withColumn(
+            "_d",
+            F.col("_n").cast(d38) * F.col("_vu").cast(d38)
+            - F.col("_sv").cast(d38),
+        )
+        .withColumn("_p", F.sum("_d").over(w))
+        # the running extrema must include the VIRTUAL empty prefix
+        # P_0 = 0 (the recursion starts at S_0 = 0): without it, a
+        # series whose prefix never crosses zero under-counts one side
+        .withColumn(
+            "_sp",
+            F.col("_p") - F.least(F.lit(0).cast(d38), F.min("_p").over(w)),
+        )
+        .withColumn(
+            "_sn",
+            F.greatest(F.lit(0).cast(d38), F.max("_p").over(w)) - F.col("_p"),
+        )
+    )
+    thr_u = int(round(threshold * 1_000_000))
+    lim = F.col("_n").cast(d38) * F.lit(thr_u).cast(d38)
+    return scored.groupBy(*g).agg(
+        F.first("_n").alias("n"),
+        F.sum(F.when(F.col("_sp") > lim, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flags_pos"),
+        F.sum(F.when(F.col("_sn") > lim, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flags_neg"),
+        F.expr(
+            "CAST(max(_sp) div CAST(first(_n) AS decimal(38,0)) AS BIGINT)"
+        ).alias("max_cusum_pos_u"),
+        F.expr(
+            "CAST(max(_sn) div CAST(first(_n) AS decimal(38,0)) AS BIGINT)"
+        ).alias("max_cusum_neg_u"),
     )
