@@ -400,3 +400,60 @@ def test_counter_rate_infinite_reading_matches_batch(spark, tmp_path):
     assert stream_out == batch_out
     assert sum(inc for inc, _ in stream_out.values()) == pytest.approx(3.0)
     assert all(inc is not None for inc, _ in batch_out.values())
+
+
+def test_streaming_cusum_state_spans_batches_and_matches_batch(spark, tmp_path):
+    """The CUSUM accumulators must carry across the micro-batch line,
+    and the final cumulative row must equal the batch operator's
+    fixed-target mode BIT-FOR-BIT."""
+    from time_series_loader_spark.operators.trend import cusum_stats
+    from time_series_loader_spark.streaming.stateful import streaming_cusum
+
+    d = tmp_path / "cusum"
+    d.mkdir()
+    rows_a = [
+        ("2023-01-01 00:00:00", 10.0),
+        ("2023-01-01 00:01:00", 10.4),
+        ("2023-01-01 00:02:00", 9.8),
+    ]
+    rows_b = [
+        ("2023-01-01 00:03:00", 12.5),
+        ("2023-01-01 00:04:00", 13.1),
+        ("2023-01-01 00:05:00", float("nan")),  # unusable: skipped
+        ("2023-01-01 00:06:00", 12.9),
+    ]
+    _write(d, "a.csv", rows_a, mtime=1_700_000_000)
+    _write(d, "b.csv", rows_b, mtime=1_700_000_100)
+    out = run_available_now(
+        streaming_cusum(_keyed_stream(spark, d), target=10.0, threshold=2.0),
+        spark,
+        shuffle_partitions=8,
+    ).collect()
+    # one cumulative row per batch; the LAST is the detector state
+    assert len(out) == 2
+    final = max(out, key=lambda r: r["n"])
+    assert final["n"] == 6  # NaN skipped
+
+    batch_rows = [
+        (7, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), v)
+        for ts, v in rows_a + rows_b
+    ]
+    bdf = spark.createDataFrame(batch_rows, ["user_id", "ts", "value"])
+    b = cusum_stats(
+        bdf, "ts", "value", ["user_id"], threshold=2.0, target=10.0
+    ).collect()[0]
+    assert (
+        final["n"],
+        final["n_flags_pos"],
+        final["n_flags_neg"],
+        final["max_cusum_pos_u"],
+        final["max_cusum_neg_u"],
+    ) == (
+        b["n"],
+        b["n_flags_pos"],
+        b["n_flags_neg"],
+        b["max_cusum_pos_u"],
+        b["max_cusum_neg_u"],
+    )
+    # the upward drift must actually have fired
+    assert final["n_flags_pos"] > 0 and final["n_flags_neg"] == 0

@@ -92,6 +92,7 @@ def cusum_stats(
     group_cols: Sequence[str],
     threshold: float,
     order_cols: Sequence[str] = (),
+    target: float | None = None,
 ) -> DataFrame:
     """Per-series CUSUM drift detection (Page 1954) against the
     series' own mean, summarized per series.
@@ -121,6 +122,13 @@ def cusum_stats(
     ``order_cols``: extra tie-breakers after ``ts_col`` — REQUIRED for
     determinism when a series can repeat timestamps (the running sums
     are order-dependent within ties).
+
+    ``target``: a FIXED reference level instead of the series' own mean
+    — the single-pass online form (no totals join, no n-scaling:
+    ``d_i = vu_i − target_u`` directly, outputs in plain µunits). This
+    is the mode the streaming dual (``streaming/stateful.py::
+    streaming_cusum``) mirrors exactly, since a self-mean needs the
+    whole series before the first row can score.
     """
     g = list(group_cols)
     vu = (
@@ -129,21 +137,27 @@ def cusum_stats(
     base = df.select(
         *g, F.col(ts_col).alias("_ts"), *order_cols, vu.alias("_vu")
     ).where(F.col("_vu").isNotNull())
-    totals = base.groupBy(*g).agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("_vu").alias("_sv")
-    )
     d38 = "decimal(38,0)"
     order = [F.col("_ts")] + [F.col(c) for c in order_cols]
     w = Window.partitionBy(*g).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    scored = (
-        base.join(F.broadcast(totals), g)
-        .withColumn(
+    if target is not None:
+        t_u = int(round(target * 1_000_000))
+        scored = base.withColumn(
+            "_d", (F.col("_vu") - F.lit(t_u)).cast(d38)
+        ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(*g)))
+    else:
+        totals = base.groupBy(*g).agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("_vu").alias("_sv")
+        )
+        scored = base.join(F.broadcast(totals), g).withColumn(
             "_d",
             F.col("_n").cast(d38) * F.col("_vu").cast(d38)
             - F.col("_sv").cast(d38),
         )
+    scored = (
+        scored
         .withColumn("_p", F.sum("_d").over(w))
         # the running extrema must include the VIRTUAL empty prefix
         # P_0 = 0 (the recursion starts at S_0 = 0): without it, a
@@ -158,9 +172,13 @@ def cusum_stats(
         )
     )
     thr_u = int(round(threshold * 1_000_000))
-    lim = F.col("_n").cast(d38) * F.lit(thr_u).cast(d38)
+    # deviations (and hence S) are n-scaled in self-mean mode, unscaled
+    # in fixed-target mode — thresholds and emitted peaks follow suit
+    scale = F.lit(1).cast(d38) if target is not None else F.col("_n").cast(d38)
+    scored = scored.withColumn("_scale", scale)
+    lim = F.col("_scale") * F.lit(thr_u).cast(d38)
     return scored.groupBy(*g).agg(
-        F.first("_n").alias("n"),
+        F.first("_n").cast("long").alias("n"),
         F.sum(F.when(F.col("_sp") > lim, 1).otherwise(0))
         .cast("long")
         .alias("n_flags_pos"),
@@ -168,9 +186,9 @@ def cusum_stats(
         .cast("long")
         .alias("n_flags_neg"),
         F.expr(
-            "CAST(max(_sp) div CAST(first(_n) AS decimal(38,0)) AS BIGINT)"
+            "CAST(max(_sp) div first(_scale) AS BIGINT)"
         ).alias("max_cusum_pos_u"),
         F.expr(
-            "CAST(max(_sn) div CAST(first(_n) AS decimal(38,0)) AS BIGINT)"
+            "CAST(max(_sn) div first(_scale) AS BIGINT)"
         ).alias("max_cusum_neg_u"),
     )

@@ -8,6 +8,7 @@ from time_series_loader_spark.streaming.ingest import (
 from time_series_loader_spark.streaming.incremental import incremental_dedup_stream
 from time_series_loader_spark.streaming.stateful import (
     streaming_counter_rate,
+    streaming_cusum,
     streaming_ewm_mean,
     streaming_gap_detector,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "windowed_resample_stream",
     "streaming_gap_detector",
     "streaming_counter_rate",
+    "streaming_cusum",
     "streaming_ewm_mean",
     "incremental_dedup_stream",
 ]

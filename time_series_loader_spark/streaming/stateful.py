@@ -341,3 +341,116 @@ def streaming_ewm_mean(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+        StructField("n_flags_pos", LongType()),
+        StructField("n_flags_neg", LongType()),
+        StructField("max_cusum_pos_u", LongType()),
+        StructField("max_cusum_neg_u", LongType()),
+    ]
+)
+
+# the live recursion's full cumulative summary: two running CUSUMs plus
+# the counters the batch operator reports — all exact integer µunits
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s_pos", LongType()),
+        StructField("s_neg", LongType()),
+        StructField("n", LongType()),
+        StructField("flags_pos", LongType()),
+        StructField("flags_neg", LongType()),
+        StructField("max_pos", LongType()),
+        StructField("max_neg", LongType()),
+        StructField("last_ts_micros", LongType()),
+    ]
+)
+
+
+def streaming_cusum(
+    events: DataFrame,
+    target: float,
+    threshold: float,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming dual of ``operators/trend.py::cusum_stats(target=…)`` —
+    the live drift monitor: per series key the state carries the two
+    CUSUM accumulators, so Page's recursion continues seamlessly across
+    micro-batches and each batch emits the key's UPDATED cumulative
+    summary row (latest row per key = current detector state; with a
+    single batch the output equals the batch operator row-for-row,
+    which is how it's tested).
+
+    Arithmetic parity with batch: readings quantize sign-aware to
+    integer µunits (matching the DECIMAL(18,6) HALF_UP cast), the fixed
+    target and threshold quantize once, and every accumulator is exact
+    integer math — so stream and batch agree BIT-FOR-BIT, not
+    approximately. Unusable readings (NULL/NaN/±Inf/envelope) are
+    skipped under the shared contract. State is O(1) per key (eight
+    longs); the monotone-ingest ordering contract matches
+    :func:`streaming_counter_rate`.
+    """
+    t_u = int(round(target * 1_000_000))
+    thr_u = int(round(threshold * 1_000_000))
+
+    import numpy as np
+
+    def cusum_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.exists:
+            sp, sn, n, fp, fn_, mp, mn, last_ts = state.get
+        else:
+            sp = sn = n = fp = fn_ = mp = mn = 0
+            last_ts = None
+        chunks = list(pdfs)  # concat-then-sort: see streaming_gap_detector
+        for pdf in [pd.concat(chunks)] if chunks else []:
+            pdf = pdf[pdf[value_col].notna()].sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                if last_ts is not None and t_us <= last_ts:
+                    continue  # late/duplicate sample (monotone ingest)
+                fv = float(v)
+                # try_cast(DECIMAL(18,6)) envelope: |v| >= 1e12 nulls out
+                if not math.isfinite(fv) or abs(fv) >= 1e12:
+                    continue
+                v_u = int(np.floor(abs(fv) * 1e6 + 0.5))
+                if fv < 0:
+                    v_u = -v_u
+                d = v_u - t_u
+                sp = max(0, sp + d)
+                sn = max(0, sn - d)
+                mp, mn = max(mp, sp), max(mn, sn)
+                fp += sp > thr_u
+                fn_ += sn > thr_u
+                n += 1
+                last_ts = t_us
+        state.update((sp, sn, n, fp, fn_, mp, mn, last_ts))
+        if n:
+            yield pd.DataFrame(
+                [(uid, n, fp, fn_, mp, mn)],
+                columns=[
+                    "user_id",
+                    "n",
+                    "n_flags_pos",
+                    "n_flags_neg",
+                    "max_cusum_pos_u",
+                    "max_cusum_neg_u",
+                ],
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        cusum_fn,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
