@@ -457,3 +457,44 @@ def test_streaming_cusum_state_spans_batches_and_matches_batch(spark, tmp_path):
     )
     # the upward drift must actually have fired
     assert final["n_flags_pos"] > 0 and final["n_flags_neg"] == 0
+
+
+def test_streaming_trend_matches_batch_across_batches(spark, tmp_path):
+    """Moments carried across the micro-batch line; the final cumulative
+    (n, slope_nano) equals the batch operator bit-for-bit."""
+    from time_series_loader_spark.operators.trend import trend_slope
+    from time_series_loader_spark.streaming.stateful import (
+        streaming_trend_slope,
+    )
+
+    d = tmp_path / "trend"
+    d.mkdir()
+    rows_a = [
+        ("2023-01-01 00:00:00", 1.0),
+        ("2023-01-01 00:00:10", 26.0),
+    ]
+    rows_b = [
+        ("2023-01-01 00:00:20", 51.0),
+        ("2023-01-01 00:00:30", 76.0),  # exact line v = 2.5x + 1
+    ]
+    _write(d, "a.csv", rows_a, mtime=1_700_000_000)
+    _write(d, "b.csv", rows_b, mtime=1_700_000_100)
+    out = run_available_now(
+        streaming_trend_slope(_keyed_stream(spark, d)),
+        spark,
+        shuffle_partitions=8,
+    ).collect()
+    assert len(out) == 2
+    final = max(out, key=lambda r: r["n"])
+    assert (final["n"], final["slope_nano"]) == (4, 2_500_000_000)
+    # first batch alone: 2 points, exact slope too
+    first = min(out, key=lambda r: r["n"])
+    assert (first["n"], first["slope_nano"]) == (2, 2_500_000_000)
+
+    batch_rows = [
+        (7, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), v)
+        for ts, v in rows_a + rows_b
+    ]
+    bdf = spark.createDataFrame(batch_rows, ["user_id", "ts", "value"])
+    b = trend_slope(bdf, "ts", "value", ["user_id"]).collect()[0]
+    assert (final["n"], final["slope_nano"]) == (b["n"], b["slope_nano"])

@@ -10,6 +10,7 @@ from time_series_loader_spark.streaming.stateful import (
     streaming_counter_rate,
     streaming_cusum,
     streaming_ewm_mean,
+    streaming_trend_slope,
     streaming_gap_detector,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "streaming_counter_rate",
     "streaming_cusum",
     "streaming_ewm_mean",
+    "streaming_trend_slope",
     "incremental_dedup_stream",
 ]

@@ -454,3 +454,107 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TREND_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+        StructField("slope_nano", LongType()),
+    ]
+)
+
+# exact integer moments; t0 is the series' first-seen event time, which
+# under the monotone-ingest contract IS the series minimum — the same
+# re-origin the batch operator computes with a min() aggregate
+TREND_STATE_SCHEMA = StructType(
+    [
+        StructField("t0_micros", LongType()),
+        StructField("n", LongType()),
+        StructField("sx", LongType()),
+        StructField("sv", LongType()),
+        StructField("sxv", LongType()),
+        StructField("sxx", LongType()),
+        StructField("last_ts_micros", LongType()),
+    ]
+)
+
+
+def streaming_trend_slope(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming dual of ``operators/trend.py::trend_slope`` — the live
+    per-series drift estimate: the state carries the five exact integer
+    moments (n, Σx, Σv, Σxv, Σx²; x = whole seconds from the series'
+    FIRST event, v in µunits), each batch emits the key's updated
+    (n, slope_nano) from the same closed form with the same
+    sign-explicit truncation — so stream equals batch BIT-FOR-BIT
+    (Python ints are arbitrary-precision; the batch side's
+    DECIMAL(38,0) products are exact too). NULL slope until x has
+    variance, mirroring the batch contract. State is O(1) per key
+    (seven longs); monotone-ingest ordering contract as everywhere.
+
+    Moment magnitudes: Python-side ints never overflow, but the STORED
+    moments ride LongType — Σxv ≤ n·span_s·1e12 must stay under 2^63
+    (e.g. 1e5 samples × 10-year span × |v| ≤ 1e6 ≈ 3e19 would NOT; at
+    |v| ≤ 1e3 it is ~3e16). The envelope check below bounds |v| < 1e12
+    only — for extreme series lengths re-origin per window upstream.
+    """
+    import numpy as np
+
+    def trend_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.exists:
+            t0, n, sx, sv, sxv, sxx, last_ts = state.get
+        else:
+            t0 = last_ts = None
+            n = sx = sv = sxv = sxx = 0
+        chunks = list(pdfs)  # concat-then-sort: see streaming_gap_detector
+        for pdf in [pd.concat(chunks)] if chunks else []:
+            pdf = pdf[pdf[value_col].notna()].sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                if last_ts is not None and t_us <= last_ts:
+                    continue  # late/duplicate sample (monotone ingest)
+                fv = float(v)
+                if not math.isfinite(fv) or abs(fv) >= 1e12:
+                    continue  # try_cast(DECIMAL(18,6)) envelope
+                v_u = int(np.floor(abs(fv) * 1e6 + 0.5))
+                if fv < 0:
+                    v_u = -v_u
+                if t0 is None:
+                    t0 = t_us
+                x = (t_us - t0) // 1_000_000  # whole seconds, like batch
+                n += 1
+                sx += x
+                sv += v_u
+                sxv += x * v_u
+                sxx += x * x
+                last_ts = t_us
+        state.update((t0, n, sx, sv, sxv, sxx, last_ts))
+        if n:
+            num = n * sxv - sx * sv
+            den = n * sxx - sx * sx
+            if den > 0:
+                mag = (abs(num) * 1000) // den
+                slope = -mag if num < 0 else mag
+            else:
+                slope = None
+            yield pd.DataFrame(
+                [(uid, n, slope)], columns=["user_id", "n", "slope_nano"]
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        trend_fn,
+        outputStructType=TREND_SCHEMA,
+        stateStructType=TREND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
