@@ -498,3 +498,76 @@ def test_streaming_trend_matches_batch_across_batches(spark, tmp_path):
     bdf = spark.createDataFrame(batch_rows, ["user_id", "ts", "value"])
     b = trend_slope(bdf, "ts", "value", ["user_id"]).collect()[0]
     assert (final["n"], final["slope_nano"]) == (b["n"], b["slope_nano"])
+
+
+def test_streaming_funnel_matches_batch_counts(spark, tmp_path):
+    """Live funnel transitions across micro-batches: distinct users per
+    step in the stream == the batch funnel's step counts, on the exact
+    fixture test_behavior pins (simultaneous / out-of-order / repeat
+    cases included)."""
+    from time_series_loader_spark.operators.behavior import funnel_steps
+    from time_series_loader_spark.streaming.ingest import (
+        run_available_now,
+        stream_csv_directory,
+    )
+    from time_series_loader_spark.streaming.stateful import streaming_funnel
+
+    d = tmp_path / "funnel"
+    d.mkdir()
+    ev = [  # (user, type, ts) — mirror of test_behavior.EVENTS
+        (1, "signup", "2024-01-01 00:00:00"),
+        (1, "view", "2024-01-02 00:00:00"),
+        (2, "purchase", "2024-01-01 00:00:00"),
+        (2, "signup", "2024-01-02 00:00:00"),
+        (3, "signup", "2024-01-01 00:00:00"),
+        (3, "view", "2024-01-01 12:00:00"),
+        (4, "view", "2024-01-01 00:00:00"),
+        (5, "signup", "2024-01-04 00:00:00"),
+        (5, "view", "2024-01-04 00:00:00"),  # simultaneous: no advance
+        (6, "signup", "2024-01-01 00:00:00"),
+        (6, "view", "2024-01-02 00:00:00"),
+    ]
+    ev2 = [  # second batch: later events, including cross-batch advances
+        (1, "purchase", "2024-01-03 00:00:00"),
+        (4, "purchase", "2024-01-02 00:00:00"),
+        (6, "signup", "2024-01-05 00:00:00"),
+        (6, "purchase", "2024-01-02 12:00:00"),
+    ]
+
+    def _w(name, rows, mtime):
+        p = d / name
+        lines = ["user_id;event_type;ts"] + [
+            f"{u};{t};{ts}" for u, t, ts in rows
+        ]
+        p.write_text("\n".join(lines) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    _w("a.csv", ev, 1_700_000_000)
+    _w("b.csv", ev2, 1_700_000_100)
+    sdf = stream_csv_directory(
+        spark,
+        str(d),
+        "user_id BIGINT, event_type STRING, ts TIMESTAMP",
+        max_files_per_trigger=1,
+    )
+    steps = ["signup", "view", "purchase"]
+    out = run_available_now(
+        streaming_funnel(sdf, steps), spark, shuffle_partitions=8
+    ).collect()
+    stream_counts = {
+        i: len({r["user_id"] for r in out if r["step"] == i})
+        for i in (1, 2, 3)
+    }
+
+    rows = [
+        (u, t, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"))
+        for u, t, ts in ev + ev2
+    ]
+    bdf = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    batch_counts = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(bdf, "ts", "user_id", "event_type", steps).collect()
+    }
+    assert stream_counts == batch_counts
+    # cross-batch advance actually happened (user 1 purchased in batch 2)
+    assert any(r["user_id"] == 1 and r["step"] == 3 for r in out)

@@ -9,6 +9,7 @@ from time_series_loader_spark.streaming.incremental import incremental_dedup_str
 from time_series_loader_spark.streaming.stateful import (
     streaming_counter_rate,
     streaming_cusum,
+    streaming_funnel,
     streaming_ewm_mean,
     streaming_trend_slope,
     streaming_gap_detector,
@@ -23,6 +24,7 @@ __all__ = [
     "streaming_gap_detector",
     "streaming_counter_rate",
     "streaming_cusum",
+    "streaming_funnel",
     "streaming_ewm_mean",
     "streaming_trend_slope",
     "incremental_dedup_stream",

@@ -558,3 +558,82 @@ def streaming_trend_slope(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("step", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+# the user's funnel progress: highest step reached (0 = none) and the
+# timestamp of the event that reached it (the strictly-after reference)
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("t_prev_micros", LongType()),
+    ]
+)
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming dual of ``operators/behavior.py::funnel_steps`` — live
+    conversion tracking: per user the state holds (highest step reached,
+    its event time); a step-(i+1) event STRICTLY AFTER that time
+    advances the funnel and emits one transition row ``(user, step,
+    ts)``. Users reaching step k in the stream = the batch operator's
+    step-k count (first-touch semantics carry over because the state
+    only ever advances on the FIRST qualifying event; differential-
+    tested). Unlike the other stateful duals this one consumes events
+    in RAW arrival order within a batch only after a per-batch
+    time sort, and relies on the same monotone-ingest contract for
+    cross-batch correctness. State is O(1) per user (two longs).
+    """
+    if len(steps) < 2 or len(set(steps)) != len(steps):
+        raise ValueError("streaming_funnel: need >= 2 distinct steps")
+    step_of = {s: i + 1 for i, s in enumerate(steps)}
+
+    def funnel_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.exists:
+            stage, t_prev = state.get
+        else:
+            stage, t_prev = 0, None
+        out = []
+        chunks = list(pdfs)  # concat-then-sort: see streaming_gap_detector
+        for pdf in [pd.concat(chunks)] if chunks else []:
+            pdf = pdf[pdf[type_col].isin(step_of)].sort_values(ts_col)
+            for ts, et in zip(pdf[ts_col], pdf[type_col]):
+                want = stage + 1
+                if step_of.get(et) != want or want > len(steps):
+                    continue
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                # step 1 anchors unconditionally; later steps must be
+                # STRICTLY after the previous step's event (batch rule)
+                if stage > 0 and (t_prev is None or t_us <= t_prev):
+                    continue
+                stage, t_prev = want, t_us
+                out.append((uid, want, ts))
+        state.update((stage, t_prev))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "step", "ts"])
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        funnel_fn,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
