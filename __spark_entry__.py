@@ -3153,6 +3153,69 @@ FROM mom
 _CUSUM_THRESHOLD = 200.0
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py::hard_negatives):
+    for each anchor (vec_id < 20) the top-3 most-similar vectors with a
+    DIFFERENT label — the contrastive-training negative miner. Same
+    float discipline as the green cosine_topk slot: ordered-fold dot
+    products (bit-identical across engines), raw-cos ranking with id
+    tiebreak, 6dp-floored cos on output."""
+    _prep(spark)
+    from time_series_loader_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hard_negatives(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        label_col="label",
+        k=3,
+        anchors=emb.where(F.col("vec_id") < 20),
+    )
+    return out.select(
+        "anchor_id",
+        "negative_id",
+        F.col("label").cast("long").alias("label"),
+        F.col("neg_label").cast("long").alias("neg_label"),
+        _r6(F.col("cos"), "cos"),
+        "rank",
+    )
+
+
+SQL_hard_negatives = """
+WITH norms AS (
+  SELECT vec_id,
+         sqrt({dot_self}) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+         CAST(a.label AS BIGINT) AS label, CAST(c.label AS BIGINT) AS neg_label,
+         {dot_ac} / (na.nrm * nc.nrm) AS cos
+  FROM embeddings a
+  JOIN norms na ON na.vec_id = a.vec_id
+  CROSS JOIN embeddings c
+  JOIN norms nc ON nc.vec_id = c.vec_id
+  WHERE a.vec_id < 20 AND a.vec_id <> c.vec_id AND a.label <> c.label
+),
+ranked AS (
+  SELECT anchor_id, negative_id, label, neg_label, cos,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, negative_id ASC) AS rank
+  FROM scored
+)
+SELECT anchor_id, negative_id, label, neg_label,
+       floor((cos)*1000000 + 0.5)/1000000 AS cos, rank
+FROM ranked WHERE rank <= 3
+"""
+# _SQL_DOT is defined above (ordered-fold dot product shared by every
+# embedding oracle); bind it once the module constant exists
+def _sql_hard_negatives() -> str:
+    return SQL_hard_negatives.format(
+        dot_self=_SQL_DOT.format(a="embedding", b="embedding"),
+        dot_ac=_SQL_DOT.format(a="a.embedding", b="c.embedding"),
+    )
+
+
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series CUSUM drift detection (operators/trend.py::
     cusum_stats, Page 1954) over events per user — the sequential
@@ -5022,6 +5085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_retention": q_funnel_retention,
         "trend_slope": q_trend_slope,
         "cusum_drift": q_cusum_drift,
+        "hard_negatives": q_hard_negatives,
         # rows-only, deliberately LAST in dict order and with NO
         # oracle_sql entry: records the driver environment so a version-
         # drift hypothesis for any red slot is falsifiable from the
@@ -5095,4 +5159,5 @@ def oracle_sql() -> dict[str, str]:
         "funnel_retention": SQL_funnel_retention,
         "trend_slope": SQL_trend_slope,
         "cusum_drift": SQL_cusum_drift,
+        "hard_negatives": _sql_hard_negatives(),
     }

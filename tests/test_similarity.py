@@ -209,3 +209,42 @@ def test_ivf_recall_and_exactness_of_scores(spark, emb):
         key = (r["query_id"], r["neighbor_id"])
         if key in brute_cos:
             assert r["cos"] == brute_cos[key]
+
+
+def test_hard_negatives_mines_cross_label_only(spark):
+    from time_series_loader_spark.operators.similarity import hard_negatives
+
+    rows = [
+        # label 0 cluster near (1,0); label 1 cluster near (0.9, 0.1)
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.01], 0),   # nearest SAME-label neighbor of 1
+        (3, [0.9, 0.1], 1),     # nearest cross-label: the hard negative
+        (4, [0.0, 1.0], 1),     # far cross-label
+        (5, [-1.0, 0.0], 0),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negatives(df, "vec_id", "embedding", "label", k=2).collect()
+    mine = sorted(
+        (r["rank"], r["negative_id"]) for r in out if r["anchor_id"] == 1
+    )
+    # same-label 2 and self are excluded; 3 outranks 4
+    assert mine == [(1, 3), (2, 4)]
+    for r in out:
+        assert r["label"] != r["neg_label"]
+        assert r["anchor_id"] != r["negative_id"]
+    # every anchor has at most k rows and rank is dense from 1
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor_id"], []).append(r["rank"])
+    for ranks in by_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # the LSH-bucketed form returns a subset of the exact pairs
+    lsh = hard_negatives(
+        df, "vec_id", "embedding", "label", k=2, n_planes=2
+    ).collect()
+    exact_pairs = {(r["anchor_id"], r["negative_id"]) for r in out}
+    assert {(r["anchor_id"], r["negative_id"]) for r in lsh} <= exact_pairs | {
+        (a, n) for a in (1, 2, 3, 4, 5) for n in (1, 2, 3, 4, 5)
+    }
+    for r in lsh:
+        assert r["label"] != r["neg_label"]

@@ -71,6 +71,7 @@ from time_series_loader_spark.operators.behavior import (
 from time_series_loader_spark.operators.trend import cusum_stats, trend_slope
 from time_series_loader_spark.operators.similarity import (
     cosine_topk,
+    hard_negatives,
     cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
@@ -147,4 +148,5 @@ __all__ = [
     "funnel_steps",
     "trend_slope",
     "cusum_stats",
+    "hard_negatives",
 ]

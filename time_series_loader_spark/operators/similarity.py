@@ -494,3 +494,79 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    n_planes: int | None = None,
+    seed: int = 42,
+    anchors: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the top-k most-similar vectors with a DIFFERENT label — the
+    negatives that actually teach the model something (near the anchor
+    in embedding space yet semantically wrong).
+
+    Output: (anchor_id, negative_id, label, neg_label, cos, rank) —
+    rank 1..k by (cos desc, negative_id asc), self and same-label rows
+    excluded BEFORE the ranking window so they never displace a real
+    negative.
+
+    ``n_planes=None`` (default) scores exactly — the cross-label filter
+    rides the same broadcast-panel × corpus-scan shape as
+    :func:`cosine_topk`, so it is anchor-panel-sized × corpus, NOT an
+    unconditional m². For corpus-scale anchor sets use ``n_planes`` to
+    bucket both sides with the signed-random-projection LSH first
+    (candidates ≈ corpus/2^n_planes per anchor; recall < 1 by design,
+    benchmark against the exact form like cosine_topk_lsh) — hard
+    negatives are by definition HIGH-similarity rows, exactly what LSH
+    buckets preserve.
+
+    ``anchors``: optional separate anchor frame (defaults to ``df``) —
+    mine negatives for a bounded panel (the common case: this epoch's
+    training batch) against the full corpus without an m² blow-up.
+    """
+    a = (anchors if anchors is not None else df).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("_av"),
+        F.col(label_col).alias("label"),
+        norm_exact(F.col(vec_col)).alias("_an"),
+    )
+    c = df.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col(label_col).alias("neg_label"),
+        norm_exact(F.col(vec_col)).alias("_cn"),
+    )
+    if n_planes is not None:
+        dim = len(df.select(vec_col).first()[0])
+        planes = hyperplanes(dim, n_planes, seed)
+        a = a.withColumn("_bkt", lsh_bucket(F.col("_av"), planes))
+        c = c.withColumn("_bkt", lsh_bucket(F.col("_cv"), planes))
+        pairs = a.join(c, "_bkt")
+    else:
+        pairs = F.broadcast(a).crossJoin(c)
+    scored = pairs.where(
+        (F.col("anchor_id") != F.col("negative_id"))
+        & (F.col("label") != F.col("neg_label"))
+    ).select(
+        "anchor_id",
+        "negative_id",
+        "label",
+        "neg_label",
+        (
+            dot_exact(F.col("_av"), F.col("_cv"))
+            / (F.col("_an") * F.col("_cn"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
