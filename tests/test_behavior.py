@@ -126,3 +126,24 @@ def test_partition_invariance(events_df):
         )
     )
     assert a == b
+
+
+def test_cohort_retention_floors_negative_epochs(spark):
+    """ADVICE r7 (low): pre-1970 timestamps (negative epoch-µs) must
+    cohort by FLOOR division like the DuckDB oracle's `//`, not Spark's
+    trunc-toward-zero `div` — a 1969 event belongs to week -1, not 0."""
+    from datetime import datetime, timezone
+
+    from time_series_loader_spark.operators.behavior import cohort_retention
+
+    rows = [
+        (1, datetime(1969, 12, 31, 12, tzinfo=timezone.utc)),  # week -1
+        (1, datetime(1970, 1, 2, tzinfo=timezone.utc)),        # week 0
+        (2, datetime(1970, 1, 5, tzinfo=timezone.utc)),        # week 0
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(df, "ts", "user_id").collect()
+    }
+    assert got == {(-1, 0): 1, (-1, 1): 1, (0, 0): 1}

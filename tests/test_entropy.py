@@ -89,3 +89,22 @@ def test_low_entropy_flags_repetitive_doc(docs_df):
         for r in token_entropy(docs_df, "text", "doc_id").collect()
     }
     assert got[1] < got[3] < got[2]
+
+
+def test_pinned_domain_guard_raises_before_lossy_join(spark):
+    """ADVICE r7 (medium): a doc whose token count exceeds the pinned
+    ln table's 4e6 domain must raise LOUDLY — the old guard checked
+    max(n) AFTER the inner lookup join had already dropped the
+    out-of-domain (doc, term) rows, so the doc silently vanished (or
+    its entropy deflated) instead of failing."""
+    import pytest
+
+    from time_series_loader_spark.operators.ln_pinned import LN_U_MAX_K
+    from time_series_loader_spark.operators.text import token_entropy
+
+    big = "a " * (LN_U_MAX_K + 1)
+    df = spark.createDataFrame([(1, big), (2, "b c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="pinned domain"):
+        token_entropy(
+            df, "text", "doc_id", pinned_ln=True, integer_outputs=True
+        ).collect()

@@ -128,3 +128,26 @@ def test_cusum_flat_series_and_partition_invariance(spark):
         df.repartition(11), "ts", "value", ["series"], threshold=1.0
     ).collect()}
     assert got == re
+
+
+def test_trend_slope_no_bigint_wrap_large_values(spark):
+    """ADVICE r7 (high): x·vu must be multiplied as DECIMAL(38,0), not
+    BIGINT — |v|~3e5 over a year gives x·vu > 2^63 while each factor is
+    well inside the documented |v| < 1e12 envelope. The expected slope
+    is the exact closed form evaluated in arbitrary-precision Python."""
+    from time_series_loader_spark.operators.trend import trend_slope
+
+    year = 365 * 86400
+    pts = [(0, 300_000.0), (year // 2, -250_000.0), (year, 310_000.0)]
+    rows = [
+        ("k", T0 + timedelta(seconds=x), v) for x, v in pts
+    ]
+    df = spark.createDataFrame(rows, ["series", "ts", "value"])
+    got = trend_slope(df, "ts", "value", ["series"]).collect()[0]
+    xs = [x for x, _ in pts]
+    vs = [int(v * 1_000_000) for _, v in pts]
+    n = len(pts)
+    num = n * sum(x * v for x, v in zip(xs, vs)) - sum(xs) * sum(vs)
+    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    want = (abs(num) * 1000) // den * (-1 if num < 0 else 1)
+    assert got["slope_nano"] == want

@@ -64,8 +64,11 @@ def funnel_steps(
     counts = [(1, steps[0], reached)]
     for i, s in enumerate(steps[1:], start=2):
         nxt = (
+            # user-cardinality side: AQE's size-based broadcast decision,
+            # not a forced hint — at 100s of millions of users a forced
+            # broadcast OOMs the executors (ADVICE r7 low)
             ev.where(F.col("_t") == s)
-            .join(F.broadcast(reached), "_u")
+            .join(reached, "_u")
             .where(F.col("_ts") > F.col("_prev"))
             .groupBy("_u")
             .agg(F.min("_ts").alias("_prev"))
@@ -104,14 +107,23 @@ def cohort_retention(
     side, then a (cohort, offset) count — all map-side-combinable;
     nothing event-sized ever joins anything event-sized.
     """
-    # integral `div`, never `/`: float division then cast could flip a
-    # quotient sitting one ulp under an integer (the house float-parity rule)
-    wk = F.expr(f"unix_micros({ts_col}) div {_US_PER_WEEK}")
+    # integral FLOOR division, never `/`: float division then cast could
+    # flip a quotient sitting one ulp under an integer, and Spark's `div`
+    # truncates toward zero while the DuckDB oracle's `//` floors — for
+    # pre-1970 timestamps (negative epoch-µs) the two differ by one week,
+    # so the sign is handled explicitly (house rule, trend.py; ADVICE r7)
+    wk = F.expr(
+        f"CASE WHEN unix_micros({ts_col}) >= 0 "
+        f"THEN unix_micros({ts_col}) div {_US_PER_WEEK} "
+        f"ELSE -((-unix_micros({ts_col}) + {_US_PER_WEEK} - 1) div {_US_PER_WEEK}) "
+        f"END"
+    )
     base = df.select(F.col(user_col).alias("_u"), wk.alias("_wk"))
     cohort = base.groupBy("_u").agg(F.min("_wk").alias("_cohort"))
     active = base.distinct()
     cells = (
-        active.join(F.broadcast(cohort), "_u")
+        # user-sized side: AQE decides broadcast by size (ADVICE r7 low)
+        active.join(cohort, "_u")
         .select("_u", "_cohort", (F.col("_wk") - F.col("_cohort")).alias("_off"))
     )
     if max_offset is not None:

@@ -505,6 +505,7 @@ def hard_negatives(
     n_planes: int | None = None,
     seed: int = 42,
     anchors: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for every anchor,
     the top-k most-similar vectors with a DIFFERENT label — the
@@ -516,20 +517,31 @@ def hard_negatives(
     excluded BEFORE the ranking window so they never displace a real
     negative.
 
-    ``n_planes=None`` (default) scores exactly — the cross-label filter
-    rides the same broadcast-panel × corpus-scan shape as
-    :func:`cosine_topk`, so it is anchor-panel-sized × corpus, NOT an
-    unconditional m². For corpus-scale anchor sets use ``n_planes`` to
-    bucket both sides with the signed-random-projection LSH first
-    (candidates ≈ corpus/2^n_planes per anchor; recall < 1 by design,
-    benchmark against the exact form like cosine_topk_lsh) — hard
-    negatives are by definition HIGH-similarity rows, exactly what LSH
-    buckets preserve.
+    SCALE CONTRACT (VERDICT r7 #3): at least one of ``anchors`` (a
+    bounded panel — the common case: this epoch's training batch) or
+    ``n_planes`` (signed-random-projection LSH bucketing of both sides;
+    candidates ≈ corpus/2^n_planes per anchor, recall < 1 by design —
+    hard negatives are by definition HIGH-similarity rows, exactly what
+    LSH buckets preserve) MUST be given. The old default — broadcast
+    the full corpus and cross-join it with itself — is O(m²) pairs plus
+    a corpus-sized broadcast: a scale-killer reachable by calling with
+    defaults, so it now raises instead.
 
-    ``anchors``: optional separate anchor frame (defaults to ``df``) —
-    mine negatives for a bounded panel (the common case: this epoch's
-    training batch) against the full corpus without an m² blow-up.
+    With ``anchors`` and no ``n_planes`` the scoring is exact: the
+    cross-label filter rides the same broadcast-panel × corpus-scan
+    shape as :func:`cosine_topk`, anchor-panel-sized × corpus.
+
+    ``dim``: embedding dimensionality for the LSH path. When omitted it
+    is probed from the first anchor row (one tiny Spark action at plan
+    time); pass it explicitly in pipelines that must stay action-free.
     """
+    if anchors is None and n_planes is None:
+        raise ValueError(
+            "hard_negatives: pass a bounded `anchors` panel and/or "
+            "`n_planes` (LSH bucketing). With neither, every vector is "
+            "an anchor against the full corpus — an O(m^2) cross join "
+            "plus a corpus-sized broadcast that cannot survive at scale."
+        )
     a = (anchors if anchors is not None else df).select(
         F.col(id_col).alias("anchor_id"),
         F.col(vec_col).alias("_av"),
@@ -543,7 +555,17 @@ def hard_negatives(
         norm_exact(F.col(vec_col)).alias("_cn"),
     )
     if n_planes is not None:
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            # probe the dimension from ONE anchor row; guard the empty-
+            # frame case (first() → None) with a clear error instead of
+            # a TypeError (ADVICE r7 low)
+            row = (anchors if anchors is not None else df).select(vec_col).first()
+            if row is None or row[0] is None:
+                raise ValueError(
+                    "hard_negatives: cannot probe embedding dim from an "
+                    "empty frame — pass dim= explicitly"
+                )
+            dim = len(row[0])
         planes = hyperplanes(dim, n_planes, seed)
         a = a.withColumn("_bkt", lsh_bucket(F.col("_av"), planes))
         c = c.withColumn("_bkt", lsh_bucket(F.col("_cv"), planes))

@@ -534,6 +534,17 @@ def token_entropy(
         from .ln_pinned import ln_u_df, ln_u_lookup
 
         lnu = ln_u_df(df.sparkSession)
+        # loud domain check BEFORE any lossy lookup join: n = Σ tf is
+        # computed from the un-joined tf frame, so a doc with one term
+        # repeated beyond the table's 4e6 domain raises here instead of
+        # being silently dropped by the inner join below, which would
+        # deflate _n/_s and let a wrong entropy through (ADVICE r7
+        # medium — the old check ran AFTER the join and saw deflated n);
+        # ct ≤ n, so max(n) in-domain covers every ct too
+        doc_n = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("_n"))
+        max_n = doc_n.agg(F.max("_n")).collect()[0][0]
+        if max_n is not None:
+            ln_u_lookup(int(max_n))  # raises beyond the pinned domain
         # distinct ct values are FEW (small integers); resolve their
         # ln_u once and broadcast back — never join the corpus-sized
         # tf frame against the 4e6-row table directly
@@ -542,20 +553,16 @@ def token_entropy(
             "_ct", F.col("ln_u").alias("_ln_ct_u")
         )
         scored = tf.join(F.broadcast(ctmap), tf["tf"] == ctmap["_ct"])
-        per_doc = scored.groupBy(id_col).agg(
-            F.sum("tf").cast("long").alias("_n"),
+        per_doc_s = scored.groupBy(id_col).agg(
             F.sum(F.col("tf") * F.col("_ln_ct_u")).cast("long").alias("_s"),
         )
-        # loud domain check: ct ≤ n ≤ max(n); one tiny scalar action
-        max_n = per_doc.agg(F.max("_n")).collect()[0][0]
-        if max_n is not None:
-            ln_u_lookup(int(max_n))  # raises beyond the pinned domain
-        ns = per_doc.select(F.col("_n").alias("_nk")).distinct()
+        ns = doc_n.select(F.col("_n").alias("_nk")).distinct()
         nmap = lnu.join(F.broadcast(ns), lnu["k"] == F.col("_nk")).select(
             "_nk", F.col("ln_u").alias("_ln_n_u")
         )
-        per_doc = per_doc.join(
-            F.broadcast(nmap), per_doc["_n"] == nmap["_nk"]
+        per_doc = (
+            doc_n.join(per_doc_s, id_col)
+            .join(F.broadcast(nmap), F.col("_n") == F.col("_nk"))
         )
     else:
         ln_ct_u = F.floor(F.log(F.col("tf").cast("double")) * 1e6 + 0.5)

@@ -56,18 +56,25 @@ def trend_slope(
         vu.alias("_vu"),
     ).where(F.col("_vu").isNotNull() & F.col("_us").isNotNull())
     t0 = base.groupBy(*g).agg(F.min("_us").alias("_t0"))
-    pts = base.join(F.broadcast(t0), g).select(
+    # group-cardinality side: AQE's size-based broadcast decision, not a
+    # forced hint — hundreds of millions of groups would OOM a forced
+    # broadcast (ADVICE r7 low, behavior.py:68 family)
+    pts = base.join(t0, g).select(
         *g,
         F.expr("(_us - _t0) div 1000000").alias("_x"),  # whole seconds
         "_vu",
     )
     d38 = "decimal(38,0)"
+    # operands cast to DECIMAL(38,0) BEFORE multiplying, mirroring the
+    # oracle's CAST(x AS HUGEINT) * vu — a BIGINT product of x·vu wraps
+    # silently (ANSI off) for |v|~3e5 over a year-long series even though
+    # each factor is inside the documented envelope (ADVICE r7 high)
     mom = pts.groupBy(*g).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("_x").cast(d38)).alias("_sx"),
         F.sum(F.col("_vu").cast(d38)).alias("_sv"),
-        F.sum((F.col("_x") * F.col("_vu")).cast(d38)).alias("_sxv"),
-        F.sum((F.col("_x") * F.col("_x")).cast(d38)).alias("_sxx"),
+        F.sum(F.col("_x").cast(d38) * F.col("_vu").cast(d38)).alias("_sxv"),
+        F.sum(F.col("_x").cast(d38) * F.col("_x").cast(d38)).alias("_sxx"),
     )
     num = F.col("n").cast(d38) * F.col("_sxv") - F.col("_sx") * F.col("_sv")
     den = F.col("n").cast(d38) * F.col("_sxx") - F.col("_sx") * F.col("_sx")
@@ -151,7 +158,9 @@ def cusum_stats(
         totals = base.groupBy(*g).agg(
             F.count(F.lit(1)).alias("_n"), F.sum("_vu").alias("_sv")
         )
-        scored = base.join(F.broadcast(totals), g).withColumn(
+        # group-cardinality side: let AQE's size estimate pick broadcast
+        # (a forced hint OOMs at 100s-of-millions of groups; ADVICE r7)
+        scored = base.join(totals, g).withColumn(
             "_d",
             F.col("_n").cast(d38) * F.col("_vu").cast(d38)
             - F.col("_sv").cast(d38),
