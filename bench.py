@@ -35,8 +35,8 @@ from time_series_loader_spark.session import get_spark
 # Headline set: every distinct operator family, weighted toward the ones
 # whose plans differ (window vs groupBy vs join vs union-window).
 HEADLINE = [
-    "resample_1h_mean",
-    "gaps",
+    "resample_hourly",
+    "gaps_report",
     "continuity_stats",
     "reindex_ffill_30min",
     "interpolate_30min",
@@ -44,7 +44,7 @@ HEADLINE = [
     "breakpoint_resample",
     "zscore_inliers",
     "tpch_q1",
-    "tpch_q5_like",
+    "tpch_q5_q6",
     "top3_customers_per_nation",
     "dedup_incremental",
     "minhash_lsh",

@@ -27,25 +27,19 @@ duckdb = pytest.importorskip("duckdb")
 import __spark_entry__ as entry
 from time_series_loader_spark.session import TABLES
 
-CONTESTED = ["continuity_stats", "tfidf_top3"]
-# r7's new slots share the integer/string-pure contract by construction —
-# certify them under the same normalization-proof test so a future float
-# column can't silently creep in (zorder's INTERMEDIATE scaling is IEEE
-# float, but its output is a BIGINT key; semantic_dedup is excluded: its
-# cent_cos column is a sanctioned 6dp-floored double)
+CONTESTED = ["continuity_stats", "tfidf_top3", "unigram_entropy"]
+# the integer/string-pure slots of the r8 50-slot surface — certify them
+# under the same normalization-proof test so a future float column can't
+# silently creep in (zorder's INTERMEDIATE scaling is IEEE float, but its
+# output is a BIGINT key; embedding_near_dup/cosine slots are excluded:
+# their cos columns are sanctioned 6dp-floored doubles)
 INTEGER_PURE = CONTESTED + [
-    "dsir_select",
-    "domain_mix",
-    "chunk_documents",
-    "sequence_pack",
-    "table_profile",
-    "zorder_key",
+    "corpus_prep",   # chunk + pack + mix + dsir + normtext sections
+    "layout_pack",   # shard_pack + zorder sections
     "stratified_sample",
-    "bm25_topk",
-    "inverted_index",
-    "funnel_retention",
-    "trend_slope",
-    "cusum_drift",
+    "retrieval",     # bm25 + inverted-index + recall sections
+    "series_models", # trend + cusum + funnel + retention sections
+    "env_fingerprint",
 ]
 
 
@@ -95,3 +89,40 @@ def test_contested_slot_values_are_normalization_proof(
         c.lower() for c in d_cols
     )
     assert _multiset(s_cols, s_rows) == _multiset(d_cols, d_rows)
+
+
+# result-set REPRESENTATION contract (round 8). The r5-r7 tfidf_top3
+# hash red — which survived full value-level integer purification — was
+# traced to the gate's single HUGEINT output column (an uncast SUM in
+# the old unigram section): HUGEINT is value-identical to the BIGINT the
+# Spark side emits, but pandas/arrow fetch paths materialize it as
+# float64/decimal ("2215.0" vs "2215"), a channel invisible to every
+# value-level purity test above. No oracle may emit a non-standard
+# column type again, for ANY slot.
+_STANDARD_DUCK_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "VARCHAR",
+    "DOUBLE",
+    "BOOLEAN",
+    "DATE",
+    "TIMESTAMP",
+    "TIMESTAMP WITH TIME ZONE",
+}
+
+
+@pytest.mark.parametrize("name", sorted(entry.oracle_sql()))
+def test_every_oracle_output_column_is_standard_typed(duck, name):
+    desc = duck.execute(
+        f"DESCRIBE (\n{entry.oracle_sql()[name]}\n)"
+    ).fetchall()
+    odd = [(c, t) for c, t, *_ in desc if t not in _STANDARD_DUCK_TYPES]
+    assert not odd, (
+        f"{name}: oracle emits non-standard column type(s) {odd} — "
+        "HUGEINT/DECIMAL/UBIGINT round-trip differently through "
+        "pandas/arrow fetch paths than through fetchall(), which is "
+        "exactly the representation channel that kept tfidf_top3 "
+        "driver-red for three rounds. CAST the column."
+    )
