@@ -93,7 +93,7 @@ def test_low_entropy_flags_repetitive_doc(docs_df):
 
 def test_pinned_domain_guard_raises_before_lossy_join(spark):
     """ADVICE r7 (medium): a doc whose token count exceeds the pinned
-    ln table's 4e6 domain must raise LOUDLY — the old guard checked
+    ln table's 8e6 domain must raise LOUDLY — the old guard checked
     max(n) AFTER the inner lookup join had already dropped the
     out-of-domain (doc, term) rows, so the doc silently vanished (or
     its entropy deflated) instead of failing."""

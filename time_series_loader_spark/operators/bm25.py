@@ -26,7 +26,7 @@ a ranking signal, and a *shared deterministic* quantization.
 
 The engine-``ln`` float path (``pinned_ln=False``) is the unbounded
 100 TB tool; the pinned path is the certification fixture (domain
-2(N+1) ≤ 4e6 → N ≤ 2e6 docs; the driver-side lookup raises loudly
+2(N+1) ≤ 8e6 → N ≤ 4e6 docs; the driver-side lookup raises loudly
 beyond it).
 
 Scale shape: one corpus scan → explode → (doc,term) tf groupBy with

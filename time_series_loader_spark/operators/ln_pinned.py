@@ -1,6 +1,6 @@
 """Pinned natural-log micro-unit lookup (round-7 oracle hardening).
 
-``ln_u_micro.parquet`` maps every integer ``k`` in [1, 4e6] to
+``ln_u_micro.parquet`` maps every integer ``k`` in [1, 8e6] to
 ``floor(ln(k)*1e6 + 0.5)`` — ONE frozen libm evaluation (CPython
 ``math.log``; regenerate with ``tools/gen_ln_table.py``). Oracle-gated
 queries that need a logarithm of an integer quantity (tfidf idf on
@@ -14,7 +14,7 @@ driver-red slots — is removed by construction.
 Quantities whose logarithm is needed on a NON-integer or unbounded
 domain keep the engine-side micro-quantized ``ln`` path in
 ``operators/text.py`` — that is the 100 TB tool; this is the
-bit-certification tool for oracle-gated scales (the table's 4e6 ceiling
+bit-certification tool for oracle-gated scales (the table's 8e6 ceiling
 covers the 10× scale probe over the largest gated corpus; helpers raise loudly beyond it).
 """
 
@@ -26,7 +26,7 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, SparkSession
 
 LN_U_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "resources", "ln_u_micro.parquet")
-LN_U_MAX_K = 4_000_000
+LN_U_MAX_K = 8_000_000
 
 _LNU_CACHE: dict[str, DataFrame] = {}
 

@@ -515,7 +515,7 @@ def token_entropy(
 
     Per-count ``ln`` contributions are micro-quantized (engine path) or
     pinned-table lookups (``pinned_ln=True``; requires every ct and n
-    ≤ the table's 4e6 domain — checked with ONE driver-side scalar
+    ≤ the table's 8e6 domain — checked with ONE driver-side scalar
     lookup of max(n) that raises loudly, since ct ≤ n). In
     ``integer_outputs`` mode ``entropy_u = ln_u(n) − (Σ ct·ln_u(ct))
     div n`` — BIGINT arithmetic end-to-end, bit-identical across
@@ -536,7 +536,7 @@ def token_entropy(
         lnu = ln_u_df(df.sparkSession)
         # loud domain check BEFORE any lossy lookup join: n = Σ tf is
         # computed from the un-joined tf frame, so a doc with one term
-        # repeated beyond the table's 4e6 domain raises here instead of
+        # repeated beyond the table's 8e6 domain raises here instead of
         # being silently dropped by the inner join below, which would
         # deflate _n/_s and let a wrong entropy through (ADVICE r7
         # medium — the old check ran AFTER the join and saw deflated n);
@@ -547,7 +547,7 @@ def token_entropy(
             ln_u_lookup(int(max_n))  # raises beyond the pinned domain
         # distinct ct values are FEW (small integers); resolve their
         # ln_u once and broadcast back — never join the corpus-sized
-        # tf frame against the 4e6-row table directly
+        # tf frame against the 8e6-row table directly
         cts = tf.select(F.col("tf").alias("_ct")).distinct()
         ctmap = lnu.join(F.broadcast(cts), lnu["k"] == F.col("_ct")).select(
             "_ct", F.col("ln_u").alias("_ln_ct_u")

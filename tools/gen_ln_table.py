@@ -14,11 +14,12 @@ reads the parquet / builds literals from it; the DuckDB oracle SQL reads
 the same parquet), so no engine ever evaluates ``ln`` at query time and
 the two sides cannot drift — by construction, not by tolerance.
 
-MAX_K sizing: the largest argument ever looked up is ``N + V`` of the
-unigram LM (corpus tokens + vocabulary) — ~271k at sf0.1, the largest
-gated scale, and ~2.7M in the 10× scale probe over the synthesized
-corpus. 4,000,000 covers the probe with headroom; the lookup helpers
-raise loudly if a query ever needs more (at true 100 TB scale the
+MAX_K sizing: the largest argument ever looked up is DSIR's
+``n_raw_features + n_buckets`` (unigrams + bigrams over the corpus,
+~537k at sf0.1) — ~5.4M in the 10× scale probe over the synthesized
+corpus, which overflowed the original 4,000,000 ceiling exactly as
+designed (the lookup raised loudly, r8). 8,000,000 restores probe
+headroom; the helpers still raise beyond it (at true 100 TB scale the
 engine-side quantized-``ln`` path in operators/text.py is the right tool;
 the pinned table is the bit-certification tool for oracle-gated scales).
 
@@ -33,7 +34,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-MAX_K = 4_000_000
+MAX_K = 8_000_000
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "time_series_loader_spark",

@@ -129,7 +129,7 @@ def main() -> None:
             name.strip()
             for name in os.environ.get(
                 "SPARK_GRAFT_PROBE_QUERIES",
-                "minhash_lsh,gaps,text_profile,corpus_filter",
+                "minhash_lsh,gaps_report,text_profile,corpus_filter",
             ).split(",")
             if name.strip()
         )
