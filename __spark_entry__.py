@@ -3772,7 +3772,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = semdedup(
         emb, "vec_id", "embedding", IVF_CENTROIDS, threshold=0.45,
-        fold_assign=True,
+        fold_assign=True, materialize_assignments=True,
     )
     return out.select(
         "vec_id", "cell", _r6(F.col("cent_cos"), "cent_cos"), "kept"

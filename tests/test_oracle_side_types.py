@@ -126,3 +126,19 @@ def test_every_oracle_output_column_is_standard_typed(duck, name):
         "exactly the representation channel that kept tfidf_top3 "
         "driver-red for three rounds. CAST the column."
     )
+
+
+def test_gate_surface_is_exactly_50_fully_oracled_slots():
+    """Driver contract (VERDICT r7 #1): the correctness gate records the
+    FIRST 50 queries() entries — r1, r2, and r7 all truncated at exactly
+    50, silently un-recording everything later in dict order. The
+    surface must therefore be EXACTLY 50 slots, every one of them with
+    an oracle, so nothing ships uncertified and nothing falls off the
+    record."""
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert len(q) == 50, f"queries() has {len(q)} entries, contract is 50"
+    assert set(q) == set(o), (
+        f"oracle coverage mismatch: missing={sorted(set(q) - set(o))} "
+        f"extra={sorted(set(o) - set(q))}"
+    )

@@ -42,6 +42,8 @@ same literals (`similarity._nearest_cells_udf` fold semantics ≡ DuckDB
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -116,6 +118,7 @@ def semdedup(
     driver_max_edges: int | None = 100_000,
     kernel: str = "block",
     block: int = 2048,
+    materialize_assignments: bool = False,
 ) -> DataFrame:
     """Per-embedding SemDeDup verdict:
     (``id_col``, cell, cent_cos, kept) — ``kept=0`` iff the row is a
@@ -131,7 +134,18 @@ def semdedup(
     instead of a Catalyst fold per pair (measured 12× at a 10× corpus).
     ``"fold"`` evaluates the exact fold on every intra-cell pair via a
     self-join — the plain oracle-shaped form, kept for differential
-    certification of the kernel itself."""
+    certification of the kernel itself.
+
+    ``materialize_assignments``: localCheckpoint the (id, cell, vec,
+    norm, cent_cos) assignment frame before the pair stage. The frame is
+    referenced 3-4× downstream (candidate generation, both verify-join
+    sides, the final kept-join), and each reference otherwise replays the
+    scan + the Arrow assignment kernel — the dominant fixed cost on small
+    corpora, and a corpus-sized recompute at scale. Materializing it is
+    what a production SemDeDup pass does anyway (the assignment IS the
+    IVF index build). Off by default so plan-audit and the differential
+    tests see the full lineage; skipped under SPARK_GRAFT_PLAN_AUDIT even
+    when requested."""
     if kernel not in ("block", "fold"):
         raise ValueError(f"kernel must be 'block' or 'fold', got {kernel!r}")
     spark = df.sparkSession
@@ -158,6 +172,8 @@ def semdedup(
             "cent_cos"
         ),
     )
+    if materialize_assignments and not os.environ.get("SPARK_GRAFT_PLAN_AUDIT"):
+        base = base.localCheckpoint()
     if kernel == "block":
         cand = _cell_candidates_block(base, id_col, threshold, block)
         va = base.select(
