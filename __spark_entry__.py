@@ -5561,38 +5561,53 @@ def q_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("postings").alias("s1"),
     )
     exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    lsh = q_cosine_topk_lsh(spark, sf_dir).select("query_id", "neighbor_id")
-    ivf = (
-        q_cosine_topk_ivf(spark, sf_dir)
-        .where(F.col("section") == "ivf")
-        .select("query_id", "neighbor_id")
+    lsh = q_cosine_topk_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_lsh")
     )
-    def _recall(approx: DataFrame, name: str) -> DataFrame:
-        hits = exact.join(approx, ["query_id", "neighbor_id"]).agg(
-            F.count(F.lit(1)).cast("long").alias("v1")
-        )
-        total = exact.agg(F.count(F.lit(1)).cast("long").alias("v2"))
-        return hits.crossJoin(total).select(
-            F.lit("recall").alias("section"),
-            F.lit(name).alias("key"),
-            "v1",
-            "v2",
-            dash.alias("s1"),
-        )
-
-    return (
-        a.unionByName(b)
-        .unionByName(_recall(lsh, "cosine_lsh@5"))
-        .unionByName(_recall(ivf, "cosine_ivf@5"))
+    ivfpq = q_cosine_topk_ivf(spark, sf_dir)
+    ivf = ivfpq.where(F.col("section") == "ivf").select(
+        "query_id", "neighbor_id", F.lit(1).alias("_ivf")
     )
+    pq = ivfpq.where(F.col("section") == "pq").select(
+        "query_id", "neighbor_id", F.lit(1).alias("_pq")
+    )
+    # ONE pass over the exact top-k computes both recalls: left-join the
+    # two approximate panels onto it and count hit flags in a single
+    # aggregate, then stack to the two recall rows — the exact lineage
+    # (panel × corpus scores) executes once, not once per (metric ×
+    # hits/total) as the naive four-subtree form would
+    rec = (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .join(ivf, ["query_id", "neighbor_id"], "left")
+        .join(pq, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.sum(F.coalesce(F.col("_lsh"), F.lit(0))).cast("long").alias("_h_lsh"),
+            F.sum(F.coalesce(F.col("_ivf"), F.lit(0))).cast("long").alias("_h_ivf"),
+            F.sum(F.coalesce(F.col("_pq"), F.lit(0))).cast("long").alias("_h_pq"),
+            F.count(F.lit(1)).cast("long").alias("_tot"),
+        )
+        .select(
+            F.expr(
+                "stack(3, 'cosine_lsh@5', _h_lsh, 'cosine_ivf@5', _h_ivf, "
+                "'cosine_pq@5', _h_pq) AS (key, v1)"
+            ),
+            F.col("_tot").alias("v2"),
+        )
+        .select(
+            F.lit("recall").alias("section"), "key", "v1", "v2", dash.alias("s1")
+        )
+    )
+    return a.unionByName(b).unionByName(rec)
 
 
 def _sql_retrieval() -> str:
     return f"""
 WITH exact AS (SELECT query_id, neighbor_id FROM ({SQL_cosine_topk}) _x),
 lshq AS (SELECT query_id, neighbor_id FROM ({_sql_cosine_topk_lsh()}) _l),
-ivfq AS (SELECT query_id, neighbor_id FROM ({_sql_cosine_topk_ivf()}) _i
-         WHERE section = 'ivf')
+ivfpq AS (SELECT section, query_id, neighbor_id
+          FROM ({_sql_cosine_topk_ivf()}) _i),
+ivfq AS (SELECT query_id, neighbor_id FROM ivfpq WHERE section = 'ivf'),
+pqq AS (SELECT query_id, neighbor_id FROM ivfpq WHERE section = 'pq')
 SELECT 'bm25' AS section, CAST(doc_id AS VARCHAR) AS key,
        CAST(score_u AS BIGINT) AS v1, CAST(n_terms_matched AS BIGINT) AS v2,
        '-' AS s1
@@ -5607,6 +5622,10 @@ SELECT 'recall', 'cosine_lsh@5',
 UNION ALL
 SELECT 'recall', 'cosine_ivf@5',
        CAST((SELECT count(*) FROM exact JOIN ivfq USING (query_id, neighbor_id)) AS BIGINT),
+       CAST((SELECT count(*) FROM exact) AS BIGINT), '-'
+UNION ALL
+SELECT 'recall', 'cosine_pq@5',
+       CAST((SELECT count(*) FROM exact JOIN pqq USING (query_id, neighbor_id)) AS BIGINT),
        CAST((SELECT count(*) FROM exact) AS BIGINT), '-'
 """
 
