@@ -1,0 +1,123 @@
+"""Invariants of the r8 composite gate slots (beyond the oracle hash:
+properties that must hold for ANY corpus, not just the gate fixtures)."""
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    def get(name):
+        return entry.queries()[name](spark, SF).collect()
+
+    return get
+
+
+def test_retrieval_recall_rows_are_sane(rows):
+    rec = {r["key"]: (r["v1"], r["v2"]) for r in rows("retrieval") if r["section"] == "recall"}
+    assert set(rec) == {"cosine_lsh@5", "cosine_ivf@5", "cosine_pq@5"}
+    totals = {v2 for _, v2 in rec.values()}
+    assert len(totals) == 1  # one shared exact-top-k denominator
+    total = totals.pop()
+    assert total > 0
+    for key, (hits, _) in rec.items():
+        assert 0 <= hits <= total, f"{key}: hits {hits} outside [0, {total}]"
+    # IVF probes 3 of 8 cells and must find a nontrivial share; PQ is a
+    # compressed-domain rerank of the full corpus and should do no worse
+    # than chance either
+    assert rec["cosine_ivf@5"][0] >= total // 4
+    assert rec["cosine_pq@5"][0] >= total // 4
+
+
+def test_series_models_sections_are_consistent(rows):
+    out = rows("series_models")
+    by = {}
+    for r in out:
+        by.setdefault(r["section"], []).append(r)
+    assert set(by) == {"trend", "cusum_pos", "cusum_neg", "funnel", "retention"}
+    # funnel counts are monotonically non-increasing down the steps
+    steps = sorted((r["k1"], r["n"]) for r in by["funnel"])
+    ns = [n for _, n in steps]
+    assert ns == sorted(ns, reverse=True)
+    # every (trend, cusum_pos, cusum_neg) triple shares the user's n
+    n_by_user = {}
+    for sec in ("trend", "cusum_pos", "cusum_neg"):
+        for r in by[sec]:
+            n_by_user.setdefault(r["k1"], set()).add(r["n"])
+    assert all(len(v) == 1 for v in n_by_user.values())
+    # retention offset-0 cells equal cohort sizes: Σ n at offset 0 = users
+    total_users = sum(r["n"] for r in by["retention"] if r["k2"] == 0)
+    assert total_users == len(n_by_user)
+    # no NULLs anywhere except slope_nano (typed BIGINT null sanctioned)
+    for r in out:
+        for k, v in r.asDict().items():
+            if v is None:
+                assert r["section"] == "trend" and k == "v1"
+
+
+def test_corpus_prep_sections_cover_corpus(rows, spark):
+    out = rows("corpus_prep")
+    secs = {}
+    for r in out:
+        secs.setdefault(r["section"], []).append(r)
+    assert set(secs) == {"chunk", "pack", "mix", "dsir", "normtext"}
+    from time_series_loader_spark.session import read_table
+
+    n_docs = read_table(spark, SF, "documents").count()
+    # mix / dsir / normtext are one row per doc
+    for sec in ("mix", "dsir", "normtext"):
+        assert len(secs[sec]) == n_docs, sec
+    # pack segment lengths per doc sum to the doc's token count
+    seg = {}
+    for r in secs["pack"]:
+        seg[r["doc_id"]] = seg.get(r["doc_id"], 0) + r["v3"]
+    for r in secs["pack"]:
+        assert seg[r["doc_id"]] == r["k2"]
+    # dsir selects exactly min(K, n_docs) documents
+    n_sel = sum(r["v2"] for r in secs["dsir"])
+    assert n_sel == min(100, n_docs)
+    # normtext md5s are distinct per doc (the hazard suffix is constant,
+    # the doc texts differ) and 32 lowercase hex chars
+    md5s = [r["s1"] for r in secs["normtext"]]
+    assert len(set(md5s)) == len(md5s)
+    assert all(len(h) == 32 and h == h.lower() for h in md5s)
+
+
+def test_tfidf_canaries_match_direct_tokenization(rows, spark):
+    """The __-prefixed canary rows must equal values computed directly
+    from the engine tokenizer — they are the slot's tokenization
+    checksum, so they must never drift from the real token stream."""
+    from pyspark.sql import functions as F
+
+    from time_series_loader_spark.operators.text import tokens
+    from time_series_loader_spark.session import read_table
+
+    out = rows("tfidf_top3")
+    can = {r["term"]: r["score_u"] for r in out if r["term"].startswith("__")}
+    docs = read_table(spark, SF, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .count()
+    )
+    n_pairs = tf.count()
+    vocab = tf.select("term").distinct()
+    assert can["__n_pairs"] == n_pairs
+    assert can["__vocab_size"] == vocab.count()
+    assert can["__sum_tf"] == tf.agg(F.sum("count")).collect()[0][0]
+    assert can["__sum_term_len"] == (
+        vocab.agg(F.sum(F.length("term"))).collect()[0][0]
+    )
+    # 16 hex-bucket rows, counts summing to the vocabulary size
+    hx = [r for r in out if r["term"].startswith("__md5_")]
+    assert sum(r["tf"] for r in hx) == can["__vocab_size"]
+    # detail rows: exactly top-3 per doc, no NULL terms anywhere
+    detail = [r for r in out if not r["term"].startswith("__")]
+    assert all(r["term"] is not None for r in out)
+    per_doc = {}
+    for r in detail:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    assert all(c <= 3 for c in per_doc.values())
