@@ -106,17 +106,19 @@ def spark_flagship(sf_dir: str, replicate: int = 1) -> tuple[int, float]:
     # series in RAM the same way)
     from time_series_loader_spark.operators.continuity import with_time_diff
 
-    diffs = (
-        with_time_diff(ev.select("ts"), "ts")
-        .where(F.col("diff_seconds").isNotNull())
-        .cache()
+    diffs = with_time_diff(ev.select("ts"), "ts").where(
+        F.col("diff_seconds").isNotNull()
     )
     # EXACT interpolated median from value counts: time-series deltas
     # live on a tiny support (regular spacing ± gaps), so a groupBy
     # collapses 50M rows map-side to a handful of (delta, n) pairs and
     # the driver computes the same linear-interpolated median pandas
     # does — cheaper than a 10k-centroid percentile sketch updated per
-    # row, and exact instead of approximate
+    # row, and exact instead of approximate. r8: the gap COUNT is also
+    # derivable from the same (delta, n) pairs driver-side, so the old
+    # second 50M-row pass (and the cache that fed it — a full serialize
+    # + sustained memory pressure) is gone: ONE diff window, ONE
+    # map-side-combined aggregate, everything else on a handful of pairs
     counts = sorted(
         (r["diff_seconds"], r["n"])
         for r in diffs.groupBy("diff_seconds")
@@ -138,8 +140,7 @@ def spark_flagship(sf_dir: str, replicate: int = 1) -> tuple[int, float]:
         if total % 2
         else (_nth(total // 2 - 1) + _nth(total // 2)) / 2.0
     )
-    n_gaps = diffs.where(F.col("diff_seconds") > 10 * med).count()
-    diffs.unpersist()
+    n_gaps = sum(n for v, n in counts if v > 10 * med)
     return n_filled + n_gaps, time.time() - t0
 
 
