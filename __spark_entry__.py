@@ -5711,6 +5711,15 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``profile``   — one-pass Deequ-style profiler on orders
       (exact-distinct, INTEGER/STRING facets): key=col_name, v1=n_rows,
       v2=n_nonnull, v3=n_distinct, s1=min_str, s2=max_str.
+    - ``hitters`` (r8) — Misra-Gries heavy hitters over
+      orders.o_orderpriority with k=5 (`operators/sketches.py::
+      heavy_hitters`): the Spark side finds candidates with bounded
+      per-partition MG summaries and exact-verifies them (never
+      shuffling the distinct-key set); the oracle computes the
+      DEFINITION (count > N/k) directly — so the gate certifies the
+      sketch+verify path loses nothing vs the definition. The 20%-ish
+      uniform priorities split non-trivially at every SF (2-3 of 5
+      qualify). key=priority, v1=exact n, v2=n_total.
     """
     neg1 = F.lit(-1).cast("long")
     negd = F.lit(-1.0).cast("double")
@@ -5754,7 +5763,24 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         negd.alias("d3"),
         negd.alias("d4"),
     )
-    return a.unionByName(b).unionByName(c)
+    from time_series_loader_spark.operators.sketches import heavy_hitters
+
+    hh = heavy_hitters(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", k=5
+    ).select(
+        F.lit("hitters").alias("section"),
+        F.col("o_orderpriority").alias("key"),
+        F.col("n").cast("long").alias("v1"),
+        F.col("n_total").cast("long").alias("v2"),
+        neg1.alias("v3"),
+        dash.alias("s1"),
+        dash.alias("s2"),
+        negd.alias("d1"),
+        negd.alias("d2"),
+        negd.alias("d3"),
+        negd.alias("d4"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(hh)
 
 
 def _sql_table_stats() -> str:
@@ -5773,6 +5799,15 @@ SELECT 'profile', col_name, CAST(n_rows AS BIGINT), CAST(n_nonnull AS BIGINT),
        CAST(n_distinct AS BIGINT), min_str, max_str, CAST(-1 AS DOUBLE),
        CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE)
 FROM ({_sql_table_profile()}) _c
+UNION ALL
+-- hitters oracle = the DEFINITION (count > N/k), so the Spark side's
+-- Misra-Gries candidate set + exact verify is differentially certified
+SELECT 'hitters', o_orderpriority, CAST(count(*) AS BIGINT),
+       CAST((SELECT count(*) FROM orders) AS BIGINT), CAST(-1 AS BIGINT),
+       '-', '-', CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE),
+       CAST(-1 AS DOUBLE)
+FROM orders GROUP BY o_orderpriority
+HAVING count(*) > (SELECT count(*) FROM orders) / 5.0
 """
 
 

@@ -121,3 +121,26 @@ def test_tfidf_canaries_match_direct_tokenization(rows, spark):
     for r in detail:
         per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
     assert all(c <= 3 for c in per_doc.values())
+
+
+def test_env_pins_are_fresh(spark):
+    """resources/env_pins.json must equal a LIVE recomputation on this
+    box: a stale pin (library upgraded, JVM swapped, pins generated on a
+    different machine) would turn the env_fingerprint slot red for the
+    wrong reason — this test catches the drift at commit time, where it
+    can be answered by rerunning tools/gen_env_pins.py."""
+    import json
+
+    from time_series_loader_spark.operators.ln_pinned import LN_U_PATH
+    import os
+
+    from tools.gen_env_pins import compute_pins
+
+    with open(os.path.join(os.path.dirname(LN_U_PATH), "env_pins.json")) as fh:
+        committed = json.load(fh)
+    live = compute_pins(spark)
+    assert live == committed, {
+        k: (committed.get(k), live.get(k))
+        for k in set(committed) | set(live)
+        if committed.get(k) != live.get(k)
+    }

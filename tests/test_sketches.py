@@ -60,3 +60,59 @@ def test_partition_invariance(events):
         hll_rollup(events.repartition(13), "user", ["day"])
     ).collect()[0]["n_distinct_est"]
     assert a == b
+
+
+def test_heavy_hitters_exact_matches_groupby(spark):
+    """MG candidates + exact verify must equal the exact definition
+    (every key with count > N/k) computed by a plain groupBy."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from time_series_loader_spark.operators.sketches import heavy_hitters
+
+    rng = random.Random(7)
+    # zipf-ish skew: a few hot keys over a large cold tail
+    rows = (
+        [("hot_a",)] * 900
+        + [("hot_b",)] * 500
+        + [("warm",)] * 120
+        + [(f"cold_{rng.randrange(5000)}",) for _ in range(3000)]
+    )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["k"]).repartition(13)
+    got = {
+        r["k"]: (r["n"], r["n_total"])
+        for r in heavy_hitters(df, "k", k=20).collect()
+    }
+    n_total = len(rows)
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["n"] > n_total / 20
+    }
+    assert {k: v[0] for k, v in got.items()} == exact
+    assert all(v[1] == n_total for v in got.values())
+    # partition invariance: a different physical layout, same answer
+    re = {
+        r["k"]: r["n"]
+        for r in heavy_hitters(df.repartition(3), "k", k=20).collect()
+    }
+    assert re == exact
+
+
+def test_heavy_hitters_approximate_mode_bounds(spark):
+    from time_series_loader_spark.operators.sketches import heavy_hitters
+
+    rows = [("x",)] * 1000 + [(f"c{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, ["k"]).repartition(7)
+    out = {r["k"]: r["n"] for r in heavy_hitters(df, "k", k=10, exact_verify=False).collect()}
+    # the overwhelming hitter always survives the single-scan mode, and
+    # its MG count is a lower bound within the merged-summary band
+    assert "x" in out
+    n_total = len(rows)
+    assert 1000 - n_total / 11 <= out["x"] <= 1000
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(df, "k", k=1)

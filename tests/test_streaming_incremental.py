@@ -124,3 +124,66 @@ def test_replayed_batch_does_not_self_dedup(spark, tmp_path):
     _drain(spark, inp, store, surv, str(tmp_path / "ckpt"))
     df = spark.read.parquet(surv)
     assert {r["doc_id"] for r in df.collect()} == {1}  # NOT empty
+
+
+def test_heavy_hitters_stream_matches_batch_bounds(spark, tmp_path):
+    """The streaming MG summary after draining N micro-batches must
+    (a) contain every key whose TOTAL stream frequency exceeds
+    N_total/(k+1) — the mergeable-summaries guarantee — with lower-bound
+    counts within N_total/(k+1) of truth, and (b) carry the exact
+    running row total in the sentinel row."""
+    import random
+
+    from time_series_loader_spark.operators.sketches import MG_TOTAL_KEY
+    from time_series_loader_spark.streaming.incremental import (
+        heavy_hitters_stream,
+    )
+
+    kschema = StructType([StructField("k", StringType())])
+    rng = random.Random(11)
+    k = 8
+    inp = tmp_path / "hh_in"
+    inp.mkdir()
+    truth: dict[str, int] = {}
+    for b in range(4):
+        rows = (
+            [("hot",)] * 150
+            + [(f"warm{b % 2}",)] * 60
+            + [(f"cold_{rng.randrange(300)}",) for _ in range(200)]
+        )
+        rng.shuffle(rows)
+        for (key,) in rows:
+            truth[key] = truth.get(key, 0) + 1
+        tbl = pa.table({"k": pa.array([r[0] for r in rows], pa.string())})
+        pq.write_table(tbl, str(inp / f"b{b}.parquet"))
+        os.utime(str(inp / f"b{b}.parquet"), (1_700_000_000 + b, 1_700_000_000 + b))
+    store = str(tmp_path / "hh_store")
+    q = heavy_hitters_stream(
+        spark,
+        str(inp),
+        kschema,
+        "k",
+        store,
+        str(tmp_path / "hh_ckpt"),
+        k=k,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    df = spark.read.parquet(store)
+    latest = df.agg({"batch_id": "max"}).collect()[0][0]
+    final = {
+        r["_key"]: r["_mg"]
+        for r in df.where(df.batch_id == latest).collect()
+    }
+    n_total = final.pop(MG_TOTAL_KEY)
+    assert n_total == sum(truth.values())
+    # bounded state: at most k counters survive
+    assert len(final) <= k
+    band = n_total / (k + 1)
+    # guarantee: every key with true frequency > band is present...
+    for key, n in truth.items():
+        if n > band:
+            assert key in final, (key, n, band)
+    # ...with lower-bound counts inside the band
+    for key, n in final.items():
+        assert truth[key] - band <= n <= truth[key], (key, n, truth[key])

@@ -63,7 +63,7 @@ from time_series_loader_spark.operators.bm25 import (
     phrase_match,
     update_inverted_index,
 )
-from time_series_loader_spark.operators.sketches import hll_merge, hll_rollup
+from time_series_loader_spark.operators.sketches import heavy_hitters, hll_merge, hll_rollup
 from time_series_loader_spark.operators.behavior import (
     cohort_retention,
     funnel_steps,
@@ -142,6 +142,7 @@ __all__ = [
     "inverted_index",
     "phrase_match",
     "update_inverted_index",
+    "heavy_hitters",
     "hll_merge",
     "hll_rollup",
     "cohort_retention",

@@ -67,3 +67,152 @@ def hll_merge(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(*aggs)
     return sketches.agg(*aggs)
+
+
+# sentinel row key carrying exact row counts through MG summaries — a
+# cast string column cannot contain \x00, so it can't collide with data
+MG_TOTAL_KEY = "\x00__rows__"
+
+
+def mg_summaries(keyed: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries of ``key_col`` (already
+    string-typed, null-free): ≤ k (key, lower-bound count) rows per
+    partition plus one ``MG_TOTAL_KEY`` sentinel row carrying the
+    partition's exact row count — so the caller gets N with no second
+    corpus scan. Output: (key_col, ``_mg`` BIGINT). The building block
+    of :func:`heavy_hitters` and the streaming dual
+    (`streaming/incremental.py::heavy_hitters_stream`)."""
+    import pandas as pd
+
+    def mg_summary(pdf_iter):
+        # one MG summary per physical partition: k counters, the
+        # classic decrement-all-on-overflow recurrence
+        counters: dict[str, int] = {}
+        n_rows = 0
+        for pdf in pdf_iter:
+            n_rows += len(pdf)
+            for key in pdf[key_col]:
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k:
+                    counters[key] = 1
+                else:
+                    dead = [c for c in counters if counters[c] == 1]
+                    for c in counters:
+                        counters[c] -= 1
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame(
+            {
+                key_col: list(counters) + [MG_TOTAL_KEY],
+                "_mg": list(counters.values()) + [n_rows],
+            }
+        )
+
+    return keyed.mapInPandas(mg_summary, f"{key_col} string, _mg long")
+
+
+def mg_merge_prune(counts: dict[str, int], k: int) -> dict[str, int]:
+    """The MERGE step of mergeable MG summaries (Agarwal et al. 2013,
+    "Mergeable Summaries"): given summed counters from any number of
+    summaries, keep the k largest after subtracting the (k+1)-th largest
+    count from everything. The result is itself an MG summary of the
+    combined stream with the combined error bound ≤ N_total/(k+1) — so
+    summaries can be merged batch-after-batch forever with BOUNDED
+    state, which is what the streaming dual does per micro-batch."""
+    if len(counts) <= k:
+        return dict(counts)
+    by_n = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    cut = by_n[k][1]
+    return {key: n - cut for key, n in by_n[:k] if n - cut > 0}
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 100,
+    exact_verify: bool = True,
+) -> DataFrame:
+    """Misra-Gries heavy hitters: every value of ``key_col`` whose
+    frequency exceeds N/k, found WITHOUT shuffling the full distinct-key
+    set (Misra & Gries 1982; the SpaceSaving/Metwally 2005 family —
+    the standard trending-items / hot-key detector).
+
+    Output: (``key_col``, ``n`` BIGINT exact count, ``n_total`` BIGINT)
+    for every key with ``n > n_total / k``, exact and deterministic.
+
+    Scale shape — why not just groupBy().count()?  A full groupBy
+    shuffles one row PER DISTINCT KEY; for hot-key detection over
+    high-cardinality keys (URLs, user ids, n-grams) at 100 TB that is
+    the single largest shuffle in the pipeline, almost all of it keys
+    that cannot possibly qualify. Misra-Gries bounds the intermediate
+    state instead:
+
+    1. per-partition pass (``mapPartitions``-style via
+       ``applyInPandas`` over a partition id): each partition folds its
+       rows through a k-counter MG summary — at most ``k`` (key, count)
+       rows survive per partition, with the classic guarantee that any
+       key whose PARTITION frequency exceeds n_part/k is present;
+    2. the per-partition summaries (numPartitions·k rows, tiny) are
+       merged with one small groupBy — summed MG counts lower-bound
+       true counts, and the MG guarantee composes under merge (Agarwal
+       et al. 2013, mergeable summaries): every key with global
+       frequency > N/k survives to the candidate set;
+    3. ``exact_verify``: one more scan counts ONLY the candidates
+       (broadcast semi-join — candidate set ≤ numPartitions·k rows) and
+       filters by the exact threshold, eliminating MG's false
+       positives. Two narrow scans + a k-sized shuffle replace one
+       distinct-key-sized shuffle.
+
+    With ``exact_verify=False`` the output carries MG lower-bound
+    counts (``n >= true_count - N/(k+1)``, the textbook merged-summary
+    bound) and the threshold filter applies to those lower bounds — so
+    keys whose true frequency sits within N/(k+1) above the threshold
+    MAY be missed. That is the documented trade of the single-scan
+    approximate mode; hot keys far above the threshold (the ones skew
+    mitigation cares about) always survive.
+
+    Why a key can never be missed by the candidate set: a key absent
+    from one partition's MG summary has local frequency ≤ n_part/(k+1)
+    (the MG decrement bound); absent from ALL summaries would need
+    global frequency ≤ Σ n_part/(k+1) = N/(k+1) < N/k. So every true
+    heavy hitter appears in at least one summary, and the verify pass
+    never prunes before counting.
+    """
+    if k <= 1:
+        raise ValueError(f"heavy_hitters: k must be > 1, got {k}")
+    keyed = df.select(F.col(key_col).cast("string").alias("_key")).where(
+        F.col("_key").isNotNull()
+    )
+    # merged MG counts: still lower bounds, still guarantee-preserving
+    merged = mg_summaries(keyed, "_key", k).groupBy("_key").agg(
+        F.sum("_mg").alias("_mg")
+    )
+    # tiny frame (≤ numPartitions·k + 1 rows): one collect splits the
+    # exact total from the candidates
+    rows = merged.collect()
+    total = next(r["_mg"] for r in rows if r["_key"] == MG_TOTAL_KEY)
+    cand = [(r["_key"], r["_mg"]) for r in rows if r["_key"] != MG_TOTAL_KEY]
+    spark = df.sparkSession
+    if not exact_verify:
+        hits = [(key, n) for key, n in cand if n > total / k]
+        out = spark.createDataFrame(
+            hits or [], "_key string, n long"
+        )
+    else:
+        cand_df = F.broadcast(
+            spark.createDataFrame(
+                [(key,) for key, _ in cand] or [], "_key string"
+            )
+        )
+        out = (
+            keyed.join(cand_df, "_key")
+            .groupBy("_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > F.lit(total) / k)
+        )
+    return out.select(
+        F.col("_key").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        F.lit(total).cast("long").alias("n_total"),
+    )

@@ -123,3 +123,114 @@ def incremental_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _read_mg_store(
+    spark: SparkSession, store_path: str, before_batch_id: int
+) -> dict[str, int]:
+    """MG counters of the LATEST batch STRICTLY BEFORE
+    ``before_batch_id``. Unlike the dedup store (per-batch DELTAS,
+    union-all semantics), each heavy-hitters batch directory holds the
+    full CUMULATIVE summary — so exactly one directory is read: the
+    newest one a replayed batch is allowed to see (the strict < filter
+    is the same replay-safety rule: never read your own partial
+    output)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(store_path).where(
+            F.col("batch_id") < before_batch_id
+        )
+        latest = df.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+        if latest is None:
+            return {}
+        rows = df.where(F.col("batch_id") == latest).collect()
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return {}
+    return {r["_key"]: r["_mg"] for r in rows}
+
+
+def heavy_hitters_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: StructType,
+    key_col: str,
+    store_path: str,
+    checkpoint_path: str,
+    k: int = 100,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming heavy hitters: a bounded Misra-Gries summary maintained
+    across micro-batches — the trending-items / hot-key detector run
+    continuously over an event stream, O(k) state forever.
+
+    Per micro-batch (``foreachBatch``, the same idempotent batch-id-keyed
+    store contract as :func:`incremental_dedup_stream`):
+
+    1. read the merged MG store of all prior batches (≤ k+1 rows);
+    2. summarize THIS batch with the per-partition MG pass
+       (`operators/sketches.py::mg_summaries`) and sum the partition
+       summaries;
+    3. merge store + batch counters and prune back to k with the
+       mergeable-summaries MERGE step (`mg_merge_prune` — subtract the
+       (k+1)-th largest, drop ≤ 0): the result is itself an MG summary
+       of the ENTIRE stream so far, with the textbook bound
+       ``true_count − N/(k+1) ≤ count ≤ true_count``;
+    4. overwrite ``store_path/batch_id=N`` with the merged summary plus
+       the running exact row total (the ``MG_TOTAL_KEY`` sentinel row).
+
+    The LATEST batch_id subdirectory is always a complete, bounded
+    summary of the whole stream: any key with overall frequency
+    > N/(k+1) is present (pinned stream==batch in
+    test_streaming_incremental), and an exact-verify pass over the
+    retained corpus (as in batch ``heavy_hitters``) can be run on its
+    key set at any time.
+    """
+    from time_series_loader_spark.operators.sketches import (
+        MG_TOTAL_KEY,
+        mg_merge_prune,
+        mg_summaries,
+    )
+
+    def process(bdf: DataFrame, batch_id: int) -> None:
+        prior = _read_mg_store(spark, store_path, batch_id)
+        n_prior = prior.pop(MG_TOTAL_KEY, 0)
+        keyed = bdf.select(
+            F.col(key_col).cast("string").alias("_key")
+        ).where(F.col("_key").isNotNull())
+        batch_rows = (
+            mg_summaries(keyed, "_key", k)
+            .groupBy("_key")
+            .agg(F.sum("_mg").alias("_mg"))
+            .collect()
+        )
+        counts = dict(prior)
+        n_batch = 0
+        for r in batch_rows:
+            if r["_key"] == MG_TOTAL_KEY:
+                n_batch = r["_mg"]
+            else:
+                counts[r["_key"]] = counts.get(r["_key"], 0) + r["_mg"]
+        merged = mg_merge_prune(counts, k)
+        merged[MG_TOTAL_KEY] = n_prior + n_batch
+        spark.createDataFrame(
+            list(merged.items()), "_key string, _mg long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}"
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(input_path)
+    writer = (
+        sdf.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(f"tsl_heavy_hitters_{uuid.uuid4().hex[:12]}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

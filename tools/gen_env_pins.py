@@ -54,16 +54,17 @@ PINS_PATH = os.path.join(
 )
 
 
-def main() -> None:
+def compute_pins(spark) -> dict[str, str]:
+    """Every pin recomputed LIVE from the current environment — the
+    generator writes these to env_pins.json; the freshness test compares
+    them against the committed file so a library/JVM upgrade (or an ln-
+    table regen on a drifted box) can't silently stale the fingerprint."""
     import duckdb
     import numpy
     import pandas
     import pyarrow
     import pyspark
 
-    from time_series_loader_spark.session import get_spark
-
-    spark = get_spark("gen-env-pins")
     pins: dict[str, str] = {
         "ver_python": sys.version.split()[0],
         "ver_pyspark": pyspark.__version__,
@@ -118,7 +119,13 @@ def main() -> None:
     pins["duck_nfc_md5"] = con.execute(
         "SELECT md5(nfc_normalize(?))", [NFC_CANARY]
     ).fetchone()[0]
+    return pins
 
+
+def main() -> None:
+    from time_series_loader_spark.session import get_spark
+
+    pins = compute_pins(get_spark("gen-env-pins"))
     with open(PINS_PATH, "w") as fh:
         json.dump(pins, fh, indent=1, ensure_ascii=False, sort_keys=True)
     print(f"wrote {len(pins)} pins to {PINS_PATH}")
