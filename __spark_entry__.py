@@ -3012,18 +3012,23 @@ def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_loader_spark.operators.text import tfidf, tokens
 
     docs = _t(spark, sf_dir, "documents")
+    # ONE (doc, term) tf frame feeds BOTH the scored path and the canary
+    # block (tfidf's tf_df hook, r8 review): half the corpus explode
+    # cost, and the canaries checksum the exact tokenization the scores
+    # came from by construction
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     ti = tfidf(
-        docs, "text", "doc_id", top_k=3, pinned_ln=True, integer_scores=True
+        docs, "text", "doc_id", top_k=3, pinned_ln=True, integer_scores=True,
+        tf_df=tf,
     ).select(
         "doc_id",
         "term",
         F.col("tf").cast("long").alias("tf"),
         F.col("score_u").cast("long").alias("score_u"),
-    )
-    tf = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
     )
     vocab = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("ct"))
     neg1 = F.lit(-1).cast("long")
@@ -5812,13 +5817,9 @@ HAVING count(*) > (SELECT count(*) FROM orders) / 5.0
 
 
 def _env_pins() -> dict[str, str]:
-    import json
+    from time_series_loader_spark.envpins import load_pins
 
-    from time_series_loader_spark.operators.ln_pinned import LN_U_PATH
-
-    path = os.path.join(os.path.dirname(LN_U_PATH), "env_pins.json")
-    with open(path) as fh:
-        return json.load(fh)
+    return load_pins()
 
 
 def q_env_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5877,7 +5878,12 @@ def q_env_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     except Exception:  # pragma: no cover - connect-mode sessions
         live.append(("ver_java", "unavailable"))
-    canary_in = [2, 10, 501, 28160, 999983]
+    # the SAME list the generator pins (single source of truth — a
+    # hardcoded copy here would desynchronize the key sets the first
+    # time LN_KS changes, turning the slot permanently red in a way
+    # test_env_pins_are_fresh cannot see; r8 review finding)
+    from time_series_loader_spark.envpins import LN_KS as canary_in
+
     live += [(f"py_ln_{k}", repr(math.log(float(k)))) for k in canary_in]
     # duck_* keys and ver_duckdb: the ORACLE recomputes them live; the
     # Spark side emits the pins verbatim
@@ -5893,7 +5899,7 @@ def q_env_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value"
         ),
     )
-    from tools.gen_env_pins import CASE_CANARY, WS_CANARY
+    from time_series_loader_spark.envpins import CASE_CANARY, WS_CANARY
 
     probes = spark.range(1).select(
         F.lower(F.lit(CASE_CANARY)).alias("_lo"),
@@ -5929,7 +5935,12 @@ def _sql_str(s: str) -> str:
 
 
 def _sql_env_fingerprint() -> str:
-    from tools.gen_env_pins import CASE_CANARY, LN_KS, NFC_CANARY, WS_CANARY
+    from time_series_loader_spark.envpins import (
+        CASE_CANARY,
+        LN_KS,
+        NFC_CANARY,
+        WS_CANARY,
+    )
 
     pins = _env_pins()
     # pins the oracle EMITS (the Spark side recomputes them live)

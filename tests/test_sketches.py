@@ -116,3 +116,23 @@ def test_heavy_hitters_approximate_mode_bounds(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         heavy_hitters(df, "k", k=1)
+
+
+def test_heavy_hitters_review_regressions(spark):
+    """r8 review findings, both reproduced against the old code: (1) a
+    plan the optimizer folds to zero partitions raised a bare
+    StopIteration; (2) a real data key equal to the old in-band string
+    sentinel was silently swallowed into the row total."""
+    from pyspark.sql import functions as F
+
+    from time_series_loader_spark.operators.sketches import heavy_hitters
+
+    rows = [("x",)] * 10 + [("y",)] * 2
+    df = spark.createDataFrame(rows, ["k"])
+    # optimizer-emptied plan: empty result, not StopIteration
+    assert heavy_hitters(df.where(F.lit(False)), "k", k=5).collect() == []
+    # a hot key that equals the OLD sentinel literal must be found
+    evil = "\x00__rows__"
+    df2 = spark.createDataFrame([(evil,)] * 10 + [("y",)] * 2, ["k"])
+    got = {r["k"]: (r["n"], r["n_total"]) for r in heavy_hitters(df2, "k", k=5).collect()}
+    assert got.get(evil) == (10, 12), got

@@ -134,7 +134,6 @@ def test_heavy_hitters_stream_matches_batch_bounds(spark, tmp_path):
     running row total in the sentinel row."""
     import random
 
-    from time_series_loader_spark.operators.sketches import MG_TOTAL_KEY
     from time_series_loader_spark.streaming.incremental import (
         heavy_hitters_stream,
     )
@@ -175,10 +174,13 @@ def test_heavy_hitters_stream_matches_batch_bounds(spark, tmp_path):
         r["_key"]: r["_mg"]
         for r in df.where(df.batch_id == latest).collect()
     }
-    n_total = final.pop(MG_TOTAL_KEY)
+    n_total = final.pop(None)  # the NULL-key sentinel carries exact N
     assert n_total == sum(truth.values())
-    # bounded state: at most k counters survive
+    # bounded state: at most k counters survive, and the store itself is
+    # pruned to at most two cumulative snapshot directories
     assert len(final) <= k
+    dirs = [d for d in os.listdir(store) if d.startswith("batch_id=")]
+    assert len(dirs) <= 2, dirs
     band = n_total / (k + 1)
     # guarantee: every key with true frequency > band is present...
     for key, n in truth.items():

@@ -302,6 +302,7 @@ def tfidf(
     top_k: int | None = None,
     pinned_ln: bool = False,
     integer_scores: bool = False,
+    tf_df: DataFrame | None = None,
 ) -> DataFrame:
     """TF-IDF per (doc, term) over the whitespace-token stream.
 
@@ -341,8 +342,17 @@ def tfidf(
     from pyspark.sql import Window
 
     n_docs = df.count()
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if tf_df is not None:
+        # caller-supplied (id, term, tf) frame — for pipelines that
+        # already hold the term-frequency frame (the gate's canary block
+        # shares one with the scored path, halving the corpus explode
+        # cost AND guaranteeing canaries checksum the SAME tokenization)
+        tf = tf_df.select(F.col(id_col), "term", "tf")
+    else:
+        toks = df.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("term")
+        )
+        tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if pinned_ln:
         from time_series_loader_spark.operators.ln_pinned import (

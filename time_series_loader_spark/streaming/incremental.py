@@ -27,6 +27,7 @@ parquet-table maintenance, orthogonal to the streaming logic here.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -138,18 +139,36 @@ def _read_mg_store(
     from pyspark.errors import AnalysisException
 
     try:
-        df = spark.read.parquet(store_path).where(
-            F.col("batch_id") < before_batch_id
-        )
-        latest = df.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
-        if latest is None:
+        # directory listing, not a data scan: the pruning in
+        # heavy_hitters_stream keeps at most two live batch_id=N
+        # directories, and only the newest eligible one is READ
+        dirs = _mg_batch_dirs(store_path)
+        eligible = [b for b in dirs if b < before_batch_id]
+        if not eligible:
             return {}
-        rows = df.where(F.col("batch_id") == latest).collect()
+        rows = spark.read.parquet(
+            os.path.join(store_path, f"batch_id={max(eligible)}")
+        ).collect()
     except AnalysisException as e:
         if "PATH_NOT_FOUND" not in str(e):
             raise
         return {}
     return {r["_key"]: r["_mg"] for r in rows}
+
+
+def _mg_batch_dirs(store_path: str) -> list[int]:
+    """batch ids present under ``store_path`` (local-FS listing; the
+    store is a handful of k-row parquet directories)."""
+    if not os.path.isdir(store_path):
+        return []
+    out = []
+    for name in os.listdir(store_path):
+        if name.startswith("batch_id="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out
 
 
 def heavy_hitters_stream(
@@ -180,7 +199,15 @@ def heavy_hitters_stream(
        of the ENTIRE stream so far, with the textbook bound
        ``true_count − N/(k+1) ≤ count ≤ true_count``;
     4. overwrite ``store_path/batch_id=N`` with the merged summary plus
-       the running exact row total (the ``MG_TOTAL_KEY`` sentinel row).
+       the running exact row total (the NULL-key sentinel row — NULL is
+       the one value real keys can never take, the caller null-filters
+       them), then PRUNE every directory older than the one step 1
+       read: each batch directory is a complete cumulative summary, so
+       older snapshots are dead weight, and a replayed batch id only
+       ever needs the newest directory strictly before itself — which
+       the prune, running strictly below what was just read, always
+       preserves. The store therefore holds at most two k-row
+       directories forever (the O(k)-state claim made literal).
 
     The LATEST batch_id subdirectory is always a complete, bounded
     summary of the whole stream: any key with overall frequency
@@ -189,15 +216,19 @@ def heavy_hitters_stream(
     retained corpus (as in batch ``heavy_hitters``) can be run on its
     key set at any time.
     """
+    import shutil
+
     from time_series_loader_spark.operators.sketches import (
-        MG_TOTAL_KEY,
         mg_merge_prune,
         mg_summaries,
     )
 
     def process(bdf: DataFrame, batch_id: int) -> None:
+        prior_dirs = [
+            b for b in _mg_batch_dirs(store_path) if b < batch_id
+        ]
         prior = _read_mg_store(spark, store_path, batch_id)
-        n_prior = prior.pop(MG_TOTAL_KEY, 0)
+        n_prior = prior.pop(None, 0)
         keyed = bdf.select(
             F.col(key_col).cast("string").alias("_key")
         ).where(F.col("_key").isNotNull())
@@ -210,17 +241,29 @@ def heavy_hitters_stream(
         counts = dict(prior)
         n_batch = 0
         for r in batch_rows:
-            if r["_key"] == MG_TOTAL_KEY:
+            if r["_key"] is None:
                 n_batch = r["_mg"]
             else:
                 counts[r["_key"]] = counts.get(r["_key"], 0) + r["_mg"]
         merged = mg_merge_prune(counts, k)
-        merged[MG_TOTAL_KEY] = n_prior + n_batch
+        rows = [(key, n) for key, n in merged.items()] + [
+            (None, n_prior + n_batch)
+        ]
         spark.createDataFrame(
-            list(merged.items()), "_key string, _mg long"
+            rows, "_key string, _mg long"
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{store_path}/batch_id={batch_id}"
         )
+        # prune: anything OLDER than the directory this batch read is
+        # unreachable by any future or replayed batch id (a replay of
+        # THIS batch re-reads max(dirs < batch_id), which is kept)
+        keep = max(prior_dirs) if prior_dirs else None
+        for b in prior_dirs:
+            if keep is not None and b < keep:
+                shutil.rmtree(
+                    os.path.join(store_path, f"batch_id={b}"),
+                    ignore_errors=True,
+                )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -35,22 +35,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# tests the classic Unicode-lowering divergences: dotted capital İ (locale
-# trap), final Σ, capital ẞ, titlecase ǅ, Cyrillic, CJK (no case), the ﬁ
-# ligature (case-stable under NFC)
-CASE_CANARY = "AÄÉİΣẞǅ Страж 中文 ﬁX"
-# one candidate per whitespace class an engine's \s might or might not
-# match: space, tab, LF, VT, FF, CR, NBSP, OGHAM, LINE SEP, IDEOGRAPHIC
-WS_CANARY = "a b\tc\ndef\rg h i j　k"
-# decomposed e + COMBINING ACUTE: NFC must compose it to é
-NFC_CANARY = "café zw​sp"
-LN_KS = [2, 10, 501, 28160, 999983]
-
-PINS_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "time_series_loader_spark",
-    "resources",
-    "env_pins.json",
+from time_series_loader_spark.envpins import (  # single source of truth
+    CASE_CANARY,
+    LN_KS,
+    NFC_CANARY,
+    PINS_PATH,
+    WS_CANARY,
 )
 
 
