@@ -5808,11 +5808,16 @@ UNION ALL
 -- hitters oracle = the DEFINITION (count > N/k), so the Spark side's
 -- Misra-Gries candidate set + exact verify is differentially certified
 SELECT 'hitters', o_orderpriority, CAST(count(*) AS BIGINT),
-       CAST((SELECT count(*) FROM orders) AS BIGINT), CAST(-1 AS BIGINT),
+       CAST((SELECT count(o_orderpriority) FROM orders) AS BIGINT),
+       CAST(-1 AS BIGINT),
        '-', '-', CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE),
        CAST(-1 AS DOUBLE)
-FROM orders GROUP BY o_orderpriority
-HAVING count(*) > (SELECT count(*) FROM orders) / 5.0
+FROM orders WHERE o_orderpriority IS NOT NULL
+GROUP BY o_orderpriority
+-- N counts NON-NULL keys only, matching heavy_hitters' null-filtered
+-- semantics on ANY data (the gate fixture has no NULL priorities, but
+-- the oracle must state the same definition the operator computes)
+HAVING count(*) > (SELECT count(o_orderpriority) FROM orders) / 5.0
 """
 
 
