@@ -163,3 +163,27 @@ def test_weighted_sample_is_a_nested_deterministic_filter(spark, weights, fracti
             for r in weighted_sample(df, "doc_id", "w", 2 * fraction).collect()
         }
         assert kept <= bigger
+
+
+# ---- Misra-Gries heavy hitters: exact-verify mode equals the definition
+# on ARBITRARY multisets (r8) -------------------------------------------
+
+hh_strategy = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+    min_size=1,
+    max_size=120,
+)
+
+
+@SETTINGS
+@given(keys=hh_strategy, k=st.integers(2, 6), parts=st.integers(1, 5))
+def test_heavy_hitters_equals_definition(spark, keys, k, parts):
+    from collections import Counter
+
+    from time_series_loader_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(x,) for x in keys], ["k"]).repartition(parts)
+    got = {r["k"]: r["n"] for r in heavy_hitters(df, "k", k=k).collect()}
+    n = len(keys)
+    want = {key: c for key, c in Counter(keys).items() if c > n / k}
+    assert got == want
