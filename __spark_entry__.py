@@ -5481,26 +5481,21 @@ def q_series_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v1",
         "v2",
     )
-    fr = q_funnel_retention(spark, sf_dir)
-    fu = fr.where(F.col("section") == "funnel").select(
+    # funnel emits k2=NULL and retention emits label=NULL, so ONE
+    # coalesce-select maps both sections without splitting the frame —
+    # two .where() selects off the same lineage would execute the
+    # funnel/retention plan twice (r8 advisor finding), the exact
+    # double-execution the cusum stack() above avoids
+    fure = q_funnel_retention(spark, sf_dir).select(
         "section",
         F.col("k1").cast("long").alias("k1"),
-        neg1.alias("k2"),
-        F.col("label").alias("label"),
+        F.coalesce(F.col("k2").cast("long"), neg1).alias("k2"),
+        F.coalesce(F.col("label"), dash).alias("label"),
         F.col("n").cast("long").alias("n"),
         neg1.alias("v1"),
         neg1.alias("v2"),
     )
-    re = fr.where(F.col("section") == "retention").select(
-        "section",
-        F.col("k1").cast("long").alias("k1"),
-        F.col("k2").cast("long").alias("k2"),
-        dash.alias("label"),
-        F.col("n").cast("long").alias("n"),
-        neg1.alias("v1"),
-        neg1.alias("v2"),
-    )
-    return tr.unionByName(cupn).unionByName(fu).unionByName(re)
+    return tr.unionByName(cupn).unionByName(fure)
 
 
 SQL_series_models = f"""

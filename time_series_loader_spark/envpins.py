@@ -1,4 +1,4 @@
-"""Environment-fingerprint canary constants + pinned-values loader.
+r"""Environment-fingerprint canary constants + pinned-values loader.
 
 Lives INSIDE the package (next to ``resources/env_pins.json``) because
 the gate entry consumes these at ``oracle_sql()`` time — importing them

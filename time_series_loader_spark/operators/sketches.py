@@ -181,33 +181,34 @@ def heavy_hitters(
     keyed = df.select(F.col(key_col).cast("string").alias("_key")).where(
         F.col("_key").isNotNull()
     )
-    # merged MG counts: still lower bounds, still guarantee-preserving
-    merged = mg_summaries(keyed, "_key", k).groupBy("_key").agg(
-        F.sum("_mg").alias("_mg")
+    # merged MG counts: still lower bounds, still guarantee-preserving.
+    # localCheckpoint materializes the bounded summary (≤ numPartitions·k
+    # + sentinels rows) ONCE on the executors — the candidate keys never
+    # leave the cluster (r8 advisor: a full .collect() here is a
+    # multi-10M-row driver materialization at 100 TB partition counts);
+    # only the 1-row exact total crosses to the driver, for the
+    # threshold scalar both paths need. A plan the optimizer folds to
+    # ZERO partitions (e.g. a filter that constant-folds to false)
+    # yields no sentinel rows — coalesce defaults total to 0 and the
+    # result is empty, instead of the bare StopIteration the old next()
+    # raised (r8 review finding, reproduced).
+    merged = (
+        mg_summaries(keyed, "_key", k)
+        .groupBy("_key")
+        .agg(F.sum("_mg").alias("_mg"))
+        .localCheckpoint(eager=True)
     )
-    # tiny frame (≤ numPartitions·k + 1 rows): one collect splits the
-    # exact total (the NULL-key sentinel) from the candidates. A plan
-    # the optimizer folds to ZERO partitions (e.g. a filter that
-    # constant-folds to false) yields no sentinel rows at all — total
-    # defaults to 0 and the result is empty, instead of the bare
-    # StopIteration the old next() raised (r8 review finding, reproduced)
-    rows = merged.collect()
-    total = sum(r["_mg"] for r in rows if r["_key"] is None)
-    cand = [(r["_key"], r["_mg"]) for r in rows if r["_key"] is not None]
-    spark = df.sparkSession
+    total = merged.where(F.col("_key").isNull()).agg(
+        F.coalesce(F.sum("_mg"), F.lit(0)).alias("t")
+    ).first()["t"]
+    cand_df = merged.where(F.col("_key").isNotNull())
     if not exact_verify:
-        hits = [(key, n) for key, n in cand if n > total / k]
-        out = spark.createDataFrame(
-            hits or [], "_key string, n long"
+        out = cand_df.where(F.col("_mg") > F.lit(total) / k).select(
+            "_key", F.col("_mg").alias("n")
         )
     else:
-        cand_df = F.broadcast(
-            spark.createDataFrame(
-                [(key,) for key, _ in cand] or [], "_key string"
-            )
-        )
         out = (
-            keyed.join(cand_df, "_key")
+            keyed.join(F.broadcast(cand_df.select("_key")), "_key")
             .groupBy("_key")
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") > F.lit(total) / k)

@@ -142,7 +142,7 @@ def _read_mg_store(
         # directory listing, not a data scan: the pruning in
         # heavy_hitters_stream keeps at most two live batch_id=N
         # directories, and only the newest eligible one is READ
-        dirs = _mg_batch_dirs(store_path)
+        dirs = _mg_batch_dirs(spark, store_path)
         eligible = [b for b in dirs if b < before_batch_id]
         if not eligible:
             return {}
@@ -156,13 +156,31 @@ def _read_mg_store(
     return {r["_key"]: r["_mg"] for r in rows}
 
 
-def _mg_batch_dirs(store_path: str) -> list[int]:
-    """batch ids present under ``store_path`` (local-FS listing; the
-    store is a handful of k-row parquet directories)."""
-    if not os.path.isdir(store_path):
+def _store_fs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for ``path``, resolved through Spark's
+    OWN filesystem layer — NOT the driver's local FS. An os.listdir here
+    would silently return [] when the store lives on HDFS/S3/file:// in
+    cluster mode, so every micro-batch would read an empty prior summary
+    and the cumulative MG counts would reset per batch without any error
+    (r8 advisor finding: silent corruption, not a loud failure). The
+    Hadoop API gives the same listing/delete semantics on every scheme
+    Spark itself can write to."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _mg_batch_dirs(spark: SparkSession, store_path: str) -> list[int]:
+    """batch ids present under ``store_path`` (Hadoop-FS listing — the
+    store is a handful of k-row parquet directories, on whatever
+    filesystem Spark's writes actually landed on)."""
+    fs, hpath = _store_fs(spark, store_path)
+    if not fs.exists(hpath):
         return []
     out = []
-    for name in os.listdir(store_path):
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
         if name.startswith("batch_id="):
             try:
                 out.append(int(name.split("=", 1)[1]))
@@ -216,8 +234,6 @@ def heavy_hitters_stream(
     retained corpus (as in batch ``heavy_hitters``) can be run on its
     key set at any time.
     """
-    import shutil
-
     from time_series_loader_spark.operators.sketches import (
         mg_merge_prune,
         mg_summaries,
@@ -225,7 +241,7 @@ def heavy_hitters_stream(
 
     def process(bdf: DataFrame, batch_id: int) -> None:
         prior_dirs = [
-            b for b in _mg_batch_dirs(store_path) if b < batch_id
+            b for b in _mg_batch_dirs(spark, store_path) if b < batch_id
         ]
         prior = _read_mg_store(spark, store_path, batch_id)
         n_prior = prior.pop(None, 0)
@@ -258,12 +274,17 @@ def heavy_hitters_stream(
         # unreachable by any future or replayed batch id (a replay of
         # THIS batch re-reads max(dirs < batch_id), which is kept)
         keep = max(prior_dirs) if prior_dirs else None
-        for b in prior_dirs:
-            if keep is not None and b < keep:
-                shutil.rmtree(
-                    os.path.join(store_path, f"batch_id={b}"),
-                    ignore_errors=True,
-                )
+        if keep is not None:
+            fs, _ = _store_fs(spark, store_path)
+            jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+            for b in prior_dirs:
+                if b < keep:
+                    fs.delete(
+                        jvm_path(
+                            os.path.join(store_path, f"batch_id={b}")
+                        ),
+                        True,  # recursive
+                    )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
