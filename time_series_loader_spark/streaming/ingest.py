@@ -205,7 +205,17 @@ def run_available_now(
     finally:
         if prev is not None:
             spark.conf.set(key, prev)
-    return spark.table(name)
+    # Copy the drained rows out of the memory sink, then DROP the sink
+    # table: the sink holds every emitted row on the driver for the rest
+    # of the session, so repeated drains (bench loops, long notebook
+    # sessions) leak one full result set per call — measured as growing
+    # GC drag on every subsequent query (r9 bench probe). The returned
+    # frame is checkpoint-backed, not view-backed, so it stays valid
+    # after the drop and its blocks are released by the ContextCleaner
+    # once the caller lets it go.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def windowed_m4_stream(
