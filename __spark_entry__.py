@@ -5450,29 +5450,39 @@ def q_series_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     neg1 = F.lit(-1).cast("long")
     dash = F.lit("-")
-    tr = q_trend_slope(spark, sf_dir).select(
-        F.lit("trend").alias("section"),
-        F.col("user_id").cast("long").alias("k1"),
-        neg1.alias("k2"),
-        dash.alias("label"),
-        F.col("n").cast("long").alias("n"),
-        F.col("slope_nano").cast("long").alias("v1"),
-        neg1.alias("v2"),
+    # trend + cusum run FUSED (operators/trend.py::trend_cusum_stats):
+    # one exchange by user, one sorted pass for totals, epoch offset,
+    # and the CUSUM prefix scan together — the r8 composite ran the two
+    # standalones, each with its own scan and a groupBy+join-back that
+    # went super-linear at 100× groups (SCALING.md r9 table: 9.0 s +
+    # 4.5 s → 1.0 s flat). One stack() fans each group row into its
+    # three section rows; the n_trend>0 guard mirrors standalone
+    # trend_slope, whose base drops timestamp-less readings entirely
+    _prep(spark)
+    from time_series_loader_spark.operators.trend import trend_cusum_stats
+
+    fused = trend_cusum_stats(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        "value",
+        ["user_id"],
+        threshold=_CUSUM_THRESHOLD,
+        order_cols=["event_id"],
     )
-    # ONE cusum pass fans out to the pos/neg section rows via stack —
-    # two .select()s off the same frame would execute the keyed-window
-    # lineage twice
-    cu = q_cusum_drift(spark, sf_dir).select(
+    tcu = fused.select(
         F.col("user_id").cast("long").alias("k1"),
-        F.col("n").cast("long").alias("n"),
         F.expr(
-            "stack(2, 'cusum_pos', CAST(n_flags_pos AS BIGINT), "
-            "CAST(max_cusum_pos_u AS BIGINT), 'cusum_neg', "
-            "CAST(n_flags_neg AS BIGINT), CAST(max_cusum_neg_u AS BIGINT)) "
-            "AS (section, v1, v2)"
+            "stack(3, "
+            "'trend', CAST(n_trend AS BIGINT), "
+            "CAST(slope_nano AS BIGINT), CAST(-1 AS BIGINT), "
+            "'cusum_pos', CAST(n AS BIGINT), CAST(n_flags_pos AS BIGINT), "
+            "CAST(max_cusum_pos_u AS BIGINT), "
+            "'cusum_neg', CAST(n AS BIGINT), CAST(n_flags_neg AS BIGINT), "
+            "CAST(max_cusum_neg_u AS BIGINT)) "
+            "AS (section, n, v1, v2)"
         ),
-    )
-    cupn = cu.select(
+    ).where((F.col("section") != "trend") | (F.col("n") > 0))
+    cupn = tcu.select(
         "section",
         "k1",
         neg1.alias("k2"),
@@ -5495,7 +5505,7 @@ def q_series_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         neg1.alias("v1"),
         neg1.alias("v2"),
     )
-    return tr.unionByName(cupn).unionByName(fure)
+    return cupn.unionByName(fure)
 
 
 SQL_series_models = f"""

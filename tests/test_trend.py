@@ -4,6 +4,7 @@ from datetime import datetime, timedelta
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from time_series_loader_spark.operators.trend import trend_slope
 
@@ -151,3 +152,75 @@ def test_trend_slope_no_bigint_wrap_large_values(spark):
     den = n * sum(x * x for x in xs) - sum(xs) ** 2
     want = (abs(num) * 1000) // den * (-1 if num < 0 else 1)
     assert got["slope_nano"] == want
+
+
+def test_fused_equals_standalones(spark):
+    """trend_cusum_stats must be row-for-row identical to running
+    trend_slope and self-mean cusum_stats separately — including their
+    DIFFERENT null filters (cusum keeps timestamp-less readings, trend
+    drops them) and repeated-timestamp tie-breaking."""
+    from time_series_loader_spark.operators.trend import (
+        cusum_stats,
+        trend_cusum_stats,
+        trend_slope,
+    )
+
+    rows = (
+        _series("up", [(0, 1.0), (10, 26.0), (20, 51.0), (30, 76.0)])
+        + _series("noisy", [(0, 1.2), (5, 2.9), (11, 3.1), (17, 6.4), (23, 6.0)])
+        + _series("one", [(0, 3.0)])
+        + _series("same_ts", [(7, 1.0), (7, 9.0)])
+        + _series("step", [(i, 10.0 if i < 5 else 13.0) for i in range(10)])
+        # unusable reading (excluded everywhere) + timestamp-less
+        # reading (cusum keeps it, trend drops it)
+        + [("gappy", T0, 1.0), ("gappy", None, 2.0),
+           ("gappy", T0 + timedelta(seconds=9), float("nan"))]
+    )
+    df = spark.createDataFrame(rows, ["series", "ts", "value"]).withColumn(
+        "event_id", F.monotonically_increasing_id()
+    )
+    fused = {
+        r["series"]: r
+        for r in trend_cusum_stats(
+            df, "ts", "value", ["series"], threshold=1.0,
+            order_cols=["event_id"],
+        ).collect()
+    }
+    tr = {
+        r["series"]: r
+        for r in trend_slope(df, "ts", "value", ["series"]).collect()
+    }
+    cu = {
+        r["series"]: r
+        for r in cusum_stats(
+            df, "ts", "value", ["series"], threshold=1.0,
+            order_cols=["event_id"],
+        ).collect()
+    }
+    assert set(fused) == set(cu)  # cusum's base defines the group set
+    for key, f in fused.items():
+        c = cu[key]
+        assert (
+            f["n"], f["n_flags_pos"], f["n_flags_neg"],
+            f["max_cusum_pos_u"], f["max_cusum_neg_u"],
+        ) == (
+            c["n"], c["n_flags_pos"], c["n_flags_neg"],
+            c["max_cusum_pos_u"], c["max_cusum_neg_u"],
+        ), key
+        if key in tr:
+            assert (f["n_trend"], f["slope_nano"]) == (
+                tr[key]["n"], tr[key]["slope_nano"]
+            ), key
+        else:
+            assert f["n_trend"] == 0, key
+    # partition invariance of the fused form
+    re = {
+        r["series"]: r
+        for r in trend_cusum_stats(
+            df.repartition(7), "ts", "value", ["series"], threshold=1.0,
+            order_cols=["event_id"],
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in fused.items()} == {
+        k: tuple(v) for k, v in re.items()
+    }

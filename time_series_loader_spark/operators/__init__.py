@@ -68,7 +68,11 @@ from time_series_loader_spark.operators.behavior import (
     cohort_retention,
     funnel_steps,
 )
-from time_series_loader_spark.operators.trend import cusum_stats, trend_slope
+from time_series_loader_spark.operators.trend import (
+    cusum_stats,
+    trend_cusum_stats,
+    trend_slope,
+)
 from time_series_loader_spark.operators.similarity import (
     cosine_topk,
     hard_negatives,
@@ -149,5 +153,6 @@ __all__ = [
     "funnel_steps",
     "trend_slope",
     "cusum_stats",
+    "trend_cusum_stats",
     "hard_negatives",
 ]

@@ -15,12 +15,14 @@ products — bit-identical on every engine, partitioning, and platform
 sign is applied outside the division because Spark's ``div`` truncates
 toward zero while ``//`` floors, and the two disagree on negatives).
 
-Scale shape: one group-sized min-timestamp aggregate broadcast back
-(the per-series epoch offset keeps x² small enough for exact decimals),
-then ONE moments groupBy with map-side combine — the same two-exchange
-cost as any keyed aggregate; nothing event-sized joins anything
-event-sized. Series with < 2 distinct timestamps yield NULL (zero
-variance in x).
+Scale shape: the per-series epoch offset (which keeps x² small enough
+for exact decimals) is an unbounded window MIN over the group key, so
+the whole fit is ONE exchange — the moments groupBy reuses the window's
+partitioning. Nothing event-sized joins anything event-sized, and there
+is no broadcast decision to mis-size at any group cardinality (the r8
+groupBy+join-back form went super-linear at 100× groups; SCALING.md r9
+table). Series with < 2 distinct timestamps yield NULL (zero variance
+in x).
 """
 
 from __future__ import annotations
@@ -55,11 +57,16 @@ def trend_slope(
         F.unix_micros(F.col(ts_col)).alias("_us"),
         vu.alias("_vu"),
     ).where(F.col("_vu").isNotNull() & F.col("_us").isNotNull())
-    t0 = base.groupBy(*g).agg(F.min("_us").alias("_t0"))
-    # group-cardinality side: AQE's size-based broadcast decision, not a
-    # forced hint — hundreds of millions of groups would OOM a forced
-    # broadcast (ADVICE r7 low, behavior.py:68 family)
-    pts = base.join(t0, g).select(
+    # per-group epoch offset as an unbounded window aggregate: ONE
+    # exchange by the group key, and the moments groupBy below reuses
+    # that partitioning (zero further exchanges). The r8 form computed
+    # t0 with a groupBy + join back; at 100× groups the join leg turned
+    # the probe's slope super-linear (9× at 100× rows) while this form
+    # measured flat 1.0 s from 1× to 100× (SCALING.md r9 table) — the
+    # window needs no broadcast decision at all, so there is nothing to
+    # mis-size at 100s-of-millions of groups either
+    w_g = Window.partitionBy(*g)
+    pts = base.withColumn("_t0", F.min("_us").over(w_g)).select(
         *g,
         F.expr("(_us - _t0) div 1000000").alias("_x"),  # whole seconds
         "_vu",
@@ -155,15 +162,22 @@ def cusum_stats(
             "_d", (F.col("_vu") - F.lit(t_u)).cast(d38)
         ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(*g)))
     else:
-        totals = base.groupBy(*g).agg(
-            F.count(F.lit(1)).alias("_n"), F.sum("_vu").alias("_sv")
-        )
-        # group-cardinality side: let AQE's size estimate pick broadcast
-        # (a forced hint OOMs at 100s-of-millions of groups; ADVICE r7)
-        scored = base.join(totals, g).withColumn(
-            "_d",
-            F.col("_n").cast(d38) * F.col("_vu").cast(d38)
-            - F.col("_sv").cast(d38),
+        # per-group totals as unbounded window aggregates over the SAME
+        # partitioning the ordered scan below already pays for: the sort
+        # by (g, ts) satisfies the unordered spec's requirement, so
+        # Catalyst plans one exchange + one sort for totals AND prefix
+        # scan together. The r8 form used a groupBy + join back, which
+        # re-scanned and re-exchanged the event-sized side (super-linear
+        # in the 100× probe, SCALING.md r9 table)
+        w_g = Window.partitionBy(*g)
+        scored = (
+            base.withColumn("_n", F.count(F.lit(1)).over(w_g))
+            .withColumn("_sv", F.sum("_vu").over(w_g))
+            .withColumn(
+                "_d",
+                F.col("_n").cast(d38) * F.col("_vu").cast(d38)
+                - F.col("_sv").cast(d38),
+            )
         )
     scored = (
         scored
@@ -200,4 +214,137 @@ def cusum_stats(
         F.expr(
             "CAST(max(_sn) div first(_scale) AS BIGINT)"
         ).alias("max_cusum_neg_u"),
+    )
+
+
+def trend_cusum_stats(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    threshold: float,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """:func:`trend_slope` and self-mean :func:`cusum_stats` fused into
+    ONE keyed pass — the form the ``series_models`` composite runs.
+
+    Both operators consume the same (group, ts, value) stream; run
+    separately they each pay their own scan + exchange. Fused, the plan
+    is: one exchange by the group key, one unordered window (totals
+    n/Σv + the trend epoch offset t0), one (ts, tie-break)-ordered
+    window (the CUSUM prefix sum + running extrema), and one final
+    groupBy that reuses the partitioning — the 100× probe measured the
+    pair dropping from 9.0 s + 4.5 s (join-based, r8) to 1.0 s flat
+    (SCALING.md r9 table).
+
+    Column semantics are bit-identical to the standalones (pinned by
+    ``tests/test_trend.py::test_fused_equals_standalones``), including
+    their DIFFERENT null filters: CUSUM scores every quantizable
+    reading (``_vu`` non-null); the trend fit additionally requires a
+    timestamp, so its moments are when-guarded on ``_us`` and reported
+    under a separate ``n_trend``. A group whose readings all lack
+    timestamps gets ``n_trend = 0`` and a NULL slope (such a group is
+    absent from standalone ``trend_slope`` output entirely — callers
+    splitting sections filter ``n_trend > 0`` for exact parity).
+
+    Output: ``group_cols`` + CUSUM columns (``n``, ``n_flags_pos``,
+    ``n_flags_neg``, ``max_cusum_pos_u``, ``max_cusum_neg_u``) + trend
+    columns (``n_trend``, ``slope_nano``).
+    """
+    g = list(group_cols)
+    vu = (
+        F.col(value_col).try_cast("decimal(18,6)") * F.lit(1_000_000)
+    ).cast("long")
+    base = df.select(
+        *g,
+        F.col(ts_col).alias("_ts"),
+        *order_cols,
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        vu.alias("_vu"),
+    ).where(F.col("_vu").isNotNull())
+    d38 = "decimal(38,0)"
+    w_g = Window.partitionBy(*g)
+    order = [F.col("_ts")] + [F.col(c) for c in order_cols]
+    w_o = Window.partitionBy(*g).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    has_ts = F.col("_us").isNotNull()
+    scored = (
+        base.withColumn("_n", F.count(F.lit(1)).over(w_g))
+        .withColumn("_sv", F.sum("_vu").over(w_g))
+        .withColumn("_t0", F.min("_us").over(w_g))
+        .withColumn(
+            "_d",
+            F.col("_n").cast(d38) * F.col("_vu").cast(d38)
+            - F.col("_sv").cast(d38),
+        )
+        .withColumn("_p", F.sum("_d").over(w_o))
+        .withColumn(
+            "_sp",
+            F.col("_p") - F.least(F.lit(0).cast(d38), F.min("_p").over(w_o)),
+        )
+        .withColumn(
+            "_sn",
+            F.greatest(F.lit(0).cast(d38), F.max("_p").over(w_o)) - F.col("_p"),
+        )
+        # trend x: whole seconds from the group's own start; NULL (and
+        # excluded from every moment) when the reading has no timestamp
+        .withColumn(
+            "_x", F.when(has_ts, F.expr("(_us - _t0) div 1000000"))
+        )
+    )
+    thr_u = int(round(threshold * 1_000_000))
+    lim = F.col("_n").cast(d38) * F.lit(thr_u).cast(d38)
+    mom = scored.groupBy(*g).agg(
+        F.first("_n").cast("long").alias("n"),
+        F.sum(F.when(F.col("_sp") > lim, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flags_pos"),
+        F.sum(F.when(F.col("_sn") > lim, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flags_neg"),
+        F.expr(
+            "CAST(max(_sp) div first(CAST(_n AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("max_cusum_pos_u"),
+        F.expr(
+            "CAST(max(_sn) div first(CAST(_n AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("max_cusum_neg_u"),
+        # trend moments, when-guarded to the timestamped subset (sum
+        # skips NULL _x terms; count counts them explicitly)
+        F.sum(F.when(F.col("_x").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_trend"),
+        F.sum(F.col("_x").cast(d38)).alias("_sx"),
+        F.sum(F.when(F.col("_x").isNotNull(), F.col("_vu")).cast(d38)).alias(
+            "_svt"
+        ),
+        F.sum(F.col("_x").cast(d38) * F.col("_vu").cast(d38)).alias("_sxv"),
+        F.sum(F.col("_x").cast(d38) * F.col("_x").cast(d38)).alias("_sxx"),
+    )
+    num = (
+        F.col("n_trend").cast(d38) * F.col("_sxv")
+        - F.col("_sx") * F.col("_svt")
+    )
+    den = (
+        F.col("n_trend").cast(d38) * F.col("_sxx")
+        - F.col("_sx") * F.col("_sx")
+    )
+    mag = F.expr("CAST((abs(_num) * 1000) div _den AS BIGINT)")
+    slope = F.when(
+        F.col("_den") > 0,
+        F.when(F.col("_num") < 0, -mag).otherwise(mag),
+    ).cast("long")
+    return (
+        mom.withColumn("_num", num)
+        .withColumn("_den", den)
+        .select(
+            *g,
+            "n",
+            "n_flags_pos",
+            "n_flags_neg",
+            "max_cusum_pos_u",
+            "max_cusum_neg_u",
+            "n_trend",
+            slope.alias("slope_nano"),
+        )
     )
