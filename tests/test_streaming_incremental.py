@@ -189,3 +189,75 @@ def test_heavy_hitters_stream_matches_batch_bounds(spark, tmp_path):
     # ...with lower-bound counts inside the band
     for key, n in final.items():
         assert truth[key] - band <= n <= truth[key], (key, n, truth[key])
+
+
+def test_heavy_hitters_stream_restart_recovery(spark, tmp_path):
+    """Stop -> append -> restart contract for the MG dual: a NEW query
+    started from the same checkpoint must resume batch ids where the
+    first run stopped, read the surviving cumulative store directory
+    (not reset to empty), not re-count committed files, and end with
+    the same sentinel total and counters as one uninterrupted run."""
+    from time_series_loader_spark.streaming.incremental import (
+        heavy_hitters_stream,
+    )
+
+    kschema = StructType([StructField("k", StringType())])
+    k = 8
+
+    def write_batch(inp, b, rows):
+        tbl = pa.table({"k": pa.array([r for r in rows], pa.string())})
+        pq.write_table(tbl, str(inp / f"b{b}.parquet"))
+        os.utime(
+            str(inp / f"b{b}.parquet"),
+            (1_700_000_000 + b, 1_700_000_000 + b),
+        )
+
+    def run(inp, store, ckpt):
+        q = heavy_hitters_stream(
+            spark, str(inp), kschema, "k", store, ckpt,
+            k=k, max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+
+    def final_counts(store):
+        df = spark.read.parquet(store)
+        latest = df.agg({"batch_id": "max"}).collect()[0][0]
+        out = {
+            r["_key"]: r["_mg"]
+            for r in df.where(df.batch_id == latest).collect()
+        }
+        return out.pop(None), out
+
+    batches = [
+        ["hot"] * 100 + ["warm"] * 40 + [f"c{i}" for i in range(80)],
+        ["hot"] * 80 + ["warm"] * 50 + [f"d{i}" for i in range(60)],
+        ["hot"] * 120 + [f"e{i}" for i in range(90)],
+    ]
+
+    # interrupted run: two batches, STOP (availableNow drains and
+    # terminates), third batch appears, NEW query from same checkpoint
+    inp = tmp_path / "rr_in"
+    inp.mkdir()
+    store = str(tmp_path / "rr_store")
+    ckpt = str(tmp_path / "rr_ckpt")
+    write_batch(inp, 0, batches[0])
+    write_batch(inp, 1, batches[1])
+    run(inp, store, ckpt)
+    total_mid, _ = final_counts(store)
+    assert total_mid == len(batches[0]) + len(batches[1])
+    write_batch(inp, 2, batches[2])
+    run(inp, store, ckpt)
+    total_rr, counts_rr = final_counts(store)
+
+    # uninterrupted reference over the same three files
+    inp1 = tmp_path / "one_in"
+    inp1.mkdir()
+    for b, rows in enumerate(batches):
+        write_batch(inp1, b, rows)
+    store1 = str(tmp_path / "one_store")
+    run(inp1, store1, str(tmp_path / "one_ckpt"))
+    total_one, counts_one = final_counts(store1)
+
+    assert total_rr == total_one == sum(len(b) for b in batches)
+    assert counts_rr == counts_one  # counters carried, nothing re-read
+    assert counts_rr["hot"] >= 300 - total_rr // (k + 1)

@@ -571,3 +571,91 @@ def test_streaming_funnel_matches_batch_counts(spark, tmp_path):
     assert stream_counts == batch_counts
     # cross-batch advance actually happened (user 1 purchased in batch 2)
     assert any(r["user_id"] == 1 and r["step"] == 3 for r in out)
+
+
+def test_streaming_cusum_restart_recovery(spark, tmp_path):
+    """Checkpoint restart contract for the CUSUM dual (same shape as
+    test_stateful_gap_detector_restart_recovery): stop the stream, add
+    data, restart a NEW query from the same checkpoint — the per-key
+    accumulators (S+, S-, n, flags, maxima, last_ts) must recover, the
+    already-processed file must not re-emit, and the restarted run's
+    final row must equal the batch operator over the FULL series
+    bit-for-bit."""
+    import glob
+    import json as jsonlib
+
+    from time_series_loader_spark.operators.trend import cusum_stats
+    from time_series_loader_spark.streaming.stateful import streaming_cusum
+
+    d = tmp_path / "cusum_rr"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        before = set(glob.glob(f"{out_dir}/*.json"))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                streaming_cusum(
+                    _keyed_stream(spark, d), target=10.0, threshold=2.0
+                )
+                .writeStream.format("json")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        rows = []
+        for f in sorted(set(glob.glob(f"{out_dir}/*.json")) - before):
+            with open(f) as fh:
+                rows += [jsonlib.loads(ln) for ln in fh if ln.strip()]
+        return rows
+
+    rows_a = [
+        ("2023-01-01 00:00:00", 10.0),
+        ("2023-01-01 00:01:00", 10.4),
+        ("2023-01-01 00:02:00", 9.8),
+    ]
+    rows_b = [
+        ("2023-01-01 00:03:00", 12.5),
+        ("2023-01-01 00:04:00", 13.1),
+        ("2023-01-01 00:05:00", 12.9),
+    ]
+    _write(d, "a.csv", rows_a, mtime=1_700_000_000)
+    first = drain()
+    assert len(first) == 1 and first[0]["n"] == 3
+
+    _write(d, "b.csv", rows_b, mtime=1_700_000_100)
+    second = drain()
+    # only the NEW batch's cumulative row: a.csv's offsets are committed
+    assert len(second) == 1
+    final = second[0]
+    assert final["n"] == 6  # state (incl. n) carried across the restart
+
+    batch_rows = [
+        (7, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), v)
+        for ts, v in rows_a + rows_b
+    ]
+    bdf = spark.createDataFrame(batch_rows, ["user_id", "ts", "value"])
+    b = cusum_stats(
+        bdf, "ts", "value", ["user_id"], threshold=2.0, target=10.0
+    ).collect()[0]
+    assert (
+        final["n"],
+        final["n_flags_pos"],
+        final["n_flags_neg"],
+        final["max_cusum_pos_u"],
+        final["max_cusum_neg_u"],
+    ) == (
+        b["n"],
+        b["n_flags_pos"],
+        b["n_flags_neg"],
+        b["max_cusum_pos_u"],
+        b["max_cusum_neg_u"],
+    )
