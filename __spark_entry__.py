@@ -5312,6 +5312,98 @@ FROM ({_sql_zorder_key()}) _b
 """
 
 
+# BPE canary docs (gate-only ids far above the corpus range): repeated
+# pairs pin the leftmost-first non-overlap fold cross-engine ("ererer"
+# must be 3 tokens, not 2; "aaa" has no trained (a,a) merge and stays 3
+# chars), "sparkspark" pins multi-merge chaining into adjacent full
+# words, "q"/"zzz" pin unseen-character fallback
+_BPE_CANARIES = [
+    (1_000_000_001, "aaa erer ererer spark zzz"),
+    (1_000_000_002, "sparkspark stst a q"),
+    (1_000_000_003, "partition value value table"),
+]
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned-vocab BPE token counts per document
+    (functions/bpe.py::bpe_token_counts; Sennrich et al. 2016) over
+    documents + the fold-semantics canaries — the real-tokenizer
+    counter for shard/sequence packing budgets. INTEGER-PURE: the merge
+    table is a frozen package resource and the count is a pure integer
+    function of (text, resource); the oracle replays the identical
+    merge semantics in SQL (one ``replace('␟a␟␟b␟' → '␟ab␟')`` per
+    recursive-CTE step — leftmost non-overlapping, exactly the
+    encoder's fold)."""
+    _prep(spark)
+    from time_series_loader_spark.functions.bpe import bpe_token_counts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    can = spark.createDataFrame(_BPE_CANARIES, "doc_id long, text string")
+    corpus = docs.unionByName(can)
+    n_words = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    )
+    return bpe_token_counts(corpus, "text", "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        n_words.cast("long").alias("n_words"),
+    )
+
+
+def _sql_bpe_token_counts() -> str:
+    from time_series_loader_spark.functions.bpe import MERGES_PATH
+
+    sep = "chr(31)"
+    canaries = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+        for i, t in _BPE_CANARIES
+    )
+    return f"""
+WITH RECURSIVE
+corpus AS (SELECT doc_id, text FROM documents UNION ALL {canaries}),
+merges AS (
+  SELECT rank, {sep}||a||{sep}||{sep}||b||{sep} AS pat, {sep}||a||b||{sep} AS rep
+  FROM read_parquet('{MERGES_PATH}')
+),
+dw AS (
+  SELECT doc_id, w
+  FROM corpus, LATERAL (SELECT unnest(string_split(text, ' ')) AS w)
+  WHERE w <> ''
+),
+tk AS (
+  SELECT w,
+         list_aggregate(list_transform(string_split_regex(w, ''),
+                                       c -> {sep}||c||{sep}),
+                        'string_agg', '') AS s
+  FROM (SELECT DISTINCT w FROM dw)
+  UNION ALL
+  SELECT w, replace(s, pat, rep)
+  FROM (
+    SELECT t.w, t.s, m.pat, m.rep,
+           row_number() OVER (PARTITION BY t.w ORDER BY m.rank) AS rn
+    FROM tk t JOIN merges m ON contains(t.s, m.pat)
+  ) WHERE rn = 1
+),
+final AS (
+  SELECT w, s FROM tk t
+  WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(t.s, m.pat))
+),
+wtok AS (
+  SELECT w, (length(s) - length(replace(s, {sep}, ''))) // 2 AS n_tok
+  FROM final
+)
+SELECT c.doc_id,
+       CAST(COALESCE(agg.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_filter(string_split(c.text, ' '), x -> x <> ''))
+            AS BIGINT) AS n_words
+FROM corpus c
+LEFT JOIN (
+  SELECT dw.doc_id, SUM(wtok.n_tok) AS n_bpe
+  FROM dw JOIN wtok ON dw.w = wtok.w GROUP BY dw.doc_id
+) agg ON c.doc_id = agg.doc_id
+"""
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-corpus preparation in one recorded slot, five sections
     over documents (long format: section, doc_id, k1, k2, v1, v2, v3,
@@ -5393,7 +5485,23 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         neg1.alias("v3"),
         F.md5(F.col("text")).alias("s1"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    f = q_bpe_token_counts(spark, sf_dir).select(
+        F.lit("bpe").alias("section"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        neg1.alias("k1"),
+        F.col("n_bpe_tokens").cast("long").alias("k2"),
+        F.col("n_words").cast("long").alias("v1"),
+        neg1.alias("v2"),
+        neg1.alias("v3"),
+        dash.alias("s1"),
+    )
+    return (
+        a.unionByName(b)
+        .unionByName(c)
+        .unionByName(d)
+        .unionByName(e)
+        .unionByName(f)
+    )
 
 
 def _sql_corpus_prep() -> str:
@@ -5431,6 +5539,11 @@ SELECT 'normtext', CAST(doc_id AS BIGINT), CAST(-1 AS BIGINT),
 FROM (SELECT doc_id,
              replace(nfc_normalize(text || {hazard}), chr(8203), '') AS _n
       FROM documents) _e
+UNION ALL
+SELECT 'bpe', CAST(doc_id AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(n_bpe_tokens AS BIGINT), CAST(n_words AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), '-'
+FROM ({_sql_bpe_token_counts()}) _f
 """
 
 
