@@ -177,6 +177,11 @@ def main() -> None:
         # JIT / Arrow-kernel warm-up; best of the remaining 2 is the
         # steady-state number (these are throughput measurements at the
         # 100 TB design point, not cold-start measurements)
+        # between-slot hygiene (r10): clear the previous slots'
+        # checkpointed/cached executor state so slot order doesn't
+        # leak into timings — late slots inflated ~2x without it
+        # (retrieval 5.8s in-sequence vs 2.95s isolated)
+        getattr(entrymod, "bench_reset", lambda s: None)(spark)
         rebaseline_if_changed(name, fn)
         _, n = timed(fn)
         best = min(timed(fn)[0] for _ in range(2))

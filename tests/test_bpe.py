@@ -1,0 +1,226 @@
+"""Pinned-vocab BPE tokenizer: encoder fold semantics, Spark/Python
+and Spark/DuckDB differentials, and the token counts threaded through
+shard packing and chunking as the real-tokenizer budget weight
+(VERDICT r9 directive #2; functions/bpe.py)."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.functions.bpe import (
+    MERGES_PATH,
+    bpe_token_counts,
+    encode_word,
+    load_merges,
+    merge_fold,
+)
+
+# ---------------------------------------------------------------- encoder
+
+
+@pytest.fixture(scope="module")
+def merges():
+    return load_merges()
+
+
+def test_merge_fold_is_leftmost_nonoverlapping():
+    assert merge_fold(list("aaa"), "a", "a") == ["aa", "a"]
+    assert merge_fold(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert merge_fold(["ab", "c", "ab", "c"], "ab", "c") == ["abc", "abc"]
+    assert merge_fold(list("xyz"), "a", "b") == ["x", "y", "z"]
+
+
+def test_encoder_fold_canaries(merges):
+    # the canaries VERDICT r9 validated against the DuckDB oracle:
+    # "er" merges exist, so ererer folds pairwise; "aaa" left-folds to
+    # ["aa","a"] then stops if ("aa","a") is unranked — count 3 either
+    # way the frozen table resolves it (pinned value from the resource)
+    assert len(encode_word("ererer", merges)) == 3
+    assert len(encode_word("sparkspark", merges)) == 2
+    assert len(encode_word("aaa", merges)) == 3
+
+
+def test_encoder_unseen_chars_never_oov(merges):
+    # characters absent from training stay single-char tokens
+    assert encode_word("ω", merges) == ["ω"]
+    assert len(encode_word("q#ω", merges)) == 3
+    assert encode_word("", merges) == []
+
+
+def test_encoder_applies_lowest_rank_first(merges):
+    # rank order is the training order: every prefix of the merge list
+    # is itself a valid BPE state, so encoding with a truncated table
+    # can only produce >= as many tokens
+    for w in ("ererer", "sparkspark", "partition", "value"):
+        full = len(encode_word(w, merges))
+        half = len(encode_word(w, merges[: len(merges) // 2]))
+        assert half >= full
+
+
+# ------------------------------------------------- Spark <-> Python diff
+
+_DOCS = [
+    (1, "spark spark aaa"),
+    (2, ""),                      # empty doc -> 0 tokens
+    (3, "ererer  q"),             # double space: empty piece drops
+    (4, "sparkspark stst"),
+    (5, "ω unseen#chars here"),
+]
+
+
+def _py_count(text, merges):
+    return sum(
+        len(encode_word(w, merges)) for w in text.split(" ") if w != ""
+    )
+
+
+def test_spark_counts_match_python_encoder(spark, merges):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(df).collect()
+    }
+    want = {i: _py_count(t, merges) for i, t in _DOCS}
+    assert got == want
+    assert got[2] == 0
+
+
+def test_spark_counts_composite_key(spark, merges):
+    df = spark.createDataFrame(
+        [(1, 0, "spark aaa"), (1, 1, "ererer"), (2, 0, "")],
+        "doc_id long, part long, text string",
+    )
+    got = {
+        (r["doc_id"], r["part"]): r["n"]
+        for r in bpe_token_counts(
+            df, id_col=["doc_id", "part"], out_col="n"
+        ).collect()
+    }
+    assert got == {(1, 0): 4, (1, 1): 3, (2, 0): 0}
+
+
+# ------------------------------------------------- Spark <-> DuckDB diff
+
+
+def test_duckdb_oracle_matches_encoder_on_canary_corpus(spark, merges):
+    """The gate oracle's recursive-CTE semantics (one replace per merge
+    step, U+001F separators) replayed over a hazard-heavy corpus must
+    equal the Python encoder exactly — including a doc containing the
+    separator char itself, which both sides strip (ADVICE r9)."""
+    sep_hazard = "spark\x1fspark er\x1f"  # U+001F inside payload
+    docs = _DOCS + [(6, sep_hazard), (7, "aaa erer ererer spark zzz")]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    sql = f"""
+WITH RECURSIVE
+corpus AS (SELECT doc_id, replace(text, chr(31), '') AS text
+           FROM documents),
+merges AS (
+  SELECT rank, chr(31)||a||chr(31)||chr(31)||b||chr(31) AS pat,
+         chr(31)||a||b||chr(31) AS rep
+  FROM read_parquet('{MERGES_PATH}')
+),
+dw AS (
+  SELECT doc_id, w
+  FROM corpus, LATERAL (SELECT unnest(string_split(text, ' ')) AS w)
+  WHERE w <> ''
+),
+tk AS (
+  SELECT w,
+         list_aggregate(list_transform(string_split_regex(w, ''),
+                                       c -> chr(31)||c||chr(31)),
+                        'string_agg', '') AS s
+  FROM (SELECT DISTINCT w FROM dw)
+  UNION ALL
+  SELECT w, replace(s, pat, rep)
+  FROM (
+    SELECT t.w, t.s, m.pat, m.rep,
+           row_number() OVER (PARTITION BY t.w ORDER BY m.rank) AS rn
+    FROM tk t JOIN merges m ON contains(t.s, m.pat)
+  ) WHERE rn = 1
+),
+final AS (
+  SELECT w, s FROM tk t
+  WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(t.s, m.pat))
+),
+wtok AS (
+  SELECT w, (length(s) - length(replace(s, chr(31), ''))) // 2 AS n_tok
+  FROM final
+)
+SELECT c.doc_id, CAST(COALESCE(agg.n_bpe, 0) AS BIGINT) AS n
+FROM corpus c
+LEFT JOIN (SELECT dw.doc_id, SUM(wtok.n_tok) AS n_bpe
+           FROM dw JOIN wtok ON dw.w = wtok.w GROUP BY dw.doc_id) agg
+  ON c.doc_id = agg.doc_id
+"""
+    oracle = dict(con.execute(sql).fetchall())
+    want = {
+        i: _py_count(t.replace("\x1f", ""), merges) for i, t in docs
+    }
+    assert oracle == want
+
+
+# --------------------------------------- budget threading (directive #2)
+
+
+def test_shard_pack_budgets_in_bpe_tokens(spark, merges):
+    """shard_pack with weight_col = n_bpe_tokens packs shards whose
+    budgets are measured in REAL tokenizer tokens: cum_weight is the
+    running BPE total in key order and shard_id follows the greedy
+    floor((cum - w)/budget) rule over those BPE weights."""
+    from time_series_loader_spark.operators.sampling import shard_pack
+
+    texts = [
+        "spark spark spark partition value table",
+        "ererer sparkspark stst",
+        "aaa zzz q",
+        "value value value value",
+        "partition table",
+        "",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    budget = 9
+    out = (
+        shard_pack(
+            bpe_token_counts(df), "doc_id", "n_bpe_tokens", budget
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    # replay the greedy rule in Python over the encoder's weights
+    cum = 0
+    for r in out:
+        w = _py_count(texts[r["doc_id"]], merges)
+        assert r["n_bpe_tokens"] == w
+        assert r["shard_id"] == cum // budget
+        cum += w
+        assert r["cum_weight"] == cum
+    # the weights are genuinely BPE (not whitespace words): doc 1 has
+    # 3 words but more BPE tokens
+    assert out[1]["n_bpe_tokens"] > len(texts[1].split())
+
+
+def test_chunk_documents_optin_bpe_counter(spark, merges):
+    from time_series_loader_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "spark spark ererer aaa zzz value table partition q stst")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(
+        df, "doc_id", chunk_tokens=4, overlap_tokens=1, bpe_counts=True
+    ).collect()
+    assert len(out) > 1
+    for r in out:
+        assert r["n_chunk_bpe_tok"] == _py_count(r["chunk_text"], merges)
+        # BPE never undercuts the word count of a non-empty chunk
+        assert r["n_chunk_bpe_tok"] >= r["n_chunk_tok"]
+    # plain call is unchanged (no bpe column)
+    plain = chunk_documents(df, "doc_id", 4, 1)
+    assert "n_chunk_bpe_tok" not in plain.columns

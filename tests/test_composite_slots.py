@@ -63,13 +63,19 @@ def test_corpus_prep_sections_cover_corpus(rows, spark):
     secs = {}
     for r in out:
         secs.setdefault(r["section"], []).append(r)
-    assert set(secs) == {"chunk", "pack", "mix", "dsir", "normtext"}
+    assert set(secs) == {"chunk", "pack", "mix", "dsir", "normtext", "bpe"}
     from time_series_loader_spark.session import read_table
 
     n_docs = read_table(spark, SF, "documents").count()
     # mix / dsir / normtext are one row per doc
     for sec in ("mix", "dsir", "normtext"):
         assert len(secs[sec]) == n_docs, sec
+    # bpe covers every doc plus the three fold-semantics canaries, and
+    # a word never BPE-encodes to fewer than 1 or more than len tokens:
+    # n_words <= n_bpe_tokens, with equality iff every word is 1 token
+    assert len(secs["bpe"]) == n_docs + 3
+    for r in secs["bpe"]:
+        assert r["k2"] >= r["v1"] >= 0  # n_bpe_tokens >= n_words
     # pack segment lengths per doc sum to the doc's token count
     seg = {}
     for r in secs["pack"]:
@@ -144,3 +150,19 @@ def test_env_pins_are_fresh(spark):
         for k in set(committed) | set(live)
         if committed.get(k) != live.get(k)
     }
+
+
+def test_bench_reset_is_safe_between_memoizing_slots(spark):
+    """bench.py calls entry.bench_reset between slots; the memos that
+    hold checkpointed DataFrames (_DEDUP_STORES, _DSIR_FIT) must be
+    evicted by it, not just unpersisted — a dangling memo entry crashes
+    the next invocation with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    (reproduced in the first r10 bench run)."""
+    a1 = entry.q_dsir_select(spark, SF).collect()
+    d1 = entry.queries()["dedup_incremental"](spark, SF).count()
+    entry.bench_reset(spark)
+    assert entry._DSIR_FIT == {} and entry._DEDUP_STORES == {}
+    a2 = entry.q_dsir_select(spark, SF).collect()  # rebuilds, no crash
+    d2 = entry.queries()["dedup_incremental"](spark, SF).count()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))
+    assert d1 == d2

@@ -40,6 +40,8 @@ from __future__ import annotations
 import os
 from functools import lru_cache
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -106,7 +108,7 @@ def _ranks_of(merges: tuple[tuple[str, str], ...]) -> dict:
 def bpe_token_counts(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
     out_col: str = "n_bpe_tokens",
     merges_path: str | None = None,
 ) -> DataFrame:
@@ -115,7 +117,9 @@ def bpe_token_counts(
     Plan: explode the space-split words (JVM), reduce to DISTINCT words,
     encode only those in one Arrow kernel (vocab-sized Python), join the
     per-word counts back (word-keyed, AQE-broadcast for real vocabs) and
-    sum per document. Documents with no words count 0.
+    sum per document. Documents with no words count 0. ``id_col`` may be
+    a list for composite keys (e.g. ``["doc_id", "chunk_id"]`` for
+    per-chunk counts from ``chunk_documents``).
 
     The counts column is the drop-in real-tokenizer weight for
     ``shard_pack`` / ``sequence_pack`` budgets
@@ -123,8 +127,8 @@ def bpe_token_counts(
     ``tests/test_bpe.py::test_shard_pack_budgets_in_bpe_tokens``.
     """
     merges = load_merges(merges_path)
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
 
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -133,14 +137,14 @@ def bpe_token_counts(
 
     toks = F.split(F.col(text_col), " ")
     words = df.select(
-        F.col(id_col), F.explode(toks).alias("_w")
+        *[F.col(c) for c in ids], F.explode(toks).alias("_w")
     ).where(F.col("_w") != "")
     vocab = words.select("_w").distinct().withColumn("_ntok", _ntok("_w"))
     counts = (
         words.join(vocab, "_w")
-        .groupBy(id_col)
+        .groupBy(*ids)
         .agg(F.sum("_ntok").cast("long").alias(out_col))
     )
-    return df.join(counts, id_col, "left").withColumn(
+    return df.join(counts, ids, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(0)).cast("long")
     )

@@ -41,6 +41,8 @@ def chunk_documents(
     overlap_tokens: int = 0,
     text_col: str | None = "text",
     tok_col: str | None = None,
+    bpe_counts: bool = False,
+    bpe_merges_path: str | None = None,
 ) -> DataFrame:
     """Split each document into overlapping token windows.
 
@@ -54,6 +56,14 @@ def chunk_documents(
     ``tok_col`` (array<string>) bypasses tokenization when the caller
     already holds token arrays; otherwise ``text_col`` is tokenized
     with the engine-standard whitespace rule (`text.tokens`).
+
+    ``bpe_counts=True`` appends ``n_chunk_bpe_tok`` — the chunk's
+    pinned-vocab BPE token count (`functions.bpe.bpe_token_counts` over
+    chunk_text, keyed on (id, chunk_id)) — so downstream packing can
+    budget in real tokenizer tokens instead of whitespace words
+    (``tests/test_bpe.py::test_chunk_documents_optin_bpe_counter``).
+    The extra cost is vocab-sized Python + one word-keyed join; the
+    whitespace chunking itself stays pure-JVM.
     """
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be > 0, got {chunk_tokens}")
@@ -61,6 +71,19 @@ def chunk_documents(
         raise ValueError(
             "overlap_tokens must satisfy 0 <= overlap < chunk_tokens, "
             f"got overlap={overlap_tokens} chunk={chunk_tokens}"
+        )
+    if bpe_counts:
+        from ..functions.bpe import bpe_token_counts
+
+        base = chunk_documents(
+            df, id_col, chunk_tokens, overlap_tokens, text_col, tok_col
+        )
+        return bpe_token_counts(
+            base,
+            text_col="chunk_text",
+            id_col=[id_col, "chunk_id"],
+            out_col="n_chunk_bpe_tok",
+            merges_path=bpe_merges_path,
         )
     c, s = chunk_tokens, chunk_tokens - overlap_tokens
     t: Column = F.col(tok_col) if tok_col is not None else tokens(text_col)
