@@ -224,3 +224,24 @@ def test_chunk_documents_optin_bpe_counter(spark, merges):
     # plain call is unchanged (no bpe column)
     plain = chunk_documents(df, "doc_id", 4, 1)
     assert "n_chunk_bpe_tok" not in plain.columns
+
+
+def test_gate_vocab_small_enough_for_recursive_oracle():
+    """The DuckDB oracle recurses once per merge step over the DISTINCT
+    vocabulary (measured r10: 31-word gate vocab 0.14 s at sf0.1; 50k
+    synthetic vocab 2.4 s; 500k vocab 50.6 s). The gate corpora have
+    tiny synthetic vocabularies, so the recursive CTE is nowhere near a
+    gate bottleneck — this canary fails loudly if testdata drift ever
+    balloons the vocab toward oracle-bottleneck territory, protecting
+    corpus_prep's floor discipline (VERDICT r9 directive #7)."""
+    for sf in ("0.001", "0.01", "0.1"):
+        n = duckdb.sql(
+            f"""SELECT count(DISTINCT w) FROM (
+                  SELECT unnest(string_split(replace(text, chr(31), ''), ' ')) AS w
+                  FROM read_parquet('/root/testdata/sf{sf}/documents.parquet')
+                ) WHERE w <> ''"""
+        ).fetchone()[0]
+        assert n < 10_000, (
+            f"sf{sf} vocab {n} — recursive BPE oracle would be slow; "
+            "re-evaluate the oracle strategy before certifying"
+        )
