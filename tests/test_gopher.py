@@ -253,3 +253,41 @@ def test_mojibake_hits(spark):
             "SELECT len(regexp_extract_all(?, ?))", [txt, MOJIBAKE_PATTERN]
         ).fetchone()[0]
         assert d == got[i], (i, txt)
+
+
+def test_bpeish_kernel_equals_expression(spark):
+    """text_profile computes n_tokens_bpeish in its Arrow kernel
+    (vectorized codepoint classes, both the per-row and whole-batch
+    forms) — it must be bit-identical to the public Java-regex
+    expression `token_count_bpeish` on Unicode hazards (case-expansion
+    İ→i̇, combining accents, ZWSP, tabs/newlines) and on real corpora
+    (pinned here at sf0.001; SCALING.md r10 documents the 6.6 s→kernel
+    move at the 500k-doc probe)."""
+    from time_series_loader_spark.operators.text import (
+        _bpeish_count,
+        _bpeish_counts_batch,
+        text_profile,
+        token_count_bpeish,
+    )
+
+    fix = ["", None, "  ", "a1! b2?", "ÀÉü 123..x", "İstanbul iı",
+           "café​ x", "aaaaa999!@#", "tab\tnl\nmix 42", None]
+    assert _bpeish_counts_batch(fix) == [_bpeish_count(s) for s in fix]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(fix) if s is not None],
+        "doc_id long, text string",
+    )
+    expr = {r["doc_id"]: r["e"] for r in
+            df.select("doc_id", token_count_bpeish("text").alias("e")).collect()}
+    kern = {r["doc_id"]: r["n_tokens_bpeish"] for r in
+            text_profile(df, "text", "doc_id").collect()}
+    assert kern == expr
+    from pyspark.sql import functions as F
+
+    from time_series_loader_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    both = text_profile(docs, "text", "doc_id", min_parallelism=4).select(
+        "doc_id", "n_tokens_bpeish"
+    ).join(docs.select("doc_id", token_count_bpeish("text").alias("e")), "doc_id")
+    assert both.where(F.col("n_tokens_bpeish") != F.col("e")).count() == 0
