@@ -933,9 +933,7 @@ def _sql_shingles_of(src: str) -> str:
 
 def _sql_dedup_incremental(num_hashes: int = 16, bands: int = 4) -> str:
     rows = num_hashes // bands
-    mins = ",\n    ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
-    )
+    hm, mins = _sql_minhash_parts(num_hashes)
     band_cases = " ".join(
         "WHEN {} THEN md5({})".format(
             b, " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
@@ -962,8 +960,10 @@ b2 AS (
 ),
 shb AS ({_sql_shingles_of("b2")}),
 shs AS ({_sql_shingles_of("store")}),
-sigb AS (SELECT doc_id, {mins} FROM shb GROUP BY doc_id),
-sigs AS (SELECT doc_id, {mins} FROM shs GROUP BY doc_id),
+hxb AS (SELECT doc_id, {hm} AS hm FROM shb),
+hxs AS (SELECT doc_id, {hm} AS hm FROM shs),
+sigb AS (SELECT doc_id, {mins} FROM hxb GROUP BY doc_id),
+sigs AS (SELECT doc_id, {mins} FROM hxs GROUP BY doc_id),
 bandb AS (
   SELECT doc_id, band_id, CASE band_id {band_cases} END AS band_key
   FROM sigb, (SELECT UNNEST(range({bands})) AS band_id)
@@ -1324,11 +1324,34 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_minhash_parts(num_hashes: int) -> tuple[str, str]:
+    """(hm_expr, mins) replaying the library's r10 MinHash construction
+    (operators/dedup.py::minhash_signatures): ONE md5 per shingle →
+    48-bit int of its first 12 hex chars → mod P → k Carter–Wegman
+    variants (A_i·hm + B_i) mod P, coefficients imported from the very
+    tuple the Spark side uses."""
+    from time_series_loader_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_params,
+    )
+
+    a_s, b_s = minhash_params(num_hashes)
+    hexv = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(shingle), {j}, 1)) - 1)"
+        f" * {16 ** (12 - j)}"
+        for j in range(1, 13)
+    )
+    hm = f"CAST(({hexv}) AS BIGINT) % {MINHASH_P}"
+    mins = ",\n    ".join(
+        f"min(({a_s[i]} * hm + {b_s[i]}) % {MINHASH_P}) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    return hm, mins
+
+
 def _sql_minhash_lsh(num_hashes: int = 16, bands: int = 4) -> str:
     rows = num_hashes // bands
-    mins = ",\n    ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
-    )
+    hm, mins = _sql_minhash_parts(num_hashes)
     band_cases = " ".join(
         "WHEN {} THEN md5({})".format(
             b,
@@ -1341,7 +1364,8 @@ def _sql_minhash_lsh(num_hashes: int = 16, bands: int = 4) -> str:
     )
     return f"""
 WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+hx AS (SELECT doc_id, {hm} AS hm FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
 banded AS (
   SELECT doc_id, band_id, CASE band_id {band_cases} END AS band_key
   FROM sig, (SELECT UNNEST(range({bands})) AS band_id)

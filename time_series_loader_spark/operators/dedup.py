@@ -348,6 +348,38 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+MINHASH_P = 2_147_483_647  # 2^31 − 1, prime — the universal-hash modulus
+
+
+def minhash_params(num_hashes: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """Deterministic (A, B) coefficients for the k universal hash
+    functions h_i(x) = (A_i·x + B_i) mod P — generated by a fixed PCG
+    multiplier LCG (pure integer arithmetic, no library RNG, so the
+    stream is stable by construction on every platform and replayable
+    inside the DuckDB oracle builders, which import these exact
+    tuples). A_i ∈ [1, P−1] (P prime ⇒ every A_i is invertible mod P,
+    the textbook Carter–Wegman family), B_i ∈ [0, P−1]."""
+    x = 0x853C49E6748FEA9B
+    a_s, b_s = [], []
+    for _ in range(num_hashes):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 64)
+        a_s.append(x % (MINHASH_P - 1) + 1)
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 64)
+        b_s.append(x % MINHASH_P)
+    return tuple(a_s), tuple(b_s)
+
+
+def minhash_shingle_hash(shingle: Column) -> Column:
+    """The ONE strong hash per shingle the k-variant family is built
+    on: integer value of the first 12 hex chars of md5(shingle)
+    (48 bits), reduced mod P. Engine-replayable: DuckDB computes the
+    identical value by per-hex-digit arithmetic over the same md5."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 12), 16, 10).cast("long")
+        % MINHASH_P
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -356,21 +388,39 @@ def minhash_signatures(
     num_hashes: int = 16,
     min_parallelism: int | None = None,
 ) -> DataFrame:
-    """k min-wise hashes per doc: minhash_i = min(md5(i ':' shingle)).
+    """k min-wise hashes per doc (BIGINT):
+    mh_i = min over shingles of (A_i·H(shingle) + B_i) mod P, with ONE
+    md5 per shingle (Broder 1997 via a Carter–Wegman universal family —
+    the standard MinHash construction, e.g. Spark MLlib's MinHashLSH).
+
+    r10 change of construction: the previous form hashed every shingle
+    k times (min(md5(i ':' shingle)) per i) — 16× the md5 work, which a
+    100×-probe decomposition showed DOMINATING the whole LSH slot (the
+    signature stage alone was ~20 s of the 15-21 s total at 500k docs;
+    md5 is ~0.4 µs/call and 26.5M shingles × 16 calls is 170 CPU-s).
+    One md5 + k integer multiply-adds keeps the k-independent-hash
+    semantics at 1/16th the hash cost, and the shuffle carries k
+    8-byte longs per doc instead of k 32-byte hex strings.
 
     One explode + one groupBy with k narrow min() aggregates — partial
-    aggregation happens map-side, so the shuffle carries k hex strings per
-    doc regardless of doc length. The k·shingles md5 computations happen
-    BEFORE the exchange, so they parallelize only as far as the input
-    partitioning — ``min_parallelism`` (see :func:`shingle_arrays`) is
-    the opt-in fan-out for single-file sources.
+    aggregation happens map-side, so the shuffle stays k values per doc
+    regardless of doc length. The per-shingle md5 happens BEFORE the
+    exchange, so it parallelizes only as far as the input partitioning —
+    ``min_parallelism`` (see :func:`shingle_arrays`) is the opt-in
+    fan-out for single-file sources.
     """
     sh = shingle_table(df, text_col, id_col, n, min_parallelism)
+    a_s, b_s = minhash_params(num_hashes)
+    hashed = sh.select(
+        F.col(id_col), minhash_shingle_hash(F.col("shingle")).alias("_hm")
+    )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        F.min((F.lit(a_s[i]) * F.col("_hm") + F.lit(b_s[i])) % MINHASH_P).alias(
+            f"mh{i}"
+        )
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    return hashed.groupBy(id_col).agg(*mins)
 
 
 def _band_key_entries(num_hashes: int, bands: int, prefix: str = "mh") -> Column:
@@ -388,7 +438,12 @@ def _band_key_entries(num_hashes: int, bands: int, prefix: str = "mh") -> Column
                     F.concat_ws(
                         "|",
                         *[
-                            F.col(f"{prefix}{b * rows_per_band + r}")
+                            # explicit decimal-string cast: the BIGINT
+                            # minhashes must render identically in the
+                            # oracle's `mh0 || '|' || mh1` coercion
+                            F.col(f"{prefix}{b * rows_per_band + r}").cast(
+                                "string"
+                            )
                             for r in range(rows_per_band)
                         ],
                     )
@@ -545,10 +600,11 @@ def doc_signatures(
     This is the SIGNATURE STORE schema for :func:`incremental_dedup` —
     the compact state a 100 TB pipeline persists between ingest batches:
     one md5 of the text (exact-dup key, same rule as :func:`dedup_exact`
-    on a single text column) plus k min-wise hashes (near-dup key). Per
-    doc that is id + 17 × 32-byte hexes regardless of document length, so
-    the store is orders of magnitude smaller than the corpus and is the
-    ONLY thing the next batch ever joins against.
+    on a single text column) plus k BIGINT min-wise hashes (near-dup
+    key; r10 — previously k 32-byte hexes). Per doc that is id + one
+    32-byte hex + k longs regardless of document length, so the store
+    is orders of magnitude smaller than the corpus and is the ONLY
+    thing the next batch ever joins against.
 
     Docs with fewer than ``n`` tokens (incl. null/empty text) produce no
     shingles and carry NULL mh columns — they still participate in exact

@@ -67,7 +67,7 @@ def _read_store(
         empty = spark.createDataFrame([], schema)
         out = empty.withColumn("digest", F.lit(None).cast("string"))
         for c in mh_cols:
-            out = out.withColumn(c, F.lit(None).cast("string"))
+            out = out.withColumn(c, F.lit(None).cast("long"))
         return out
 
 
