@@ -900,7 +900,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         repeated_spans_winnowed,
     )
 
-    spans = repeated_spans(docs, "text", "doc_id", n=20, min_docs=2).select(
+    spans = repeated_spans(
+        docs, "text", "doc_id", n=20, min_docs=2, min_parallelism=par
+    ).select(
         F.lit("spans").alias("section"),
         F.col("digest").alias("key_digest"),
         "doc_id",
@@ -913,7 +915,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # w=8 ⇒ any verbatim repeat of ≥ 27 tokens is guaranteed flagged,
     # rows are (doc, anchor) with exact-verified span digests.
     winn = repeated_spans_winnowed(
-        docs, "text", "doc_id", n=20, w=8, min_docs=2, minimizer_hash="md5"
+        docs, "text", "doc_id", n=20, w=8, min_docs=2, minimizer_hash="md5",
+        min_parallelism=par,
     ).select(
         F.lit("winnowed").alias("section"),
         F.col("digest").alias("key_digest"),

@@ -31,10 +31,30 @@ from pyspark.sql import functions as F
 from time_series_loader_spark.operators.text import tokens
 
 
-def _positional_digests(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _fan_out(df: DataFrame, min_parallelism: int | None) -> DataFrame:
+    """Opt-in round-robin repartition for single-file sources: the
+    per-position HOF work downstream is per-row, so parallelism comes
+    ENTIRELY from input partitioning — one unsplittable parquet file
+    serializes it on one core no matter how many exist (text_profile's
+    min_parallelism rationale; measured r10: the whole spans/winnowed
+    cost at sf0.1 ran single-partition, 2.1 s → 1.2 s / 2.8 s → 2.0 s
+    after fanning out). Leave None on real multi-file corpora."""
+    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
+        return df.repartition(min_parallelism)
+    return df
+
+
+def _positional_digests(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    min_parallelism: int | None = None,
+) -> DataFrame:
     """(id, start, digest): md5 of the n-token span starting at each
     0-based token position (transform over materialized tokens — the
     linear form per dedup.py's shingle notes)."""
+    df = _fan_out(df, min_parallelism)
     toked = df.select(F.col(id_col), tokens(text_col).alias("_t"))
     m = F.size("_t") - (n - 1)
     span = F.when(
@@ -58,6 +78,7 @@ def repeated_spans(
     id_col: str,
     n: int = 50,
     min_docs: int = 2,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Flag every length-``n`` token span whose verbatim text occurs in
     ≥ ``min_docs`` DISTINCT documents.
@@ -67,7 +88,7 @@ def repeated_spans(
     boilerplate, how widespread). ``remove_repeated_spans`` consumes the
     same flags to rewrite the corpus.
     """
-    spans = _positional_digests(df, text_col, id_col, n)
+    spans = _positional_digests(df, text_col, id_col, n, min_parallelism)
     dup = (
         spans.groupBy("digest")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
@@ -162,6 +183,7 @@ def repeated_spans_winnowed(
     w: int = 16,
     min_docs: int = 2,
     minimizer_hash: str = "xxhash64",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Winnowed (minimizer-sampled) repeated-span detection — the 100 TB
     scale path for :func:`repeated_spans`.
@@ -221,7 +243,9 @@ def repeated_spans_winnowed(
         _hash1, _hty = F.md5, "array<string>"
     else:
         raise ValueError(f"unknown minimizer_hash {minimizer_hash!r}")
-    toked = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    toked = _fan_out(df, min_parallelism).select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    )
     m = F.size("_t") - (n - 1)  # number of n-gram positions
     h = F.when(
         m >= 1,
