@@ -245,3 +245,43 @@ def test_gate_vocab_small_enough_for_recursive_oracle():
             f"sf{sf} vocab {n} — recursive BPE oracle would be slow; "
             "re-evaluate the oracle strategy before certifying"
         )
+
+
+def test_bpeish_kernel_property_random_unicode():
+    """Hypothesis: the per-row and whole-batch codepoint-class kernels
+    agree with each other AND with a pure-Python regex replica of the
+    Spark expression's semantics (runs of [a-z] + runs of [0-9] +
+    single other-non-\\s chars over the lowercased text) on arbitrary
+    Unicode — including astral-plane codepoints, which exercise the
+    utf-32 view, and texts of whitespace only."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from time_series_loader_spark.operators.text import (
+        _bpeish_count,
+        _bpeish_counts_batch,
+    )
+
+    rx = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]")
+
+    def ref(s):
+        return len(rx.findall(s.lower()))
+
+    texts = st.lists(
+        st.one_of(st.none(), st.text(max_size=60)), min_size=0, max_size=8
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts)
+    def check(batch):
+        got = _bpeish_counts_batch(batch)
+        for s, g in zip(batch, got):
+            assert g == _bpeish_count(s)
+            if s is not None:
+                assert g == ref(s), (repr(s), g, ref(s))
+            else:
+                assert g is None
+
+    check()
