@@ -478,7 +478,7 @@ def minhash_lsh_pairs(
     consumed exactly once. The r4 form cached the signatures and
     re-joined them twice after a distinct; the r5 no-cache rule made that
     re-execution visible (2.9 s vs 1.0 s at sf0.1), and carrying the
-    k hex strings through the explode (k·32 B · bands per doc of shuffle)
+    k BIGINT hashes through the explode (k·8 B · bands per doc of shuffle)
     is cheaper than either caching or recomputing: the pair-level
     ``est_jaccard`` is deterministic, so ``distinct`` on
     (id_a, id_b, est) AFTER scoring dedups multi-band collisions exactly
@@ -681,7 +681,7 @@ def incremental_dedup(
     Join shapes at scale (store ≫ batch): the exact anti-join touches
     only the store's digest column (shuffle-free when the store is
     bucketed by digest); the band probe explodes ``bands`` rows per doc
-    on both sides but carries only (band_id, band_key, k hexes); every
+    on both sides but carries only (band_id, band_key, k BIGINT hashes); every
     drop list is batch-derived (increment-sized), so AQE broadcasts it
     and the batch frame never wide-shuffles. Nothing here scans store
     TEXT — only signatures.
