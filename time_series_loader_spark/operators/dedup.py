@@ -15,10 +15,11 @@ Beyond-reference capability (BASELINE.json north star). Design notes for
   explode(b) → self-join on (band_id, band_key). Only docs sharing a band
   collide, so the join is linear-ish in practice. Estimated Jaccard =
   fraction of equal minhashes.
-- Min-wise hash family: ``md5(i || ':' || shingle)`` compared as hex
-  STRINGS — min over a uniformly-distributed injective hex string is a
-  valid min-wise hash and is bit-identical in any engine (no 64-bit
-  integer conversion games).
+- Min-wise hash family (r10): ONE md5 per shingle → 48-bit integer of
+  its first 12 hex chars mod P=2³¹−1 → k Carter–Wegman variants
+  (A_i·h+B_i) mod P with frozen coefficients (:func:`minhash_params`) —
+  the textbook Broder construction, BIGINT signatures, bit-identical in
+  any engine via plain integer arithmetic over the same md5.
 - **embedding near-dup**: cosine over DECIMAL-exact dot products (see
   similarity.py) with a threshold.
 """
