@@ -26,10 +26,40 @@ a pre-recomposition 0.136 floor in BENCH_r08). Each slot's floor is now
 stamped with a hash of its callable's source; when the source changes,
 the floor is re-baselined from this run instead of gating against a
 query that no longer exists.
+
+Transitive staleness (round 11, VERDICT r10 directive #1): the entry-
+callable hash alone misses LIBRARY-level definition changes — r10's
+BIGINT signature-store rebuild and batch-kernel move changed what
+`dedup_incremental/incr` and `table_stats/profile` execute without
+touching their entry callables, so both gated against floors for code
+that no longer existed (text_profile's floor had to be reset by hand
+for the same reason). Each slot is now ALSO stamped (`_libsrc`) with a
+hash over the transitive closure of package sources it executes:
+seeded from the callable's (and its __spark_entry__ helpers') resolved
+globals + statically-referenced `time_series_loader_spark.*` imports,
+closed over the package's import graph by AST (covers function-level
+and relative imports — no module execution). A changed `_libsrc`
+re-baselines exactly like a changed entry source. `tools/
+floor_migrate.py` performed the one-time mechanical migration for
+floors recorded before this stamp existed (git-diff evidence, no hand
+edits).
+
+Harness staleness (round 11): floors are only comparable within one
+MEASUREMENT discipline. r10's introduction of `bench_reset` (cleared
+caches between slots) changed what every slot's number means, and the
+`table_stats/profile` 1.55x "breach" was exactly a floor (0.281)
+recorded under the pre-reset regime that r8's own run already couldn't
+reach (0.358) — entry and library provably unchanged since. The
+`_harness` stamp (HARNESS_EPOCH + the `bench_reset` source) pops ALL
+floors when the between-slot discipline changes, so a harness change
+re-baselines loudly instead of leaving a scatter of unreachable
+floors. Bump HARNESS_EPOCH whenever measure()'s semantics change in a
+way that affects recorded numbers.
 """
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import inspect
 import json
@@ -37,11 +67,182 @@ import os
 import re
 import sys
 import time
+import types
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from time_series_loader_spark.session import get_spark
+
+# bump when the measurement discipline changes (see module docstring)
+HARNESS_EPOCH = "r11-reset-evicts-ln-cache"
+
+_PKG = "time_series_loader_spark"
+_PKG_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), _PKG)
+_file_sha: dict[str, str] = {}
+_mod_imports: dict[str, tuple[str, ...]] = {}
+
+
+def _pkg_module_file(name: str) -> str | None:
+    """Filesystem path of package module ``name``, or None if it isn't
+    one (checks `x/y.py` then `x/y/__init__.py` — no import executed)."""
+    if name != _PKG and not name.startswith(_PKG + "."):
+        return None
+    rel = name.split(".")[1:]
+    base = os.path.join(_PKG_ROOT, *rel)
+    for cand in (base + ".py", os.path.join(base, "__init__.py")):
+        if os.path.isfile(cand):
+            return cand
+    return None
+
+
+def _file_hash(path: str) -> str:
+    if path not in _file_sha:
+        try:
+            with open(path, "rb") as fh:
+                _file_sha[path] = hashlib.sha1(fh.read()).hexdigest()[:12]
+        except OSError:
+            _file_sha[path] = "unreadable"
+    return _file_sha[path]
+
+
+def _module_imports(name: str) -> tuple[str, ...]:
+    """Package modules statically imported by package module ``name`` —
+    every Import/ImportFrom in its AST (top-level AND function-level,
+    absolute AND relative), resolved to absolute package module names.
+    For `from X import a, b` both `X` and `X.a`/`X.b` are candidates
+    (the names may be submodules); only ones whose file exists count."""
+    if name in _mod_imports:
+        return _mod_imports[name]
+    path = _pkg_module_file(name)
+    found: set[str] = set()
+    if path:
+        try:
+            with open(path) as fh:
+                tree = ast.parse(fh.read())
+        except (OSError, SyntaxError):
+            tree = None
+        if tree is not None:
+            is_pkg = path.endswith("__init__.py")
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Import):
+                    for al in node.names:
+                        if _pkg_module_file(al.name):
+                            found.add(al.name)
+                elif isinstance(node, ast.ImportFrom):
+                    if node.level == 0:
+                        base = node.module or ""
+                    else:
+                        # relative: strip (level - is_pkg) trailing parts
+                        # of THIS module's dotted name to get the anchor
+                        parts = name.split(".")
+                        cut = node.level - (1 if is_pkg else 0)
+                        anchor = parts[: len(parts) - cut] if cut else parts
+                        base = ".".join(anchor + ([node.module] if node.module else []))
+                    if _pkg_module_file(base):
+                        found.add(base)
+                    for al in node.names:
+                        sub = f"{base}.{al.name}" if base else al.name
+                        if _pkg_module_file(sub):
+                            found.add(sub)
+    _mod_imports[name] = tuple(sorted(found))
+    return _mod_imports[name]
+
+
+def _code_names(code) -> set[str]:
+    out = set(code.co_names)
+    for c in code.co_consts:
+        if isinstance(c, types.CodeType):
+            out |= _code_names(c)
+    return out
+
+
+def lib_closure(fn) -> tuple[list[str], list[str]]:
+    """(sorted package module names, entry-helper sources) the slot
+    callable transitively executes. Seeds: every global name the
+    callable's code (and nested code) loads that resolves to a package
+    object, every dotted `time_series_loader_spark.*` name in co_names
+    (function-level import targets), and the same applied recursively
+    to helpers defined in the callable's own module (their SOURCE also
+    feeds the hash — a changed `_dedup_store` must re-baseline the
+    slots that call it). Module→module edges close over the package's
+    static import graph (see :func:`_module_imports`)."""
+    mods: set[str] = set()
+    helper_srcs: dict[str, str] = {}
+    seen_fns: set[int] = set()
+
+    def add_module(name: str) -> None:
+        if name in mods or not _pkg_module_file(name):
+            return
+        mods.add(name)
+        for dep in _module_imports(name):
+            add_module(dep)
+
+    def visit(f) -> None:
+        code = getattr(f, "__code__", None)
+        if code is None or id(f) in seen_fns:
+            return
+        seen_fns.add(id(f))
+        g = getattr(f, "__globals__", {})
+        own_mod = getattr(f, "__module__", None)
+        for name in sorted(_code_names(code)):
+            if name == _PKG or name.startswith(_PKG + "."):
+                add_module(name)
+            obj = g.get(name)
+            if obj is None:
+                continue
+            if isinstance(obj, types.ModuleType):
+                if obj.__name__ == _PKG or obj.__name__.startswith(_PKG + "."):
+                    add_module(obj.__name__)
+                continue
+            omod = getattr(obj, "__module__", None)
+            if isinstance(omod, str) and (
+                omod == _PKG or omod.startswith(_PKG + ".")
+            ):
+                add_module(omod)
+            elif omod == own_mod and callable(obj) and not isinstance(obj, type):
+                try:
+                    helper_srcs.setdefault(name, inspect.getsource(obj))
+                except (OSError, TypeError):
+                    pass
+                visit(obj)
+        # closures over entry-module functions (bench_sections' inner
+        # defs close over nothing today, but a factory-made slot would)
+        for cell in getattr(f, "__closure__", None) or ():
+            try:
+                cv = cell.cell_contents
+            except ValueError:
+                continue
+            cvmod = (
+                cv.__name__
+                if isinstance(cv, types.ModuleType)
+                else getattr(cv, "__module__", None)
+            )
+            if isinstance(cvmod, str) and (
+                cvmod == _PKG or cvmod.startswith(_PKG + ".")
+            ):
+                add_module(cvmod)
+            elif callable(cv) and cvmod == own_mod:
+                visit(cv)
+
+    visit(fn)
+    return sorted(mods), [helper_srcs[k] for k in sorted(helper_srcs)]
+
+
+def lib_hash(fn) -> str:
+    """`_libsrc` stamp: sha1 over the slot's transitive package module
+    file hashes + its entry-module helper sources (module docstring,
+    'Transitive staleness')."""
+    mods, helpers = lib_closure(fn)
+    h = hashlib.sha1()
+    for m in mods:
+        path = _pkg_module_file(m)
+        h.update(m.encode())
+        h.update(_file_hash(path).encode() if path else b"?")
+    for src in helpers:
+        h.update(src.encode())
+    return h.hexdigest()[:12]
+
 
 # Headline set: every distinct operator family, weighted toward the ones
 # whose plans differ (window vs groupBy vs join vs union-window).
@@ -144,6 +345,20 @@ def main() -> None:
         except (OSError, ValueError):
             all_floors = {}
     src_hashes: dict[str, str] = all_floors.setdefault("_src", {})
+    lib_hashes: dict[str, str] = all_floors.setdefault("_libsrc", {})
+    # harness stamp: a changed between-slot discipline makes EVERY
+    # recorded floor incomparable (module docstring, 'Harness
+    # staleness') — pop them all and re-baseline this run
+    hstamp = hashlib.sha1(
+        (HARNESS_EPOCH + inspect.getsource(entrymod.bench_reset)).encode()
+    ).hexdigest()[:12]
+    prev_h = all_floors.get("_harness")
+    if prev_h is not None and prev_h != hstamp:
+        print("# harness discipline changed — ALL floors re-baselined",
+              file=sys.stderr)
+        for key in [k for k in all_floors if not k.startswith("_")]:
+            all_floors[key] = {}
+    all_floors["_harness"] = hstamp
     floors = all_floors.setdefault(sf_key, {})
 
     def _src_hash(fn) -> str:
@@ -156,16 +371,26 @@ def main() -> None:
     def rebaseline_if_changed(name: str, fn) -> None:
         # first stamp keeps the existing floor (assume the definition is
         # the one that recorded it); only a DIFFERENT recorded hash
-        # proves the slot changed under its floor
+        # proves the slot changed under its floor. Two stamps per slot:
+        # the entry-callable source (`_src`, r9) and the transitive
+        # library closure (`_libsrc`, r11) — either changing means the
+        # floor gates code that no longer exists.
         h = _src_hash(fn)
-        prev = src_hashes.get(name)
-        if prev is not None and prev != h:
-            print(f"# {name}: source changed, floor re-baselined",
-                  file=sys.stderr)
+        lh = lib_hash(fn)
+        prev, lprev = src_hashes.get(name), lib_hashes.get(name)
+        why = (
+            "source changed" if prev is not None and prev != h
+            else "library closure changed"
+            if lprev is not None and lprev != lh
+            else None
+        )
+        if why is not None:
+            print(f"# {name}: {why}, floor re-baselined", file=sys.stderr)
             for key, sect in all_floors.items():
-                if key != "_src" and isinstance(sect, dict):
+                if not key.startswith("_") and isinstance(sect, dict):
                     sect.pop(name, None)
         src_hashes[name] = h
+        lib_hashes[name] = lh
 
     def timed(fn) -> tuple[float, int]:
         t0 = time.time()
@@ -219,7 +444,19 @@ def main() -> None:
     }
     # fixed per-drain streaming setup cost, measured on a 1-row stream
     # through the identical drain machinery — subtract it mentally from
-    # any streaming slot to get the operator's steady-state share
+    # any streaming slot to get the operator's steady-state share.
+    # Floor-tracked like every section (VERDICT r10 what's-wrong #2:
+    # untracked, the per-drain fixed cost could regress silently) with
+    # the same noise guard; the stamp hashes _tiny_drain's source (its
+    # lib closure includes streaming/ingest via the closure cell).
+    rebaseline_if_changed("streaming_drain_startup", _tiny_drain)
+    dfloor = floors.get("streaming_drain_startup")
+    extra_d = 0
+    while dfloor is not None and drain_startup > 1.5 * dfloor and extra_d < 2:
+        drain_startup = min(drain_startup, _tiny_drain())
+        extra_d += 1
+    if dfloor is None or drain_startup < dfloor:
+        floors["streaming_drain_startup"] = round(drain_startup, 3)
     sections["streaming_drain_startup"] = drain_startup
 
     try:

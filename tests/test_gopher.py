@@ -291,3 +291,59 @@ def test_bpeish_kernel_equals_expression(spark):
         "doc_id", "n_tokens_bpeish"
     ).join(docs.select("doc_id", token_count_bpeish("text").alias("e")), "doc_id")
     assert both.where(F.col("n_tokens_bpeish") != F.col("e")).count() == 0
+
+
+def test_bpeish_kernel_equals_expression_casemap_sweep(spark):
+    """ADVICE r10: the kernel's `str.lower()` must match the JVM's
+    `lower()` — but the two runtimes' Unicode tables can diverge by
+    Unicode version for codepoints OUTSIDE a fixed fixture list. Sweep
+    the case-mapping-affected ranges (where lower() actually rewrites
+    characters) so a JRE/CPython Unicode-version split in THIS
+    environment fails loudly instead of drifting silently: Latin-1
+    Supplement/Extended-A/B, Greek, Cyrillic, Armenian, Georgian
+    (incl. Mtavruli, Unicode 11), Cherokee (lowercase added in
+    Unicode 8), Latin Extended Additional, Deseret, plus the known
+    full-case-mapping expansions (İ, ẞ, ﬁ, ǅ) and final-sigma
+    context. Each row packs a range slice into one doc with spacing
+    so run-structure differences are visible in the count."""
+    from time_series_loader_spark.operators.text import (
+        _bpeish_counts_batch,
+        token_count_bpeish,
+    )
+
+    ranges = [
+        (0x00C0, 0x024F),   # Latin-1 Supplement .. Latin Extended-B
+        (0x0370, 0x03FF),   # Greek and Coptic
+        (0x0400, 0x052F),   # Cyrillic + Supplement
+        (0x0530, 0x058F),   # Armenian
+        (0x10A0, 0x10FF),   # Georgian (Asomtavruli)
+        (0x1C90, 0x1CBF),   # Georgian Mtavruli (Unicode 11)
+        (0x13A0, 0x13FF),   # Cherokee (lowercase since Unicode 8)
+        (0xAB70, 0xABBF),   # Cherokee Supplement
+        (0x1E00, 0x1EFF),   # Latin Extended Additional
+        (0x2C60, 0x2C7F),   # Latin Extended-C
+        (0xA720, 0xA7FF),   # Latin Extended-D
+        (0x0531, 0x0556),   # Armenian uppercase block (again, spaced)
+        (0x10400, 0x1044F),  # Deseret (astral-plane case pairs)
+    ]
+    docs, i = [], 0
+    for lo, hi in ranges:
+        chars = [chr(c) for c in range(lo, hi + 1)]
+        # one packed doc (adjacent runs) and one space-separated doc
+        # (every char its own run) per range — the two layouts disagree
+        # if ANY codepoint's lowercase form differs between runtimes
+        docs.append((i, "".join(chars))); i += 1
+        docs.append((i, " ".join(chars))); i += 1
+    specials = ["İstanbul", "STRAẞE", "ﬁne ﬂag", "ǅungla ǱǲǳǄ",
+                "ΟΔΥΣΣΕΥΣ", "ΣΙΣΥΦΟΣ ςσΣ"]
+    for s in specials:
+        docs.append((i, s)); i += 1
+    kern = {d: c for (d, t), c in zip(docs, _bpeish_counts_batch([t for _, t in docs]))}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    expr = {r["doc_id"]: r["e"] for r in
+            df.select("doc_id", token_count_bpeish("text").alias("e")).collect()}
+    mismatches = {d: (kern[d], expr[d]) for d in kern if kern[d] != expr[d]}
+    assert not mismatches, (
+        "JVM lower() vs CPython str.lower() count divergence "
+        f"(JRE/CPython Unicode-version split?): {mismatches}"
+    )

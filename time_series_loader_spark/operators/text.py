@@ -55,10 +55,17 @@ def token_count_bpeish(text: Column | str) -> Column:
     measured as the single most expensive expression in the one-pass
     profile (6.6 s of 19 s at the 500k-doc probe; possessive
     quantifiers and regexp_count change nothing, the scan itself is
-    the cost). `text_profile` therefore computes the IDENTICAL count
-    inside its Arrow kernel via vectorized codepoint classes
+    the cost). `text_profile` therefore computes the VALUE-identical
+    count inside its Arrow kernel via vectorized codepoint classes
     (:func:`_bpeish_count`, equality test-pinned incl. non-ASCII);
-    this expression stays the public single-column form."""
+    this expression stays the public single-column form. Type caveat
+    (ADVICE r10): this expression returns ``F.size``'s IntegerType,
+    while the profile's ``n_tokens_bpeish`` column is LongType — an
+    int→bigint schema change introduced when the count moved into the
+    kernel (r10); profile consumers reading the old int type should
+    note it where the profile schema is documented (it is, at the
+    schema StructField below). VALUES are equal; the test sweeps
+    case-mapping-affected codepoint ranges, not just fixtures."""
     c = F.col(text) if isinstance(text, str) else text
     pieces = F.regexp_extract_all(
         F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
@@ -74,7 +81,20 @@ def _bpeish_count(s: str | None) -> int | None:
     Java-regex alternation at corpus scale. `str.lower()` and Java
     `lower()` both apply Unicode default full case mappings (the İ→i̇
     expansion included), and every non-[a-z0-9] char lands in the
-    same 'other' class either way."""
+    same 'other' class either way.
+
+    Environment assumption (ADVICE r10): "both apply the default full
+    case mapping" is only bit-identical when the JRE's and CPython's
+    Unicode data tables agree for the codepoints present — the tables
+    track different Unicode versions across releases (e.g. Cherokee
+    gained lowercase forms in Unicode 8.0, Georgian Mtavruli in 11.0).
+    The claim is therefore ENVIRONMENT-dependent, not universal; the
+    equality test (`test_bpeish_kernel_equals_expression`) sweeps the
+    case-mapping-affected ranges (Latin-1/Extended, Greek, Cyrillic,
+    Armenian, Georgian, Cherokee, Latin-Ext-Additional, special
+    expansions İ/ẞ/ﬁ) in the RUNNING environment rather than trusting
+    a fixed fixture list, so a JRE/CPython Unicode-version split
+    surfaces as a test failure, not silent count drift."""
     import numpy as np
 
     if s is None:
