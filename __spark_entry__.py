@@ -1300,31 +1300,69 @@ WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (16 hashes, 4 bands, est ≥ 0.5),
-    each pair labeled with its duplicate CLUSTER (connected component of
-    the pair graph, label = min doc_id reachable — `operators/graph.py`
-    min-label propagation; the oracle rebuilds the identical labels with
-    a recursive transitive closure). id_a and id_b share a component by
-    construction, so one cluster column is well-defined per pair."""
+    """Composite near-dup slot, two sections (r11 — VERDICT r10
+    directive #2 packaged the engine's own prescribed 100 TB near-dup
+    path):
+
+    - ``lsh``: MinHash-LSH near-dup candidates (16 hashes, 4 bands,
+      est ≥ 0.5), each pair labeled with its duplicate CLUSTER
+      (connected component of the pair graph, label = min doc_id
+      reachable — `operators/graph.py` min-label propagation; the
+      oracle rebuilds the identical labels with a recursive transitive
+      closure). id_a and id_b share a component by construction, so
+      one cluster column is well-defined per pair. Sentinels
+      n_common=-1, jaccard=-1.
+    - ``verified``: `operators/dedup.py::near_dup_pairs` — the SAME
+      band-colliding candidate set exact-verified: TRUE n-gram Jaccard
+      (array_intersect on the candidate docs' shingle arrays, semi-join
+      pushdown so only candidate docs re-shingle) with threshold 0.5 on
+      the EXACT score. Sentinel cluster=-1. This is the composition
+      SCALING.md r10 prescribes for dense corpora where exact Jaccard
+      is candidate-bound (12.6× at 100×) but LSH scales (3.3×).
+
+    The candidate frame is materialized ONCE (executor-local,
+    output-sized) and consumed by the est-filter, the component
+    iteration, AND the verification — without the checkpoint each
+    would re-run the whole LSH pipeline."""
     _prep(spark)
-    from time_series_loader_spark.operators.dedup import minhash_lsh_pairs
+    from time_series_loader_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_pairs,
+    )
     from time_series_loader_spark.operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    # pair set materialized ONCE (executor-local; pair sets are
-    # output-sized, the clustering working set either way): both the
-    # component iteration and the final labeling join consume it, and
-    # without the checkpoint each would re-run the whole LSH pipeline
-    pairs = minhash_lsh_pairs(
-        docs, "text", "doc_id", n=3, num_hashes=16, bands=4, threshold=0.5,
-        min_parallelism=spark.sparkContext.defaultParallelism,
+    par = spark.sparkContext.defaultParallelism
+    cand = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=4, threshold=0.0,
+        min_parallelism=par,
     ).localCheckpoint(eager=True)
+    pairs = cand.where(F.col("est_jaccard") >= 0.5)
     comp = connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias("id_a"), F.col("component").alias("cluster")
     )
-    return pairs.join(comp, "id_a").select(
-        "id_a", "id_b", _r6(F.col("est_jaccard"), "est_jaccard"), "cluster"
+    lsh = pairs.join(comp, "id_a").select(
+        F.lit("lsh").alias("section"),
+        "id_a",
+        "id_b",
+        _r6(F.col("est_jaccard"), "est_jaccard"),
+        "cluster",
+        F.lit(-1).cast("long").alias("n_common"),
+        F.lit(-1.0).alias("jaccard"),
     )
+    ver = near_dup_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=4, threshold=0.5,
+        min_parallelism=par, candidates=cand,
+    ).select(
+        F.lit("verified").alias("section"),
+        "id_a",
+        "id_b",
+        _r6(F.col("est_jaccard"), "est_jaccard"),
+        F.lit(-1).cast("long").alias("cluster"),
+        "n_common",
+        _r6(F.col("jaccard"), "jaccard"),
+    )
+    return lsh.unionByName(ver)
 
 
 def _sql_minhash_parts(num_hashes: int) -> tuple[str, str]:
@@ -1378,13 +1416,13 @@ cand AS (
   FROM banded a JOIN banded b USING (band_id, band_key)
   WHERE a.doc_id < b.doc_id
 ),
-pairs AS (
+scored AS (
   SELECT id_a, id_b, CAST({eqs} AS DOUBLE) / {num_hashes} AS est
   FROM cand
   JOIN sig sa ON sa.doc_id = id_a
   JOIN sig sb ON sb.doc_id = id_b
-  WHERE CAST({eqs} AS DOUBLE) / {num_hashes} >= 0.5
 ),
+pairs AS (SELECT * FROM scored WHERE est >= 0.5),
 sym AS (SELECT id_a AS u, id_b AS v FROM pairs
         UNION SELECT id_b, id_a FROM pairs),
 reach(node, r) AS (
@@ -1392,11 +1430,40 @@ reach(node, r) AS (
   UNION
   SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node
 ),
-comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
-SELECT p.id_a, p.id_b,
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+-- verified section (r11): exact Jaccard on the LSH candidate set,
+-- replaying operators/dedup.py::near_dup_pairs — shingle-set
+-- intersection counts on candidate docs only, threshold on the
+-- EXACT score
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT s.id_a, s.id_b, s.est, count(*) AS n_common
+  FROM scored s
+  JOIN sh a ON a.doc_id = s.id_a
+  JOIN sh b ON b.doc_id = s.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2, 3
+),
+verified AS (
+  SELECT c.id_a, c.id_b, c.est, c.n_common,
+         CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) AS jac
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) >= 0.5
+)
+SELECT 'lsh' AS section, p.id_a, p.id_b,
        floor((p.est)*1000000 + 0.5)/1000000 AS est_jaccard,
-       c.component AS cluster
+       c.component AS cluster,
+       CAST(-1 AS BIGINT) AS n_common,
+       CAST(-1.0 AS DOUBLE) AS jaccard
 FROM pairs p JOIN comp c ON c.node = p.id_a
+UNION ALL
+SELECT 'verified' AS section, v.id_a, v.id_b,
+       floor((v.est)*1000000 + 0.5)/1000000 AS est_jaccard,
+       CAST(-1 AS BIGINT) AS cluster,
+       v.n_common,
+       floor((v.jac)*1000000 + 0.5)/1000000 AS jaccard
+FROM verified v
 """
 
 
@@ -1969,8 +2036,14 @@ def bench_reset(spark: SparkSession) -> None:
     (heavy_hitters / incremental-dedup internals) that every run
     rebuilds, so unpersisting them is safe. Driver-value memos
     (`_CORPUS_LM`, `_MIX_TOTAL`, `_BENCH_NGRAMS`) hold no executor
-    state and stay. SQL-cached frames (`_LNU_CACHE`) re-cache lazily
-    on next use."""
+    state and stay. The pinned-ln memo (`_LNU_CACHE`) must be evicted
+    too (ADVICE r10): its key (applicationId) is stable for the whole
+    session, so after `clearCache()` deregisters the plan a surviving
+    memo entry would serve an UNcached frame for every later slot —
+    popping it makes the next `ln_u_df` call re-read and re-`cache()`."""
+    from time_series_loader_spark.operators.ln_pinned import _LNU_CACHE
+
+    _LNU_CACHE.clear()
     for key in list(_DEDUP_STORES):
         _evict_store(key)
     for key in list(_DSIR_FIT):
@@ -5148,6 +5221,19 @@ def bench_sections() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             num_hashes=16, bands=4, threshold=0.5, min_parallelism=par,
         )
 
+    def verified_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the lsh/verified composition standalone (near_dup_pairs builds
+        # and checkpoints its own candidate set here — the composite slot
+        # shares one across sections)
+        _prep(spark)
+        from time_series_loader_spark.operators.dedup import near_dup_pairs
+
+        return near_dup_pairs(
+            _t(spark, sf_dir, "documents"), "text", "doc_id", n=3,
+            num_hashes=16, bands=4, threshold=0.5,
+            min_parallelism=spark.sparkContext.defaultParallelism,
+        )
+
     def winnowed_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prep(spark)
         from time_series_loader_spark.operators.spans import (
@@ -5164,6 +5250,7 @@ def bench_sections() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental/exact": exact_only,
         "dedup_incremental/incr": incr_only,
         "dedup_incremental/winnowed": winnowed_only,
+        "minhash_lsh/verified": verified_only,
         # r8 composite slots: the nontrivially-expensive sections stay
         # individually floor-gated via their standalone builders (the
         # trivial splits — tpch_q5_q6, resample_hourly, gaps_report,

@@ -189,3 +189,81 @@ def test_simhash_blocking_is_exact_for_small_hamming(spark, docs):
     assert {(r["id_a"], r["id_b"]) for r in brute} == {
         (r["id_a"], r["id_b"]) for r in blocked
     }
+
+
+def test_near_dup_pairs_returns_exact_scores_on_lsh_candidates(spark, docs):
+    """The packaged LSH-prefilter → exact-verify composition (r11):
+    every reported pair must carry the TRUE n-gram Jaccard — equal to
+    what the exact all-candidates algorithm computes for that pair —
+    and must be an LSH band candidate."""
+    from time_series_loader_spark.operators.dedup import near_dup_pairs
+
+    ver = near_dup_pairs(docs, "text", "doc_id", n=3, threshold=0.3).collect()
+    exact = {
+        (r["id_a"], r["id_b"]): (r["n_common"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.0, max_df=None
+        ).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.0
+        ).collect()
+    }
+    assert ver, "expected near-dups in the fixture corpus"
+    for r in ver:
+        key = (r["id_a"], r["id_b"])
+        assert key in cand, f"{key} reported but not an LSH candidate"
+        assert exact[key] == (r["n_common"], round(r["jaccard"], 9))
+        assert r["jaccard"] >= 0.3
+    # completeness w.r.t. the candidate set: every candidate whose exact
+    # score clears the threshold is reported
+    expected = {k for k in cand if k in exact and exact[k][1] >= 0.3}
+    assert {(r["id_a"], r["id_b"]) for r in ver} == expected
+    # the exact-dup pair scores 1.0 exactly
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ver}
+    assert by_pair[(1, 4)] == 1.0
+
+
+def test_near_dup_pairs_verify_false_degrades_to_lsh(spark, docs):
+    from time_series_loader_spark.operators.dedup import near_dup_pairs
+
+    key = lambda r: (r["id_a"], r["id_b"], r["est_jaccard"])
+    got = sorted(
+        map(key, near_dup_pairs(docs, "text", "doc_id", verify=False).collect())
+    )
+    want = sorted(
+        map(key, minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect())
+    )
+    assert got == want
+
+
+def test_near_dup_pairs_candidate_passthrough(spark, docs):
+    """Passing a precomputed (materialized) candidate frame must give
+    the identical result as letting the operator build its own."""
+    from time_series_loader_spark.operators.dedup import near_dup_pairs
+
+    cand = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.0
+    ).localCheckpoint(eager=True)
+    key = lambda r: (
+        r["id_a"], r["id_b"], r["est_jaccard"], r["n_common"],
+        round(r["jaccard"], 9),
+    )
+    own = sorted(map(key, near_dup_pairs(docs, "text", "doc_id").collect()))
+    given = sorted(
+        map(key, near_dup_pairs(docs, "text", "doc_id", candidates=cand).collect())
+    )
+    assert own == given
+
+
+def test_near_dup_pairs_candidate_threshold_prunes_verification(spark, docs):
+    """candidate_threshold trades recall for fewer verifications: with
+    the bar at 1.0 only exact-signature collisions survive to verify."""
+    from time_series_loader_spark.operators.dedup import near_dup_pairs
+
+    strict = near_dup_pairs(
+        docs, "text", "doc_id", threshold=0.3, candidate_threshold=1.0
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in strict} == {(1, 4)}

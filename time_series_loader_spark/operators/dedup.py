@@ -523,6 +523,107 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    candidate_threshold: float = 0.0,
+    verify: bool = True,
+    min_parallelism: int | None = None,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """The packaged 100 TB near-dup path (VERDICT r10 directive #2):
+    MinHash-LSH as the approximate PREFILTER, exact n-gram Jaccard as
+    the VERIFIER, computed only on LSH candidates.
+
+    SCALING.md's r10 measurement showed both exact forms
+    (:func:`ngram_jaccard_pairs`, :func:`ngram_jaccard_pairs_prefix`)
+    are inherently candidate-bound on dense corpora (12.6× wall at the
+    100× probe — every doc pair sharing ≥1 shingle must be scored),
+    while LSH's band join scales at ~3.3× — but returns ESTIMATED
+    Jaccard. This composition returns TRUE Jaccard at LSH cost:
+
+    1. candidates = band-colliding pairs with ``est_jaccard ≥
+       candidate_threshold`` (default 0.0 — banding alone prunes; a
+       higher value trades recall for fewer verifications);
+    2. only documents APPEARING in a candidate pair are re-shingled
+       (semi-join pushdown — at realistic dup rates that is a small
+       fraction of the corpus, so verification cost tracks the
+       candidate set, not corpus size);
+    3. exact |A∩B| via ``array_intersect`` on the two shingle arrays;
+       pairs below ``threshold`` (on the EXACT score) are dropped.
+
+    Returns (id_a, id_b, est_jaccard, n_common, jaccard), id_a < id_b.
+    Recall contract: identical to LSH recall — a true near-dup pair
+    colliding in no band is missed (tune bands/num_hashes); every pair
+    REPORTED carries its exact score, so precision is 1.0 w.r.t. the
+    threshold. ``verify=False`` degrades to :func:`minhash_lsh_pairs`
+    (``threshold`` applies to the estimate; the exact-score columns are
+    absent).
+
+    Candidate pairs are ``localCheckpoint``-materialized (output-sized
+    — the same contract as `incremental_dedup`'s hit set): the id
+    semi-join and the verification join both consume them, and without
+    the checkpoint each consumer would re-run the whole LSH pipeline.
+    The candidate docs' shingle arrays are NOT materialized — the
+    kernel runs once per verification side (twice total) over the
+    candidate-doc subset, which stays cheaper than pinning a
+    corpus-shaped frame to executor disk (the no-corpus-sized-cache
+    house rule; SCALING.md 'Global posture').
+
+    ``candidates``: optionally reuse an ALREADY-MATERIALIZED candidate
+    frame ((id_a, id_b, est_jaccard) — normally a checkpointed
+    :func:`minhash_lsh_pairs` result the caller also consumes for
+    another purpose, e.g. the gate slot's clustering section);
+    ``candidate_threshold`` is then the caller's responsibility.
+    """
+    if not verify:
+        return minhash_lsh_pairs(
+            df, text_col, id_col, n, num_hashes, bands, threshold,
+            min_parallelism,
+        )
+    cand = (
+        candidates
+        if candidates is not None
+        else minhash_lsh_pairs(
+            df, text_col, id_col, n, num_hashes, bands,
+            threshold=candidate_threshold, min_parallelism=min_parallelism,
+        ).localCheckpoint(eager=True)
+    )
+    ids = (
+        cand.select(F.col("id_a").alias("_vid"))
+        .union(cand.select("id_b"))
+        .distinct()
+    )
+    needed = df.join(ids, F.col(id_col) == F.col("_vid"), "left_semi")
+    arrays = shingle_arrays(needed, text_col, id_col, n, min_parallelism)
+    va = arrays.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_arr").alias("_aa"),
+        F.col("_sz").alias("sz_a"),
+    )
+    vb = arrays.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_arr").alias("_ab"),
+        F.col("_sz").alias("sz_b"),
+    )
+    # BIGINT n_common to match the exact paths (driver hashing is
+    # type-sensitive — the DuckDB HUGEINT lesson)
+    n_common = F.size(F.array_intersect("_aa", "_ab")).cast("long")
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", "est_jaccard", n_common.alias("n_common"), "sz_a", "sz_b")
+        .select("id_a", "id_b", "est_jaccard", "n_common", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str,

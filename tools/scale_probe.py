@@ -116,7 +116,9 @@ def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     spark = get_spark("tsl-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    # bench sections are probe-able too (r11: the lsh/verified
+    # composition is a section of the minhash_lsh composite)
+    qs = {**entrymod.queries(), **entrymod.bench_sections()}
     for factor in factors:
         out_dir = f"/tmp/tsl_scale_{factor}x"
         marker = os.path.join(out_dir, "_SYNTH_DONE")
