@@ -261,6 +261,51 @@ def test_pinned_vs_engine_ln_within_one_micro(spark, sf_dir):
     assert bad == 0
 
 
+def test_unigram_pinned_vs_engine_ln_band_and_deciles(spark, sf_dir):
+    """VERDICT r10 directive #5 (band half): the CCNet-partition's two
+    ln paths must agree within the documented band. Per-term logp_u —
+    pinned: ln_u(ct+1) − ln_u(N+V) (two roundings); engine:
+    round(ln((ct+1)/(N+V))·1e6) (one rounding) — may differ by ≤1
+    µunit, so per-doc |Δcontrib_u| ≤ n_tokens. Decile assignment
+    (quantile_bucket on mean_logprob) must not flip on the gate corpora
+    (the sampling boundary-margin canary asserts scores sit far from
+    decile boundaries). The 10× open-scale band is recorded by
+    tools/lnu_probe.py in SCALING.md; this pins the invariant the probe
+    relies on at the oracle-gated scales."""
+    from time_series_loader_spark.operators.sampling import quantile_bucket
+    from time_series_loader_spark.operators.text import unigram_logprob
+
+    sdf = read_table(spark, sf_dir, "documents")
+
+    def scored(pinned: bool):
+        lp = unigram_logprob(
+            sdf, "text", "doc_id", k=1.0, pinned_ln=pinned, integer_outputs=True
+        ).select(
+            "doc_id",
+            "contrib_u",
+            "n_tokens",
+            (F.col("contrib_u").cast("double") / 1e6 / F.col("n_tokens")).alias(
+                "mean_logprob"
+            ),
+        )
+        return quantile_bucket(lp, "mean_logprob", 10, out_col="d")
+
+    p = scored(True).select(
+        "doc_id", F.col("contrib_u").alias("cu_p"), F.col("d").alias("d_p"),
+        "n_tokens",
+    )
+    e = scored(False).select(
+        "doc_id", F.col("contrib_u").alias("cu_e"), F.col("d").alias("d_e")
+    )
+    j = p.join(e, "doc_id")
+    out_of_band = j.where(
+        F.abs(F.col("cu_p") - F.col("cu_e")) > F.col("n_tokens")
+    ).count()
+    assert out_of_band == 0
+    flips = j.where(F.col("d_p") != F.col("d_e")).count()
+    assert flips == 0
+
+
 def test_unigram_pinned_requires_add1(spark, sf_dir):
     from time_series_loader_spark.operators.text import unigram_logprob
 
