@@ -55,6 +55,17 @@ floors when the between-slot discipline changes, so a harness change
 re-baselines loudly instead of leaving a scatter of unreachable
 floors. Bump HARNESS_EPOCH whenever measure()'s semantics change in a
 way that affects recorded numbers.
+
+Reproducible floors (round 11): a floor that ratchets on the MIN over
+all history converges to the luckiest run the slot ever had — for
+sub-second slots whose absolute jitter (±0.15 s on this box) exceeds
+33% of their wall, that tail value is unreachable in expectation and
+the 1.5x gate misfires forever after (the profile saga above: 0.281
+achieved once mid-r10, never again). The REPORTED number stays the
+best observed (these are throughput measurements), but the FLOOR now
+updates only to values the slot achieved in BOTH steady runs of one
+session (`max(run1, run2)`): a floor is a reproducible claim, not a
+record. Noise-guard re-runs feed the report, never the floor.
 """
 
 from __future__ import annotations
@@ -75,7 +86,7 @@ import __spark_entry__ as entrymod
 from time_series_loader_spark.session import get_spark
 
 # bump when the measurement discipline changes (see module docstring)
-HARNESS_EPOCH = "r11-reset-evicts-ln-cache"
+HARNESS_EPOCH = "r11-reproducible-floors"
 
 _PKG = "time_series_loader_spark"
 _PKG_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), _PKG)
@@ -328,7 +339,10 @@ def main() -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
     _tiny_drain()  # absorbs one-time streaming JIT/classload
-    drain_startup = _tiny_drain()  # steady per-drain fixed cost
+    # two steady drains: report the best, floor the reproducible
+    # (max) — same rule as measure()
+    drain_runs = [_tiny_drain(), _tiny_drain()]
+    drain_startup = min(drain_runs)
 
     # floors are keyed by scale factor — a floor recorded at sf0.01 must
     # never gate an sf0.1 run (or vice versa). "_src" stamps each slot
@@ -409,7 +423,12 @@ def main() -> None:
         getattr(entrymod, "bench_reset", lambda s: None)(spark)
         rebaseline_if_changed(name, fn)
         _, n = timed(fn)
-        best = min(timed(fn)[0] for _ in range(2))
+        runs = [timed(fn)[0] for _ in range(2)]
+        best = min(runs)
+        # the floor candidate is the value BOTH steady runs achieved —
+        # reproducible-floor rule (module docstring): floors gate, so
+        # they must be reachable in expectation, not all-time records
+        reproducible = max(runs)
         # outlier guard: a best still >1.5x the recorded floor is far more
         # likely background-load noise than a real regression — re-measure
         # before reporting it; a >2.5x excursion gets a doubled budget
@@ -424,8 +443,8 @@ def main() -> None:
             extra += 1
         flag = " [re-ran %d]" % extra if extra else ""
         print(f"# {name}: {best:.3f}s ({n} rows){flag}", file=sys.stderr)
-        if floor is None or best < floor:
-            floors[name] = round(best, 3)
+        if floor is None or reproducible < floor:
+            floors[name] = round(reproducible, 3)
         return round(best, 3)
 
     qs = entrymod.queries()
@@ -455,8 +474,9 @@ def main() -> None:
     while dfloor is not None and drain_startup > 1.5 * dfloor and extra_d < 2:
         drain_startup = min(drain_startup, _tiny_drain())
         extra_d += 1
-    if dfloor is None or drain_startup < dfloor:
-        floors["streaming_drain_startup"] = round(drain_startup, 3)
+    drain_repro = max(drain_runs)
+    if dfloor is None or drain_repro < dfloor:
+        floors["streaming_drain_startup"] = round(drain_repro, 3)
     sections["streaming_drain_startup"] = drain_startup
 
     try:
