@@ -267,3 +267,18 @@ def test_near_dup_pairs_candidate_threshold_prunes_verification(spark, docs):
         docs, "text", "doc_id", threshold=0.3, candidate_threshold=1.0
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in strict} == {(1, 4)}
+
+
+def test_near_dup_pairs_keep_representatives_composition(spark, docs):
+    """End-to-end verified dedup: near_dup_pairs → keep_representatives
+    keeps exactly one doc per exact-Jaccard cluster (min id) and leaves
+    unpaired docs untouched — the 100 TB dedup ACTION on verified
+    scores."""
+    from time_series_loader_spark.operators.dedup import near_dup_pairs
+    from time_series_loader_spark.operators.graph import keep_representatives
+
+    pairs = near_dup_pairs(docs, "text", "doc_id", n=3, threshold=0.3)
+    kept = {r["doc_id"] for r in keep_representatives(docs, pairs, "doc_id").collect()}
+    # fixture: {1,2,4} cluster (1 exact-dups 4, 1 near-dups 2 at J>=0.3)
+    # → keep 1; docs 3 and 5 are in no pair → kept
+    assert kept == {1, 3, 5}

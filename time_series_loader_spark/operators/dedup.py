@@ -580,6 +580,11 @@ def near_dup_pairs(
     :func:`minhash_lsh_pairs` result the caller also consumes for
     another purpose, e.g. the gate slot's clustering section);
     ``candidate_threshold`` is then the caller's responsibility.
+
+    The dedup ACTION composes directly (verified-score clusters):
+    ``graph.keep_representatives(df, near_dup_pairs(df, tc, ic), ic)``
+    keeps one representative (min id) per EXACT-Jaccard cluster —
+    pinned by ``test_near_dup_pairs_keep_representatives_composition``.
     """
     if not verify:
         return minhash_lsh_pairs(

@@ -42,6 +42,70 @@ def salted_join(
     return out.drop("_salt")
 
 
+def salted_join_hot(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    hot_keys: Sequence | None = None,
+    n_salts: int = 8,
+    how: str = "inner",
+    detect_k: int = 100,
+) -> DataFrame:
+    """PARTIAL salting — the production skew-join pattern: salt ONLY the
+    hot keys, so the build side replicates only its hot rows ×n_salts
+    instead of wholesale (:func:`salted_join` replicates everything,
+    which at a 10⁹-row build is n_salts× the shuffle for keys that were
+    never skewed).
+
+    ``hot_keys``: the keys to salt. When None they are DETECTED with
+    the Misra-Gries heavy-hitter sketch (`sketches.heavy_hitters`,
+    ``k=detect_k`` — every key owning > 1/detect_k of the probe rows),
+    which finds them WITHOUT shuffling the distinct-key set: at 100 TB
+    the detection pass is a map-side sketch merge, and the hot list is
+    by construction ≤ detect_k entries — driver-safe, folded into the
+    plan as literals. Pass an explicit list when the hot set is known
+    (e.g. from yesterday's run) to skip the detection action.
+
+    Plan shape (ONE join, no union-of-joins split): probe rows with a
+    hot key get ``salt = xxhash64(row) % n_salts``, cold rows salt 0;
+    build rows with a hot key replicate over all salts, cold build rows
+    carry salt 0. Cold traffic is byte-for-byte the plain shuffle join;
+    hot traffic spreads over n_salts reducers. Equivalent rows out.
+
+    Use over AQE skew-split when a single monster key exceeds what
+    partition-splitting can rebalance (a split partition still re-merges
+    for a following aggregation) and over full :func:`salted_join` when
+    the build side is large. SCALING.md r11 has the measured 3-way
+    comparison.
+    """
+    if hot_keys is None:
+        from time_series_loader_spark.operators.sketches import heavy_hitters
+
+        hot_keys = [
+            r[on]
+            for r in heavy_hitters(probe, on, k=detect_k).collect()
+            if r[on] is not None
+        ]
+    hot_keys = list(hot_keys)
+    if not hot_keys:
+        return probe.join(build, on, how)
+    is_hot = F.col(on).isin(hot_keys)
+    p = probe.withColumn(
+        "_salt",
+        F.when(is_hot, F.pmod(F.xxhash64(*probe.columns), F.lit(n_salts)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    b_hot = build.where(is_hot).withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    b_cold = build.where(~is_hot | F.col(on).isNull()).withColumn(
+        "_salt", F.lit(0)
+    )
+    out = p.join(b_hot.unionByName(b_cold), [on, "_salt"], how)
+    return out.drop("_salt")
+
+
 def top_k(
     df: DataFrame,
     group_cols: Sequence[str],

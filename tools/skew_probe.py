@@ -18,6 +18,11 @@ Three physical strategies over the identical logical join:
             probe side hashes onto 32 subkeys, the dimension replicates
             ×32; works on ANY Spark (no AQE required) and also covers
             aggregations-after-join where AQE's split can re-merge.
+  partial — operators/relational.py::salted_join_hot (r11): Misra-Gries
+            detects the hot key(s) (detection cost INSIDE the timed
+            region), only those salt, only the hot dimension rows
+            replicate — the production pattern when the build side is
+            too large to replicate wholesale.
 
 All three must return the same row count (asserted). Timed at
 1×/10×/100× of a 1M-row base, scale_probe.py discipline.
@@ -36,7 +41,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from time_series_loader_spark.operators.relational import salted_join
+from time_series_loader_spark.operators.relational import (
+    salted_join,
+    salted_join_hot,
+)
 from time_series_loader_spark.session import get_spark
 
 BASE_ROWS = 1_000_000
@@ -70,6 +78,10 @@ def run(spark, out_dir: str, mode: str) -> tuple[float, int]:
     dim = spark.read.parquet(os.path.join(out_dir, "dim.parquet"))
     if mode == "salted":
         joined = salted_join(facts, dim, on="k", n_salts=32)
+    elif mode == "partial":
+        # r11: salt ONLY the detected hot key(s) — Misra-Gries detection
+        # included in the timed region (it is part of the strategy's cost)
+        joined = salted_join_hot(facts, dim, on="k", n_salts=32, detect_k=8)
     else:
         joined = facts.join(dim, "k")
     # an agg that forces every joined row through the reducer
@@ -95,7 +107,7 @@ def main() -> None:
                     file=sys.stderr,
                 )
             counts = {}
-            for mode in ("plain", "aqe", "salted"):
+            for mode in ("plain", "aqe", "salted", "partial"):
                 run(spark, out_dir, mode)  # discarded warm-up
                 best, n = None, None
                 for _ in range(2):
