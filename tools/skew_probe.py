@@ -48,7 +48,11 @@ from time_series_loader_spark.operators.relational import (
 from time_series_loader_spark.session import get_spark
 
 BASE_ROWS = 1_000_000
-N_KEYS = 1_000
+# r11: dimension cardinality is env-tunable — the 1,001-key default
+# makes full salting's build replication nearly free and understates
+# the partial form's structural advantage; SPARK_GRAFT_SKEW_KEYS=1000000
+# is the large-dimension variant recorded in SCALING.md r11.
+N_KEYS = int(os.environ.get("SPARK_GRAFT_SKEW_KEYS", "1000"))
 
 
 def synth(spark, factor: int, out_dir: str) -> None:
@@ -96,7 +100,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         for factor in factors:
-            out_dir = f"/tmp/tsl_skew_{factor}x"
+            out_dir = f"/tmp/tsl_skew_{factor}x_k{N_KEYS}" if N_KEYS != 1000 else f"/tmp/tsl_skew_{factor}x"
             marker = os.path.join(out_dir, "_SYNTH_DONE")
             if not os.path.exists(marker):
                 t0 = time.time()
