@@ -128,3 +128,22 @@ def test_salted_join_hot_replicates_only_hot_build_rows(spark):
     # correctness of multiplicity: each probe row exactly once
     rows = out.collect()
     assert sorted((r["payload"], r["name"]) for r in rows) == [(1, "hot"), (2, "cold")]
+
+
+def test_salted_joins_reject_build_preserving_how(spark):
+    """r11 guard: the build side is replicated per salt, so right/full
+    joins would emit n_salts copies of unmatched build rows — both
+    salted forms must refuse loudly instead of silently corrupting
+    multiplicity."""
+    from time_series_loader_spark.operators.relational import salted_join_hot
+
+    probe = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    build = spark.createDataFrame([(1, "d"), (2, "unmatched")], "k INT, name STRING")
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError):
+            salted_join(probe, build, "k", 4, how=how)
+        with pytest.raises(ValueError):
+            salted_join_hot(probe, build, "k", hot_keys=[1], how=how)
+    # probe-preserving spellings still accepted
+    assert salted_join(probe, build, "k", 4, how="left_semi").count() == 1
+    assert salted_join_hot(probe, build, "k", hot_keys=[1], how="leftanti").count() == 0

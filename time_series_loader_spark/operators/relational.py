@@ -18,6 +18,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_PROBE_PRESERVING = {
+    "inner", "cross", "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+}
+
+
+def _check_probe_preserving(how: str) -> None:
+    if how.lower().replace(" ", "") not in _PROBE_PRESERVING:
+        raise ValueError(
+            f"salted joins replicate the build side; how={how!r} would "
+            "emit one row per salt for unmatched build rows — use a "
+            "probe-preserving join type or salt the other side"
+        )
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,
@@ -32,7 +47,14 @@ def salted_join(
 
     Use when the probe side has a dominant hot key and the build side is
     too big to broadcast but small enough to replicate ×n_salts.
+
+    ``how`` is restricted to probe-preserving joins (inner / left /
+    left_semi / left_anti / cross): the build side is REPLICATED, so a
+    right/full join would emit ``n_salts`` copies of every unmatched
+    build row — wrong multiplicity by construction (r11 guard; salt the
+    other side instead).
     """
+    _check_probe_preserving(how)
     salt = F.pmod(F.xxhash64(*probe.columns), F.lit(n_salts))
     p = probe.withColumn("_salt", salt)
     b = build.withColumn(
@@ -76,8 +98,10 @@ def salted_join_hot(
     partition-splitting can rebalance (a split partition still re-merges
     for a following aggregation) and over full :func:`salted_join` when
     the build side is large. SCALING.md r11 has the measured 3-way
-    comparison.
+    comparison. ``how`` restricted to probe-preserving joins — see
+    :func:`salted_join`.
     """
+    _check_probe_preserving(how)
     if hot_keys is None:
         from time_series_loader_spark.operators.sketches import heavy_hitters
 
