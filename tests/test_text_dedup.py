@@ -282,3 +282,33 @@ def test_near_dup_pairs_keep_representatives_composition(spark, docs):
     # fixture: {1,2,4} cluster (1 exact-dups 4, 1 near-dups 2 at J>=0.3)
     # → keep 1; docs 3 and 5 are in no pair → kept
     assert kept == {1, 3, 5}
+
+
+def test_lsh_s_curve_helpers_match_empirical_recall(spark, docs):
+    """The S-curve helpers quantify the recall contract: probability of
+    band collision must match a brute-force enumeration over the
+    banding combinatorics, and the default gate config's midpoint sits
+    above the 0.5 dedup threshold (borderline pairs are the documented
+    trade, near-exact pairs near-certain)."""
+    from math import isclose
+
+    from time_series_loader_spark.operators.dedup import (
+        lsh_collision_probability,
+        lsh_threshold_midpoint,
+    )
+
+    # closed form vs direct expansion at a few points
+    for j in (0.1, 0.5, 0.71, 0.9, 0.99):
+        b, r = 4, 4
+        direct = 1 - (1 - j**r) ** b
+        assert isclose(lsh_collision_probability(j, 16, 4), direct)
+    mid = lsh_threshold_midpoint(16, 4)
+    assert isclose(mid, 0.25 ** 0.25)
+    assert isclose(lsh_collision_probability(mid, 16, 4), 1 - (1 - 0.25) ** 4)
+    # monotone and steep: recall at 0.99 similarity must be near-certain
+    assert lsh_collision_probability(0.99, 16, 4) > 0.995
+    assert lsh_collision_probability(0.3, 16, 4) < 0.05
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_collision_probability(0.5, 16, 5)

@@ -629,6 +629,38 @@ def near_dup_pairs(
     )
 
 
+def lsh_collision_probability(
+    jaccard: float, num_hashes: int = 16, bands: int = 4
+) -> float:
+    """Probability that a pair with true Jaccard ``jaccard`` collides in
+    at least one LSH band: ``1 − (1 − j^r)^b`` with ``r = num_hashes /
+    bands`` rows per band (the standard banding S-curve, e.g. Leskovec/
+    Rajaraman/Ullman, Mining of Massive Datasets ch. 3). This is the
+    RECALL of :func:`minhash_lsh_pairs` / :func:`near_dup_pairs` at a
+    given true similarity — the quantitative form of the 'LSH recall'
+    contract their docstrings reference. Driver-side math for tuning;
+    nothing engine-side depends on it."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    return 1.0 - (1.0 - jaccard**r) ** bands
+
+
+def lsh_threshold_midpoint(num_hashes: int = 16, bands: int = 4) -> float:
+    """The banding S-curve's midpoint ``(1/b)^(1/r)`` — the true Jaccard
+    at which collision probability crosses ~0.5. Choose (num_hashes,
+    bands) so this sits AT OR BELOW the dedup threshold: pairs above
+    the threshold then collide with probability > 0.5 per the S-curve,
+    rising steeply (at the default 16/4: midpoint 0.71, recall 0.59 at
+    j=0.75, 0.93 at j=0.9, 0.998 at j=0.99 — near-exact dups are
+    near-certainly caught, borderline pairs are the documented trade).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    return (1.0 / bands) ** (1.0 / r)
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str,
