@@ -344,6 +344,27 @@ def main() -> None:
     drain_runs = [_tiny_drain(), _tiny_drain()]
     drain_startup = min(drain_runs)
 
+    # Environment calibration (r11): a fixed CPU-bound reference job
+    # measured per run and RECORDED alongside the timings — never used
+    # to scale floors. Slot floors ratchet on reproducible minima, but
+    # the BOX itself drifts between regimes: the same commit measured
+    # 49.9 s headline at one hour and 66.3 s three hours later with a
+    # different arbitrary slot set breaching 1.5× each run. The
+    # calibration number converts a mystery breach into "the box ran
+    # N× slower than the run that set the floors" — reader-side
+    # normalization, mechanically honest, no gaming surface.
+    def _calib() -> float:
+        t0 = time.time()
+        # bit_xor, not sum: summing 150M xxhash64 values overflows
+        # BIGINT under ANSI mode
+        spark.range(0, 150_000_000, 1, 32).select(
+            F.expr("bit_xor(xxhash64(id))").alias("s")
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    _calib()  # discarded warm-up, same discipline as every slot
+    calibration = min(_calib() for _ in range(2))
+
     # floors are keyed by scale factor — a floor recorded at sf0.01 must
     # never gate an sf0.1 run (or vice versa). "_src" stamps each slot
     # with a hash of its callable's source; a changed slot definition
@@ -479,6 +500,20 @@ def main() -> None:
         floors["streaming_drain_startup"] = round(drain_repro, 3)
     sections["streaming_drain_startup"] = drain_startup
 
+    # best calibration ever seen rides the floors file so any run can
+    # report how much slower ITS box regime was than the floor-setting
+    # ones (read the ratio before judging breaches)
+    calib_rec: dict[str, float] = all_floors.setdefault("_calibration", {})
+    best_calib = calib_rec.get(sf_key)
+    if best_calib is None or calibration < best_calib:
+        calib_rec[sf_key] = calibration
+        best_calib = calibration
+    print(
+        f"# calibration: {calibration:.3f}s (best recorded {best_calib:.3f}s"
+        f" — this box regime is {calibration / best_calib:.2f}x)",
+        file=sys.stderr,
+    )
+
     try:
         all_floors[sf_key] = dict(sorted(floors.items()))
         with open(floors_path, "w") as fh:
@@ -495,6 +530,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sections": sections,
+                "calibration_sec": calibration,
+                "calibration_best_sec": best_calib,
                 "sf": sf,
             }
         )
