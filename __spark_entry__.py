@@ -1467,6 +1467,64 @@ FROM verified v
 """
 
 
+def _sql_verified_drop_cte(num_hashes: int = 16, bands: int = 4) -> str:
+    """CTE block (splice after a trailing comma in a WITH RECURSIVE
+    list) computing ``vdrop(doc_id)``: the docs that
+    ``CorpusPipeline.dedup_near(verify=True)`` DROPS — LSH band
+    candidates over raw ``documents`` → exact shingle-Jaccard ≥ 0.5 →
+    transitive closure → every node that is not its cluster's min-id
+    representative. Replays `operators/dedup.py::near_dup_pairs` +
+    `operators/graph.py::keep_representatives`, the same construction
+    `_sql_minhash_lsh`'s verified section certifies pairwise."""
+    rows = num_hashes // bands
+    hm, mins = _sql_minhash_parts(num_hashes)
+    band_cases = " ".join(
+        "WHEN {} THEN md5({})".format(
+            b,
+            " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+vsh AS ({_SQL_SHINGLES}),
+vhx AS (SELECT doc_id, {hm} AS hm FROM vsh),
+vsig AS (SELECT doc_id, {mins} FROM vhx GROUP BY doc_id),
+vbanded AS (
+  SELECT doc_id, band_id, CASE band_id {band_cases} END AS band_key
+  FROM vsig, (SELECT UNNEST(range({bands})) AS band_id)
+),
+vcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM vbanded a JOIN vbanded b USING (band_id, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+vsizes AS (SELECT doc_id, count(*) AS sz FROM vsh GROUP BY doc_id),
+vcommon AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM vcand c
+  JOIN vsh a ON a.doc_id = c.id_a
+  JOIN vsh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+vverified AS (
+  SELECT c.id_a, c.id_b
+  FROM vcommon c
+  JOIN vsizes sa ON sa.doc_id = c.id_a
+  JOIN vsizes sb ON sb.doc_id = c.id_b
+  WHERE CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) >= 0.5
+),
+vsym AS (SELECT id_a AS u, id_b AS v FROM vverified
+         UNION SELECT id_b, id_a FROM vverified),
+vreach(node, r) AS (
+  SELECT u, u FROM vsym
+  UNION
+  SELECT s.v, vreach.r FROM vreach JOIN vsym s ON s.u = vreach.node
+),
+vdrop AS (
+  SELECT node AS doc_id FROM vreach GROUP BY node HAVING node <> min(r)
+)"""
+
+
 def _sql_simhash() -> str:
     sums = ",\n    ".join(
         f"SUM(CASE WHEN strpos('0123456789abcdef', substr(h, {d}, 1)) - 1 >= 8 "
@@ -2087,7 +2145,14 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (email + phone + IPv4, doc_id-derived; skipped when doc_id % 5 == 0)
     are grafted onto the text before the pipeline — the oracle rebuilds
     the same graft, so a scrubber that misses or over-matches a span
-    breaks both n_pii and every downstream hash."""
+    breaks both n_pii and every downstream hash.
+
+    r12 (VERDICT r11 directive #2): ``near_rep`` column — 1 iff the doc
+    survives the BUILDER's verified near-dup stage
+    (``CorpusPipeline.dedup_near(verify=True)`` → `near_dup_pairs` →
+    `keep_representatives`), certifying that a user of the builder API
+    gets the exact-Jaccard-thresholded path SCALING.md prescribes, not
+    the estimate."""
     _prep(spark)
     from time_series_loader_spark.operators.text import (
         _langid_named,
@@ -2136,6 +2201,24 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpora already arrive partitioned and skip this.
     if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # r12 (VERDICT r11 directive #2): the builder's near-dup stage,
+    # verify=True — CorpusPipeline.dedup_near → near_dup_pairs (LSH
+    # band candidates, exact n-gram Jaccard ≥ 0.5 on candidate docs
+    # only) → keep_representatives (transitive closure, min-id rep).
+    # Exercised here over the RAW documents (the same corpus the
+    # minhash_lsh slot's oracle machinery replays) and surfaced as the
+    # near_rep flag: 1 iff the doc survives the verified near-dup
+    # keep-representatives action. A flag instead of a row filter so
+    # the slot's existing exact-dedup/quality/LM lineage — and its
+    # oracle — stays byte-identical.
+    from time_series_loader_spark.plans.corpus import CorpusPipeline
+
+    near_kept = (
+        CorpusPipeline(docs.select("doc_id", "text"), "doc_id", "text")
+        .dedup_near(n=3, num_hashes=16, bands=4, threshold=0.5, verify=True)
+        .df()
+        .select("doc_id", F.lit(1).cast("int").alias("near_rep"))
+    )
     # r7 (VERDICT directive #7): normalize() is the pipeline's FIRST
     # stage (the CorpusPipeline.normalize() composition), oracle-
     # certified by grafting unicode hazards onto every 3rd doc — a
@@ -2317,6 +2400,12 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rep.n_contam").alias("n_contam"),
             F.col("rep.ppl_decile").alias("ppl_decile"),
         )
+        # near_kept is corpus-CARDINALITY but two narrow columns (id +
+        # flag): at gate scale AQE broadcasts it; at cluster scale this
+        # is an id-only shuffle against the post-filter representative
+        # set — never a text-bearing exchange
+        .join(near_kept, "doc_id", "left")
+        .withColumn("near_rep", F.coalesce("near_rep", F.lit(0)).cast("int"))
     )
 
 
@@ -2342,7 +2431,7 @@ def _sql_corpus_filter() -> str:
     pats = dict(PII_PATTERNS)
     email, ipv4, phone = pats["EMAIL"], pats["IPV4"], pats["PHONE"]
     return f"""
-WITH grafted0 AS (
+WITH RECURSIVE grafted0 AS (
   SELECT doc_id,
          text || CASE WHEN doc_id % 5 = 0 THEN '' ELSE
            ' reach user' || doc_id || '@example.com or +123 456 789'
@@ -2437,10 +2526,15 @@ uni2 AS (SELECT doc_id,
          FROM tf2 JOIN lp2 USING (term) GROUP BY 1),
 bnd AS (SELECT quantile_cont(mean_logprob,
                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b
-        FROM uni2)
+        FROM uni2),
+-- r12: the builder's verified near-dup stage (CorpusPipeline.dedup_near
+-- verify=True) as the near_rep flag — vdrop = non-representative
+-- cluster members under EXACT-Jaccard ≥ 0.5 on LSH band candidates
+{_sql_verified_drop_cte()}
 SELECT s.doc_id, l.lang_pred, s.n_tokens,
        floor((s.quality_score)*1000000 + 0.5)/1000000 AS quality_score,
        r.n_dups, c.n_pii, coalesce(ct.n_contam, 0) AS n_contam,
+       CAST(CASE WHEN vd.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS near_rep,
        (CAST(u.mean_logprob > bnd.b[1] AS INT) + CAST(u.mean_logprob > bnd.b[2] AS INT) + CAST(u.mean_logprob > bnd.b[3] AS INT) + CAST(u.mean_logprob > bnd.b[4] AS INT) + CAST(u.mean_logprob > bnd.b[5] AS INT) + CAST(u.mean_logprob > bnd.b[6] AS INT) + CAST(u.mean_logprob > bnd.b[7] AS INT) + CAST(u.mean_logprob > bnd.b[8] AS INT) + CAST(u.mean_logprob > bnd.b[9] AS INT)) AS ppl_decile
 FROM scored s
 JOIN lang l ON l.doc_id = s.doc_id
@@ -2448,6 +2542,7 @@ JOIN reps r ON r.doc_id = s.doc_id
 JOIN clean c ON c.doc_id = s.doc_id
 JOIN uni2 u ON u.doc_id = s.doc_id
 LEFT JOIN contam ct ON ct.doc_id = s.doc_id
+LEFT JOIN vdrop vd ON vd.doc_id = s.doc_id
 CROSS JOIN bnd
 WHERE l.lang_pred = 'en' AND s.quality_score >= 0.45
   AND coalesce(ct.n_contam, 0) = 0

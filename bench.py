@@ -522,19 +522,71 @@ def main() -> None:
         pass
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # Full record (sections, calibration, 3-decimal timings) goes to a
+    # FILE artifact: the driver captures only the last TAIL_BUDGET chars
+    # of stdout, and r11's single fat line outgrew that window, cutting
+    # the headline `value` off the record (VERDICT r11 what's-wrong #1 /
+    # next-round #1). Sections stay recoverable here and in git history.
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sections": sections,
+        "calibration_sec": calibration,
+        "calibration_best_sec": best_calib,
+        "sf": sf,
+    }
+    report_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_report.json"
+    )
+    try:
+        with open(report_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    print(f"# full record (sections/calibration): {report_path}", file=sys.stderr)
+    # The ONE stdout JSON line is the COMPACT headline: value + per-query
+    # at 2 decimals. It must fit the driver's tail window with margin —
+    # compact_headline_line() is unit-tested against TAIL_BUDGET.
+    print(compact_headline_line(total, timings, sf))
+
+
+# last-N-chars stdout window the driver records (measured: BENCH_r11
+# "tail" is exactly 2000 chars); the final line budgets well under it
+TAIL_BUDGET = 2000
+_LINE_MARGIN = 300
+
+
+def compact_headline_line(total: float, timings: dict[str, float], sf: float) -> str:
+    """The single machine-readable stdout line: headline total + per-query
+    seconds at 2 decimals. Drops sections/calibration (file artifact) and
+    degrades rounding 2dp→1dp if a grown query set would ever push the
+    line past TAIL_BUDGET - margin, so the driver's tail capture can never
+    again truncate the headline value."""
+    for nd in (2, 1):
+        line = json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
+                "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "sections": sections,
-                "calibration_sec": calibration,
-                "calibration_best_sec": best_calib,
+                "queries": {k: round(v, nd) for k, v in timings.items()},
                 "sf": sf,
             }
         )
+        if len(line) <= TAIL_BUDGET - _LINE_MARGIN:
+            return line
+    # still too long (≫50 queries): keep the headline parseable by
+    # shedding the per-query detail — the file artifact has it all
+    return json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {},
+            "queries_in_file": "bench_report.json",
+            "sf": sf,
+        }
     )
 
 

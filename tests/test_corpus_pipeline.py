@@ -85,7 +85,7 @@ def test_full_chain_end_to_end(spark, corpus, tmp_path):
         "gopher_rules",
         "lang in ['en']",
         "dedup_exact",
-        "dedup_near(j>=0.8)",
+        "dedup_near(exact_j>=0.8)",
     ]
 
     # pack and write: shards land, manifest is consistent
@@ -95,6 +95,57 @@ def test_full_chain_end_to_end(spark, corpus, tmp_path):
     assert all(r["n_files"] == 1 for r in rows)
     files = list(pathlib.Path(tmp_path / "shards").rglob("*.parquet"))
     assert len(files) == len(rows)
+
+
+def test_dedup_near_verified_is_the_default_and_matches_operator(spark, corpus):
+    """VERDICT r11 directive #2: the builder's dedup_near must exercise
+    the VERIFIED path (near_dup_pairs, exact-Jaccard threshold) by
+    default, not the minhash ESTIMATE — and its keep-set must equal the
+    operator composition it documents."""
+    from time_series_loader_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_pairs,
+    )
+    from time_series_loader_spark.operators.graph import keep_representatives
+
+    kept_default = sorted(
+        r["doc_id"]
+        for r in CorpusPipeline(corpus, "doc_id", "text")
+        .dedup_near(threshold=0.8)
+        .df()
+        .select("doc_id")
+        .collect()
+    )
+    pairs = near_dup_pairs(corpus, "text", "doc_id", threshold=0.8)
+    kept_op = sorted(
+        r["doc_id"]
+        for r in keep_representatives(corpus, pairs, "doc_id")
+        .select("doc_id")
+        .collect()
+    )
+    assert kept_default == kept_op
+
+    # verify=False degrades to the estimate-thresholded form, tagged so
+    p = CorpusPipeline(corpus, "doc_id", "text").dedup_near(
+        threshold=0.8, verify=False
+    )
+    kept_est = sorted(r["doc_id"] for r in p.df().select("doc_id").collect())
+    est_pairs = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.8)
+    kept_est_op = sorted(
+        r["doc_id"]
+        for r in keep_representatives(corpus, est_pairs, "doc_id")
+        .select("doc_id")
+        .collect()
+    )
+    assert kept_est == kept_est_op
+    assert p.steps_applied == ["dedup_near(est_j>=0.8)"]
+
+    # the two forms threshold DIFFERENT scores: on this corpus the
+    # 16-hash estimate is ±0.0625-granular, so the keep-sets may differ;
+    # both must keep the global min id and all never-paired docs
+    assert 0 in kept_default and 0 in kept_est
+    for kept in (kept_default, kept_est):
+        assert 12 in kept and 13 in kept  # junk docs pair with nothing
 
 
 def test_decontaminate_drops_hits(spark, corpus):

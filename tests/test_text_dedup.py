@@ -312,3 +312,17 @@ def test_lsh_s_curve_helpers_match_empirical_recall(spark, docs):
 
     with _pytest.raises(ValueError):
         lsh_collision_probability(0.5, 16, 5)
+
+    # the docstring's quoted figures must agree with the formula they
+    # describe (ADVICE r11: the original quotes contradicted it)
+    doc = lsh_threshold_midpoint.__doc__
+    assert "0.78" in doc and isclose(
+        lsh_collision_probability(0.75, 16, 4), 0.78, abs_tol=0.005
+    )
+    assert "0.986" in doc and isclose(
+        lsh_collision_probability(0.9, 16, 4), 0.986, abs_tol=0.001
+    )
+    # midpoint collision probability is 1-(1-1/b)^b ≈ 0.68 (NOT 0.5)
+    assert "0.68" in doc and isclose(
+        lsh_collision_probability(mid, 16, 4), 0.6836, abs_tol=0.001
+    )

@@ -647,13 +647,17 @@ def lsh_collision_probability(
 
 
 def lsh_threshold_midpoint(num_hashes: int = 16, bands: int = 4) -> float:
-    """The banding S-curve's midpoint ``(1/b)^(1/r)`` — the true Jaccard
-    at which collision probability crosses ~0.5. Choose (num_hashes,
-    bands) so this sits AT OR BELOW the dedup threshold: pairs above
-    the threshold then collide with probability > 0.5 per the S-curve,
-    rising steeply (at the default 16/4: midpoint 0.71, recall 0.59 at
-    j=0.75, 0.93 at j=0.9, 0.998 at j=0.99 — near-exact dups are
-    near-certainly caught, borderline pairs are the documented trade).
+    """The banding S-curve's characteristic point ``(1/b)^(1/r)`` — the
+    true Jaccard where each band collides with probability exactly
+    ``1/b``, i.e. where the curve is STEEPEST, not where it crosses 0.5
+    (collision probability there is ``1 − (1 − 1/b)^b`` ≈ 0.68 for
+    b=4, → 1−1/e ≈ 0.63 as b grows). Choose (num_hashes, bands) so
+    this sits AT OR BELOW the dedup threshold: pairs above the
+    threshold then collide with probability ≥ ~0.68, rising steeply
+    (at the default 16/4: midpoint 0.71, recall per
+    :func:`lsh_collision_probability` = 0.78 at j=0.75, 0.986 at
+    j=0.9, 0.999998 at j=0.99 — near-exact dups are near-certainly
+    caught, borderline pairs are the documented trade).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
