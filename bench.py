@@ -364,6 +364,12 @@ def main() -> None:
 
     _calib()  # discarded warm-up, same discipline as every slot
     calibration = min(_calib() for _ in range(2))
+    # r12: contention is BURSTY — one run this round measured 1.02×
+    # calibration at the start while mid-run slots ran 3.8× their
+    # floors (external load arrived after the sample), and the next
+    # run's start-sample read 4.65×. A single start-of-run sample
+    # cannot adjudicate that; a second sample at END of run (see below)
+    # bounds the regime the slots actually ran under.
 
     # floors are keyed by scale factor — a floor recorded at sf0.01 must
     # never gate an sf0.1 run (or vice versa). "_src" stamps each slot
@@ -503,14 +509,16 @@ def main() -> None:
     # best calibration ever seen rides the floors file so any run can
     # report how much slower ITS box regime was than the floor-setting
     # ones (read the ratio before judging breaches)
+    calib_end = min(_calib() for _ in range(2))  # end-of-run sample
     calib_rec: dict[str, float] = all_floors.setdefault("_calibration", {})
     best_calib = calib_rec.get(sf_key)
-    if best_calib is None or calibration < best_calib:
-        calib_rec[sf_key] = calibration
-        best_calib = calibration
+    if best_calib is None or min(calibration, calib_end) < best_calib:
+        calib_rec[sf_key] = min(calibration, calib_end)
+        best_calib = calib_rec[sf_key]
     print(
-        f"# calibration: {calibration:.3f}s (best recorded {best_calib:.3f}s"
-        f" — this box regime is {calibration / best_calib:.2f}x)",
+        f"# calibration: start {calibration:.3f}s / end {calib_end:.3f}s "
+        f"(best recorded {best_calib:.3f}s — box regime "
+        f"{calibration / best_calib:.2f}x→{calib_end / best_calib:.2f}x)",
         file=sys.stderr,
     )
 
@@ -534,6 +542,7 @@ def main() -> None:
         "queries": timings,
         "sections": sections,
         "calibration_sec": calibration,
+        "calibration_end_sec": calib_end,
         "calibration_best_sec": best_calib,
         "sf": sf,
     }

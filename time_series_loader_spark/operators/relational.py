@@ -94,12 +94,21 @@ def salted_join_hot(
     carry salt 0. Cold traffic is byte-for-byte the plain shuffle join;
     hot traffic spreads over n_salts reducers. Equivalent rows out.
 
-    Use over AQE skew-split when a single monster key exceeds what
-    partition-splitting can rebalance (a split partition still re-merges
-    for a following aggregation) and over full :func:`salted_join` when
-    the build side is large. SCALING.md r11 has the measured 3-way
-    comparison. ``how`` restricted to probe-preserving joins — see
-    :func:`salted_join`.
+    When to reach for this (measured, SCALING.md r12 production-posture
+    probe — AQE + broadcast ON): ONLY when BOTH hold — (1) the build
+    side cannot broadcast at any threshold you can afford (memory, not
+    the 10 MB default, is the real limit), and (2) a probe key owns
+    enough of the table that one reducer staggers. If the build side
+    broadcasts, do NOTHING: a broadcast hash join has no shuffle, so
+    there is no hot reducer to fix — plain-under-AQE ran 100M skewed
+    facts in 0.66 s while this operator cost 8.4 s (its MG detection
+    scan) and FULL salting cost 31 s (the ×n_salts-replicated build is
+    what AQE then joins — 50× worse than doing nothing). In the
+    no-broadcast regime this operator holds its win: 6.1 s vs plain
+    21.8 s / AQE skew-split 19.4 s at 100M facts (3.5×), 1.7× over
+    full :func:`salted_join` — AQE's split also re-merges for a
+    following aggregation, which salting's key rewrite avoids. ``how``
+    restricted to probe-preserving joins — see :func:`salted_join`.
     """
     _check_probe_preserving(how)
     if hot_keys is None:

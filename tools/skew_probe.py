@@ -72,12 +72,21 @@ def synth(spark, factor: int, out_dir: str) -> None:
     dim.write.mode("overwrite").parquet(os.path.join(out_dir, "dim.parquet"))
 
 
-def run(spark, out_dir: str, mode: str) -> tuple[float, int]:
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set(
-        "spark.sql.adaptive.skewJoin.enabled",
-        "true" if mode == "aqe" else "false",
-    )
+def run(spark, out_dir: str, mode: str, prod: bool = False) -> tuple[float, int]:
+    """``prod=True`` (r12, VERDICT r11 directive #6) measures under the
+    PRODUCTION posture — autoBroadcastJoinThreshold at the 10MB default
+    and AQE skew-split ON for every strategy — so the bare-rig salting
+    wins can be checked against what AQE would do anyway when it is
+    free to elect broadcast or split the hot partition at runtime."""
+    if prod:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    else:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled",
+            "true" if mode == "aqe" else "false",
+        )
     facts = spark.read.parquet(os.path.join(out_dir, "facts.parquet"))
     dim = spark.read.parquet(os.path.join(out_dir, "dim.parquet"))
     if mode == "salted":
@@ -119,6 +128,17 @@ def main() -> None:
                     best = el if best is None else min(best, el)
                 counts[mode] = n
                 print(f"skewjoin_{mode:7s} {factor:>4}x  {best:6.2f}s  ({n} rows)")
+            assert len(set(counts.values())) == 1, counts
+            # production posture (r12): broadcast + AQE skew-split free
+            # to act on the SAME rig — does partial salting still win?
+            for mode in ("plain", "salted", "partial"):
+                run(spark, out_dir, mode, prod=True)  # warm-up
+                best, n = None, None
+                for _ in range(2):
+                    el, n = run(spark, out_dir, mode, prod=True)
+                    best = el if best is None else min(best, el)
+                counts[f"prod_{mode}"] = n
+                print(f"skewjoin_{mode:7s} {factor:>4}x  {best:6.2f}s  ({n} rows)  [prod: AQE+bcast ON]")
             assert len(set(counts.values())) == 1, counts
     finally:
         # restore session defaults for any later user of this JVM
