@@ -5340,6 +5340,27 @@ def bench_sections() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=20, w=8, min_docs=2, minimizer_hash="md5",
         )
 
+    def bpe_train_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # r12 net-new capability: DISTRIBUTED BPE merge learning
+        # (functions/bpe.py::train_bpe_merges — bit-identical to the
+        # sequential trainer that built the frozen merges resource,
+        # pinned by test_bpe_train). Standalone bench section like
+        # streaming_drain_startup (no parent slot: the trainer is an
+        # offline fit, not a query — it cannot be SQL-oracled, so its
+        # certification is the differential test + the frozen-resource
+        # reproduction). 8 merges bounds the driver loop; per-merge
+        # cost is vocabulary-sized (tools/bpe_train_probe.py).
+        _prep(spark)
+        from time_series_loader_spark.functions.bpe import train_bpe_merges
+
+        merges = train_bpe_merges(
+            _t(spark, sf_dir, "documents"), "text", n_merges=8, min_count=2
+        )
+        return spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank INT, a STRING, b STRING",
+        )
+
     return {
         "dedup_incremental/spans": spans_only,
         "dedup_incremental/exact": exact_only,
@@ -5365,6 +5386,7 @@ def bench_sections() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_pack/zorder": q_zorder_key,
         "table_stats/profile": q_table_profile,
         "tfidf_top3/unigram_entropy": q_unigram_entropy,
+        "bpe_train": bpe_train_only,
     }
 
 

@@ -1,0 +1,84 @@
+"""Distributed BPE training (functions/bpe.py::train_bpe_merges) must be
+bit-identical to the sequential reference trainer
+(tools/gen_bpe_merges.py::train) — same pair counts, same
+deterministic tie-break, same stopping rule — because the learned
+merge table is a pinned resource contract: a trainer that disagrees in
+ANY rank produces a different tokenizer forever after.
+
+Also pins the JVM merge-application fold (`_merge_fold_expr`) against
+the Python `merge_fold` on the adversarial shapes (self-pairs,
+cascades, interleavings) where greedy-non-overlapping semantics can
+silently diverge."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.functions.bpe import (
+    _merge_fold_expr,
+    load_merges,
+    merge_fold,
+    train_bpe_merges,
+)
+from tools.gen_bpe_merges import train as seq_train
+
+CORPUS = [
+    "the cat sat on the mat the cat sat",
+    "a banana and a bandana in the cabana",
+    "zz zz zz zzz aaa aaa aa",
+    "x single letters y z stay put",
+]
+
+
+def _word_freq(rows):
+    return dict(Counter(w for t in rows for w in t.split(" ") if w))
+
+
+def test_distributed_trainer_equals_sequential_reference(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    dist = train_bpe_merges(df, "text", n_merges=24, min_count=2, checkpoint_every=3)
+    ref = seq_train(_word_freq(CORPUS), 24)
+    assert dist == ref
+    assert len(dist) > 5  # the corpus genuinely trains something
+
+
+def test_distributed_trainer_reproduces_frozen_resource_prefix(spark):
+    """The shipped resources/bpe_merges.parquet was built by the
+    sequential trainer on sf0.001; the distributed trainer must walk
+    the exact same rank order (prefix check — the full 89-merge
+    reproduction is the SCALING.md r12 record, run once standalone)."""
+    from time_series_loader_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    dist = train_bpe_merges(docs, "text", n_merges=12, min_count=2)
+    frozen = list(load_merges())
+    assert dist == frozen[:12]
+
+
+@pytest.mark.parametrize(
+    "seq,pair",
+    [
+        (["a", "a", "a"], ("a", "a")),  # odd self-run: non-overlap
+        (["a", "a", "a", "a"], ("a", "a")),  # even self-run
+        (["a", "b", "a", "b"], ("a", "b")),  # interleaved
+        (["a", "a", "b"], ("a", "b")),  # merge at tail after near-miss
+        (["b", "a", "b", "b"], ("b", "b")),  # pair appearing late
+        (["x"], ("a", "b")),  # single token untouched
+        (["aa", "a", "a"], ("a", "a")),  # token textually equal to a+b
+    ],
+)
+def test_jvm_fold_matches_python_merge_fold(spark, seq, pair):
+    df = spark.createDataFrame([(seq,)], "seq array<string>")
+    got = df.select(_merge_fold_expr(F.col("seq"), *pair).alias("m")).collect()[0]["m"]
+    assert list(got) == merge_fold(list(seq), *pair)
+
+
+def test_min_count_stopping_and_cap(spark):
+    # every word unique once -> all pair counts are 1 -> nothing merges
+    df = spark.createDataFrame([("abc def ghi",)], "text string")
+    assert train_bpe_merges(df, "text", n_merges=10, min_count=2) == []
+    # cap respected
+    df2 = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
+    out = train_bpe_merges(df2, "text", n_merges=2, min_count=2)
+    assert len(out) == 2 and out == seq_train(_word_freq(["aaaa aaaa aaaa"]), 2)

@@ -148,3 +148,135 @@ def bpe_token_counts(
     return df.join(counts, ids, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(0)).cast("long")
     )
+
+
+def _merge_fold_expr(seq, a: str, b: str):
+    """JVM expression form of :func:`merge_fold` — leftmost-first
+    non-overlapping merge of adjacent (a, b) into a+b, as a single
+    ``aggregate`` HOF over the token array (no Python hop).
+
+    Equivalence argument (pinned by test_bpe_train's differential):
+    merge_fold scans the ORIGINAL sequence left-to-right, merging
+    non-overlapping occurrences greedily; this fold appends each token
+    unless the accumulator's LAST element equals ``a`` and the incoming
+    token equals ``b``, in which case it replaces that last element
+    with ``a+b``. The two agree because a just-merged tail element is
+    ``a+b``, which can never equal ``a`` (``b`` is non-empty, BPE
+    tokens are non-empty strings), so a merge output can never be
+    consumed as the left side of another merge in the SAME pass —
+    exactly the non-overlap rule."""
+    return F.aggregate(
+        seq,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 128,
+    min_count: int = 2,
+    checkpoint_every: int = 4,
+) -> list[tuple[str, str]]:
+    """DISTRIBUTED BPE training (Sennrich et al. 2016) — learn the merge
+    table from a corpus, bit-identical to the sequential reference
+    trainer (`tools/gen_bpe_merges.py::train`, the one that built the
+    frozen ``resources/bpe_merges.parquet``): pair counts weighted by
+    word frequency, best pair = highest count with ties broken by
+    lexicographically smallest (a, b), stop when the best count drops
+    below ``min_count`` or after ``n_merges`` merges.
+
+    The existing trainer collects the whole word-frequency vocabulary
+    to the driver — fine for a gate corpus, impossible at 100 TB where
+    the Heaps-law vocabulary is itself a distributed table (10⁸+
+    distinct words). Here the vocabulary NEVER leaves the executors:
+
+    - one corpus-sized aggregation builds (word, freq, seq) — the only
+      pass over the corpus; everything after is vocabulary-sized;
+    - per merge: adjacent pairs via ``arrays_zip`` of shifted slices
+      (JVM), weighted groupBy-sum, and the argmax reduced to ONE driver
+      row via ``min(struct(-count, a, b))`` — the deterministic
+      tie-break as a struct ordering, no pair list ever collected;
+    - the winning merge is applied with :func:`_merge_fold_expr` — a
+      pure JVM fold, no Arrow hop — to only the words that CONTAIN the
+      pair (an ``exists`` filter; untouched words pass through);
+    - merges are inherently SEQUENTIAL (each changes the pair counts
+      the next one sees — same data dependence every BPE trainer has),
+      so the driver loop runs one vocabulary-sized Spark job per merge;
+      ``checkpoint_every`` bounds lineage growth by materializing the
+      (vocabulary-sized) state frame every k merges.
+
+    Returns the learned merge list in rank order. Driver-side memory is
+    O(n_merges) — the merge table itself, which is the artifact being
+    learned and is small by construction (32k entries for a production
+    tokenizer).
+
+    Scale shape: after the first pass, per-merge cost is vocabulary-
+    sized and embarrassingly parallel; the 100 TB corpus term appears
+    exactly once. For real tokenizer training (32k merges) the same
+    loop applies; production would persist the state frame to a table
+    every few hundred merges instead of localCheckpoint (same contract,
+    restartable).
+    """
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("seq", F.split(F.col("w"), ""))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    since_ckpt = 0
+    try:
+        for _ in range(n_merges):
+            zipped = F.arrays_zip(
+                F.slice("seq", 1, F.size("seq") - 1).alias("a"),
+                F.slice("seq", 2, F.size("seq") - 1).alias("b"),
+            )
+            best = (
+                vocab.where(F.size("seq") >= 2)
+                .select("freq", F.explode(zipped).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
+                .agg(F.min(F.struct((-F.col("cnt")).alias("negcnt"), "a", "b")).alias("m"))
+                .collect()[0]["m"]
+            )
+            if best is None or -best["negcnt"] < min_count:
+                break
+            a, b = best["a"], best["b"]
+            merges.append((a, b))
+            # size guard first: slice(seq, 2, size-1) underflows on
+            # single-char words (length -1) if evaluated, and `when`
+            # short-circuits per-row
+            has_pair = (F.size("seq") >= 2) & F.exists(
+                zipped, lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b))
+            )
+            vocab = vocab.withColumn(
+                "seq",
+                F.when(has_pair, _merge_fold_expr(F.col("seq"), a, b)).otherwise(
+                    F.col("seq")
+                ),
+            )
+            since_ckpt += 1
+            if since_ckpt >= checkpoint_every:
+                vocab = vocab.localCheckpoint(eager=True)
+                since_ckpt = 0
+    finally:
+        # the state frame is working memory, not a result — drop the
+        # final checkpoint's blocks (earlier ones are released when
+        # their DataFrame is superseded and GC'd)
+        try:
+            vocab.unpersist()
+        except Exception:
+            pass
+    return merges
