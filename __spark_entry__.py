@@ -2182,6 +2182,22 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             n=8,
         )
     bench = _BENCH_NGRAMS[bkey]
+    # r12: a SECOND, wider eval suite (every 100th doc) drives the
+    # surgical-decontamination column n_strip. It must differ from the
+    # drop suite: output rows all have n_contam == 0 by the gate filter,
+    # so n_strip against the SAME suite would be constantly zero and
+    # certify nothing; against the 100-stride suite a handful of clean
+    # docs carry real nonzero strip counts at every shipped SF.
+    bkey100 = (spark.sparkContext.applicationId, sf_dir, 100)
+    if bkey100 not in _BENCH_NGRAMS:
+        _BENCH_NGRAMS[bkey100] = ngram_set(
+            (
+                r["text"]
+                for r in docs.where(F.col("doc_id") % 100 == 0).select("text").collect()
+            ),
+            n=8,
+        )
+    bench100 = _BENCH_NGRAMS[bkey100]
     graft = F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
         F.concat(
             F.lit(" reach user"),
@@ -2367,19 +2383,28 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         if bnds
         else F.lit(0)
     )
+    # r12: surgical-decontamination column — how many token positions
+    # strip_contamination would remove against the 100-stride suite,
+    # margin=1 (exercises the both-edge clamp). The zero-join literal
+    # form keeps the one-scan shape; the cross-engine certification is
+    # the position arithmetic (windows → ±margin → clamp → distinct),
+    # the rebuild being test-pinned (test_strip_contamination).
+    from time_series_loader_spark.operators.decontam import strip_count_expr
+
     feat = decon.select(
         "doc_id",
         "n_pii",
         *_quality_exprs("text", toks=tk),
         _langid_named("text", toks=tk)["lang_pred"].alias("lang_pred"),
         "n_contam",
+        strip_count_expr(tk, bench100, n=8, margin=1).alias("n_strip"),
         ppl_decile.alias("ppl_decile"),
         F.md5(F.coalesce(F.col("text"), F.lit(" "))).alias("key_digest"),
     )
     rep = F.min(
         F.struct(
             "doc_id", "lang_pred", "n_tokens", "quality_score", "n_pii",
-            "n_contam", "ppl_decile",
+            "n_contam", "n_strip", "ppl_decile",
         )
     ).alias("rep")
     return (
@@ -2398,6 +2423,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dups",
             F.col("rep.n_pii").alias("n_pii"),
             F.col("rep.n_contam").alias("n_contam"),
+            F.col("rep.n_strip").alias("n_strip"),
             F.col("rep.ppl_decile").alias("ppl_decile"),
         )
         # near_kept is corpus-CARDINALITY but two narrow columns (id +
@@ -2494,6 +2520,29 @@ benchng AS (
   FROM (SELECT {_SQL_TOKENS} AS t FROM documents WHERE doc_id % 250 = 0),
        LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 6, 1))) AS i)
 ),
+-- r12 surgical-decontamination suite (100-stride) + the position
+-- arithmetic of strip_count_expr: windows -> ±1 margin -> clamp to the
+-- document -> count DISTINCT covered positions
+benchng100 AS (
+  SELECT DISTINCT array_to_string(t[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS ngram
+  FROM (SELECT {_SQL_TOKENS} AS t FROM documents WHERE doc_id % 100 = 0),
+       LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 6, 1))) AS i)
+),
+stripwin AS (
+  SELECT w.doc_id, w.i, w.n_tok
+  FROM (
+    SELECT doc_id, i, len(t) AS n_tok,
+           array_to_string(t[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS ngram
+    FROM tok, LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 6, 1))) AS i)
+  ) w JOIN benchng100 USING (ngram)
+),
+stripped AS (
+  SELECT doc_id, count(DISTINCT p) AS n_strip
+  FROM (SELECT doc_id,
+               UNNEST(range(greatest(i - 1, 1), least(i + 8, n_tok) + 1)) AS p
+        FROM stripwin)
+  GROUP BY doc_id
+),
 contam AS (
   SELECT doc_id, count(DISTINCT ngram) AS n_contam
   FROM (
@@ -2534,6 +2583,7 @@ bnd AS (SELECT quantile_cont(mean_logprob,
 SELECT s.doc_id, l.lang_pred, s.n_tokens,
        floor((s.quality_score)*1000000 + 0.5)/1000000 AS quality_score,
        r.n_dups, c.n_pii, coalesce(ct.n_contam, 0) AS n_contam,
+       CAST(coalesce(st.n_strip, 0) AS BIGINT) AS n_strip,
        CAST(CASE WHEN vd.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS near_rep,
        (CAST(u.mean_logprob > bnd.b[1] AS INT) + CAST(u.mean_logprob > bnd.b[2] AS INT) + CAST(u.mean_logprob > bnd.b[3] AS INT) + CAST(u.mean_logprob > bnd.b[4] AS INT) + CAST(u.mean_logprob > bnd.b[5] AS INT) + CAST(u.mean_logprob > bnd.b[6] AS INT) + CAST(u.mean_logprob > bnd.b[7] AS INT) + CAST(u.mean_logprob > bnd.b[8] AS INT) + CAST(u.mean_logprob > bnd.b[9] AS INT)) AS ppl_decile
 FROM scored s
@@ -2542,6 +2592,7 @@ JOIN reps r ON r.doc_id = s.doc_id
 JOIN clean c ON c.doc_id = s.doc_id
 JOIN uni2 u ON u.doc_id = s.doc_id
 LEFT JOIN contam ct ON ct.doc_id = s.doc_id
+LEFT JOIN stripped st ON st.doc_id = s.doc_id
 LEFT JOIN vdrop vd ON vd.doc_id = s.doc_id
 CROSS JOIN bnd
 WHERE l.lang_pred = 'en' AND s.quality_score >= 0.45

@@ -268,3 +268,24 @@ def test_chunk_step_and_pack_sequences_exclusive(spark, corpus):
     }
     last = max(per_bin)
     assert all(v == 64 for b, v in per_bin.items() if b != last)
+
+
+def test_decontaminate_strip_step(spark, corpus):
+    """The surgical form keeps every document; contaminated spans are
+    gone, clean docs byte-identical, and columns beyond text survive
+    the reattach join."""
+    p = CorpusPipeline(corpus, "doc_id", "text").decontaminate_strip([BENCH], n=8)
+    out = {r["doc_id"]: r["text"] for r in p.df().collect()}
+    # nothing dropped (contrast: .decontaminate() drops all GOOD docs)
+    assert sorted(out) == list(range(14))
+    # the benchmark 8-grams are gone from every doc
+    from time_series_loader_spark.operators.decontam import ngram_set
+
+    bench = set(ngram_set([BENCH], 8))
+    for t in out.values():
+        toks = t.lower().split()
+        grams = {" ".join(toks[i : i + 8]) for i in range(max(len(toks) - 7, 0))}
+        assert not (grams & bench)
+    # the numeric doc shares no 8-gram -> byte-identical
+    assert out[13] == "numbers 1 2 3 4 5 6 7 8 9 10 11 12"
+    assert p.steps_applied == ["decontam_strip(8-gram,±0)"]

@@ -1,0 +1,166 @@
+"""Surgical decontamination (decontam.py::strip_contamination): remove
+only the contaminated n-gram spans, keep the document. Differential
+against a transparent Python reference, plus the contract edges: byte-
+identical passthrough for clean docs, case preservation in rewrites,
+margin widening with left clamp, overlap union, full-strip to empty."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_loader_spark.operators.decontam import (
+    contaminated_positions,
+    ngram_set,
+    strip_contamination,
+)
+
+BENCH_TEXTS = ["the secret eval answer is forty two exactly so there"]
+N = 8
+BENCH = ngram_set(BENCH_TEXTS, N)
+
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _ref_strip(text: str, bench: set, n: int, margin: int) -> str:
+    raw = [t for t in _WS.split(text.strip()) if t]
+    low = [t.lower() for t in raw]
+    bad: set[int] = set()
+    for i in range(len(low) - n + 1):
+        if " ".join(low[i : i + n]) in bench:
+            bad.update(range(max(0, i - margin), i + n + margin))
+    if not bad:
+        return text  # passthrough contract: untouched docs byte-identical
+    return " ".join(t for j, t in enumerate(raw) if j not in bad)
+
+
+DOCS = [
+    # clean doc with weird whitespace -> must pass through byte-identical
+    (0, "perfectly   clean\tdocument with  odd   spacing kept intact"),
+    # contamination mid-doc, mixed case (detection is lowercase)
+    (1, "Intro words here THE SECRET EVAL ANSWER IS FORTY TWO exactly so there and a tail that survives"),
+    # exactly one contaminated window and nothing else -> empty string
+    (2, "the secret eval answer is forty two exactly"),
+    # overlapping windows (two shifted grams of the bench text)
+    (3, "pad the secret eval answer is forty two exactly so there pad"),
+    # shares a 7-gram but never a full 8-gram -> untouched
+    (4, "the secret eval answer is forty two differs from here on out"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+
+
+@pytest.mark.parametrize("margin", [0, 2])
+def test_strip_matches_python_reference(spark, corpus, margin):
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_contamination(
+            corpus, "text", "doc_id", BENCH, n=N, margin=margin
+        ).collect()
+    }
+    bench = set(BENCH)
+    for doc_id, text in DOCS:
+        assert out[doc_id] == _ref_strip(text, bench, N, margin), (doc_id, margin)
+
+
+def test_contract_edges(spark, corpus):
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_contamination(corpus, "text", "doc_id", BENCH, n=N).collect()
+    }
+    # clean doc: original bytes, odd whitespace and all
+    assert out[0] == DOCS[0][1]
+    # mid-doc strip keeps the original-case survivors
+    assert out[1].startswith("Intro words here") and out[1].endswith("survives")
+    assert "SECRET" not in out[1]
+    # fully contaminated -> empty string
+    assert out[2] == ""
+    # 7-gram-only overlap is NOT contamination at n=8
+    assert out[4] == DOCS[4][1]
+    # every doc comes back exactly once
+    assert sorted(out) == [d for d, _ in DOCS]
+
+
+def test_margin_widens_and_clamps(spark):
+    # contamination at position 0: left margin must clamp, right must widen
+    df = spark.createDataFrame(
+        [(7, "the secret eval answer is forty two exactly tail1 tail2 tail3")],
+        "doc_id LONG, text STRING",
+    )
+    pos0 = sorted(
+        r["pos"]
+        for r in contaminated_positions(df, "text", "doc_id", BENCH, n=N).collect()
+    )
+    pos2 = sorted(
+        r["pos"]
+        for r in contaminated_positions(
+            df, "text", "doc_id", BENCH, n=N, margin=2
+        ).collect()
+    )
+    assert pos0 == list(range(0, 8))
+    assert pos2 == list(range(0, 10))  # clamped left at 0, +2 right
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_contamination(
+            df, "text", "doc_id", BENCH, n=N, margin=2
+        ).collect()
+    }
+    assert out[7] == "tail3"
+
+
+def test_strip_vs_doc_level_decontaminate_retention(spark, corpus):
+    """The point of the surgical form: doc-level decontamination at
+    max_hits=0 would DROP docs 1-3 wholesale; the strip keeps their
+    clean remainders (and loses nothing from clean docs)."""
+    from time_series_loader_spark.operators.decontam import decontaminate
+
+    dropped = {
+        r["doc_id"]
+        for r in decontaminate(corpus, "text", "doc_id", BENCH, n=N)
+        .where(F.col("n_contam") > 0)
+        .collect()
+    }
+    assert dropped == {1, 2, 3}
+    kept_text = {
+        r["doc_id"]: r["text"]
+        for r in strip_contamination(corpus, "text", "doc_id", BENCH, n=N).collect()
+    }
+    # docs 1 and 3 retain usable text the doc-level policy would discard
+    assert len(kept_text[1].split()) >= 8
+    assert kept_text[3] == "pad pad"
+
+
+@pytest.mark.parametrize("margin", [0, 3])
+def test_expr_form_counts_equal_join_form_positions(spark, corpus, margin):
+    """strip_count_expr (zero-join literal form, the gate's one-scan
+    shape) must count exactly the positions contaminated_positions
+    (broadcast-join scale form) enumerates — including the both-edge
+    clamping margin forces near document boundaries."""
+    from time_series_loader_spark.operators.decontam import strip_count_expr
+    from time_series_loader_spark.operators.text import tokens
+
+    expr_counts = {
+        r["doc_id"]: r["n"]
+        for r in corpus.select(
+            "doc_id",
+            tokens("text").alias("_toks"),
+        )
+        .select(
+            "doc_id", strip_count_expr(F.col("_toks"), BENCH, n=N, margin=margin).alias("n")
+        )
+        .collect()
+    }
+    join_counts = {
+        r["doc_id"]: r["n"]
+        for r in contaminated_positions(
+            corpus, "text", "doc_id", BENCH, n=N, margin=margin
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for doc_id, _ in DOCS:
+        assert expr_counts[doc_id] == join_counts.get(doc_id, 0), (doc_id, margin)

@@ -133,6 +133,69 @@ def contamination_expr_text(
     return contamination_expr(tokens(text), benchmark, n)
 
 
+def strip_count_expr(
+    toks: Column, benchmark: Sequence[str], n: int = 8, margin: int = 0
+) -> Column:
+    """How many token positions :func:`strip_contamination` would remove
+    — as a pure Column over a pre-tokenized array (the zero-join literal
+    form, the `contamination_expr` counterpart for the SURGICAL policy).
+    Position arithmetic is identical to :func:`contaminated_positions`:
+    distinct 0-based positions covered by any benchmark-colliding window
+    ± ``margin`` (left-clamped at 0; the right edge cannot overflow —
+    the last window ends at the last token, so only ``margin`` > 0 needs
+    the least() clamp applied here for exact parity with the join form's
+    count).
+
+    CSE discipline: the O(m·n) gram array and the hit intersect are
+    let-bound via single-element transform() wrappers (Catalyst does no
+    CSE inside HOF arguments — the known O(m²) trap), so each evaluates
+    once per row; the per-window work is an array index plus a contains
+    against the (usually tiny) hit set."""
+    if not benchmark:
+        return F.lit(0).cast("long")
+    bench_arr = F.array(*[F.lit(s) for s in sorted(set(benchmark))])
+    m = F.size(toks) - (n - 1)
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    last_pos = F.size(toks) - 1  # right clamp for margin widening
+
+    def with_hits(garr, harr):
+        covered = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(garr), F.lit(1))),
+                    lambda i: F.when(
+                        F.array_contains(harr, F.element_at(garr, i)),
+                        F.sequence(
+                            F.greatest(i - 1 - margin, F.lit(0)),
+                            F.least(i - 1 + (n - 1) + margin, last_pos),
+                        ),
+                    ).otherwise(F.array().cast("array<int>")),
+                )
+            )
+        )
+        return F.when(F.size(garr) >= 1, F.size(covered)).otherwise(F.lit(0))
+
+    return F.element_at(
+        F.transform(
+            F.array(grams),
+            lambda garr: F.element_at(
+                F.transform(
+                    F.array(F.array_intersect(F.array_distinct(garr), bench_arr)),
+                    lambda harr: with_hits(garr, harr),
+                ),
+                1,
+            ),
+        ),
+        1,
+    ).cast("long")
+
+
 # Crossover between the literal-array form and the broadcast-join form.
 # The expr form embeds every benchmark n-gram as a Literal in each task's
 # codegen: past a few thousand entries, Catalyst analysis time, the
@@ -209,4 +272,104 @@ def decontaminate(
         )
     return contamination_from_ngrams(
         df, text_col, id_col, benchmark, n, count_col
+    )
+
+
+def contaminated_positions(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    benchmark: Sequence[str],
+    n: int = 8,
+    margin: int = 0,
+) -> DataFrame:
+    """(``id_col``, pos): the 0-based whitespace-token positions covered
+    by ANY word n-gram present in ``benchmark``, each hit window widened
+    by ``margin`` tokens on both sides, clamped to the document on both
+    edges (so the position COUNT agrees exactly with
+    :func:`strip_count_expr`, the zero-join literal form).
+    Broadcast-join form, the scale path: positional windows are
+    corpus-sized but non-hit windows die map-side against the broadcast
+    benchmark, so the position explode and distinct run only on hits —
+    contamination-sized, not corpus-sized."""
+    spark = df.sparkSession
+    bng = spark.createDataFrame(
+        [(g,) for g in sorted(set(benchmark))], "ngram string"
+    )
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    m = F.size("_t") - (n - 1)
+    win = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.struct(
+                (i - 1).cast("int").alias("start"),
+                F.concat_ws(" ", F.slice(F.col("_t"), i, n)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,gram:string>>"))
+    wins = toked.select(
+        F.col(id_col),
+        F.explode(win).alias("w"),
+        (F.size("_t") - 1).alias("_last"),
+    ).select(id_col, "w.start", "w.gram", "_last")
+    hits = wins.join(
+        F.broadcast(bng), wins["gram"] == bng["ngram"], "inner"
+    ).select(id_col, "start", "_last")
+    # both edges clamp to the document (margin can overflow either way);
+    # strip_count_expr clamps identically so the two forms COUNT alike
+    return hits.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("start") - margin, F.lit(0)),
+                F.least(F.col("start") + (n - 1) + margin, F.col("_last")),
+            )
+        ).alias("pos"),
+    ).distinct()
+
+
+def strip_contamination(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    benchmark: Sequence[str],
+    n: int = 8,
+    margin: int = 0,
+) -> DataFrame:
+    """SURGICAL decontamination: rewrite each document with the
+    contaminated spans removed instead of dropping the whole document —
+    the Dolma/RefinedWeb-style alternative to :func:`decontaminate`'s
+    doc-level drop, for corpora where benchmark n-grams are embedded in
+    otherwise-good documents (quotations, shared boilerplate around an
+    eval prompt) and whole-doc removal wastes data.
+
+    Every token position covered by a benchmark-colliding n-gram window
+    (± ``margin`` tokens) is removed; overlapping hits union naturally
+    (removal is by position). Untouched documents pass through
+    byte-identical; touched documents are rebuilt from the surviving
+    original-case tokens joined by single spaces; fully-contaminated
+    documents come back as empty strings (filter on
+    ``length(text) > 0`` to drop them). Output: (``id_col``,
+    ``text_col``) — same reattach contract as
+    `spans.remove_repeated_spans`.
+
+    Detection tokenizes lowercase (`text.tokens`, matching every other
+    decontamination form); the rewrite splits the RAW text — positions
+    align because lowercasing never moves whitespace.
+
+    Scale shape: one corpus-sized projection builds positional windows;
+    the broadcast benchmark kills non-hits map-side, so everything
+    after the join (position explode, distinct, the rebuild's
+    posexplode/anti-join over TOUCHED docs only) is sized by the
+    contamination, not the corpus. No corpus-sized shuffle beyond the
+    per-doc rebuild of touched documents.
+    """
+    from time_series_loader_spark.operators.spans import (
+        rebuild_without_positions,
+    )
+
+    bad_pos = contaminated_positions(df, text_col, id_col, benchmark, n, margin)
+    return rebuild_without_positions(
+        df.select(id_col, text_col), text_col, id_col, bad_pos
     )

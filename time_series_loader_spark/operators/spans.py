@@ -149,6 +149,20 @@ def remove_repeated_spans(
     else:
         bad_pos = _positions(flagged)
 
+    return rebuild_without_positions(df, text_col, id_col, bad_pos)
+
+
+def rebuild_without_positions(
+    df: DataFrame, text_col: str, id_col: str, bad_pos: DataFrame
+) -> DataFrame:
+    """Rewrite ``text_col`` dropping the 0-based whitespace-token
+    positions listed in ``bad_pos`` (``id_col``, pos). Shared rewrite
+    tail of :func:`remove_repeated_spans` and
+    `decontam.strip_contamination` (r12): documents with no flagged
+    position pass through byte-identical; touched documents are rebuilt
+    from the surviving ORIGINAL-CASE tokens joined by single spaces;
+    fully-stripped documents come back as empty strings. Output:
+    (``id_col``, ``text_col``)."""
     touched = bad_pos.select(id_col).distinct()
     # raw (case-preserving) tokens: same split boundaries as tokens()
     raw_toks = F.split(F.trim(F.col(text_col)), r"\s+")

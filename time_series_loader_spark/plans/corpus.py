@@ -141,6 +141,33 @@ class CorpusPipeline:
         self.steps_applied.append(f"decontam({n}-gram)")
         return self
 
+    def decontaminate_strip(
+        self, benchmark_texts: Sequence[str], n: int = 8, margin: int = 0
+    ) -> "CorpusPipeline":
+        """SURGICAL decontamination (r12): remove only the contaminated
+        spans (benchmark-colliding word n-grams ± ``margin`` tokens)
+        and KEEP the documents — the Dolma/RefinedWeb alternative to
+        :meth:`decontaminate`'s doc-level drop, for corpora where eval
+        text is embedded in otherwise-good documents. Fully-stripped
+        documents survive as empty strings; follow with
+        ``quality_filter`` (their length score is 0) or filter
+        ``length(text) > 0``. Rewritten docs come back
+        whitespace-normalized (`decontam.strip_contamination` rebuild
+        contract); untouched docs byte-identical."""
+        from time_series_loader_spark.operators.decontam import (
+            ngram_set,
+            strip_contamination,
+        )
+
+        bench = ngram_set(benchmark_texts, n)
+        cleaned = strip_contamination(
+            self._df.select(self.id_col, self.text_col),
+            self.text_col, self.id_col, bench, n=n, margin=margin,
+        )
+        self._df = self._df.drop(self.text_col).join(cleaned, self.id_col)
+        self.steps_applied.append(f"decontam_strip({n}-gram,±{margin})")
+        return self
+
     # -- dedup (pair joins; run after filters) --------------------------
 
     def dedup_exact(self) -> "CorpusPipeline":
