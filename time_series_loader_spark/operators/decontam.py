@@ -196,6 +196,12 @@ def strip_count_expr(
     ).cast("long")
 
 
+# Anchor-prefilter cap: the distinct FIRST tokens of the benchmark grams
+# ride the plan as an array literal (contaminated_positions); past this
+# many entries the literal bloats codegen like any oversized literal
+# (see EXPR_FORM_MAX_NGRAMS below) and the prefilter is skipped.
+_ANCHOR_LITERAL_MAX = 5000
+
 # Crossover between the literal-array form and the broadcast-join form.
 # The expr form embeds every benchmark n-gram as a Literal in each task's
 # codegen: past a few thousand entries, Catalyst analysis time, the
@@ -298,10 +304,29 @@ def contaminated_positions(
     )
     toked = df.select(F.col(id_col), tokens(text_col).alias("_t"))
     m = F.size("_t") - (n - 1)
+    # ANCHOR prefilter (r12 probe finding): building every window's
+    # n-token gram string is the corpus-sized cost term (~2.3 GB of
+    # strings per 200k 120-token docs — the 45 s baseline in
+    # tools/strip_probe.py). A window can only hit the benchmark if its
+    # FIRST token is some benchmark gram's first token, so gram strings
+    # are built ONLY at those anchor positions — exact, not heuristic.
+    # The anchor set is vocabulary-of-first-tokens-sized (≪ |benchmark|);
+    # past _ANCHOR_LITERAL_MAX it would bloat codegen, so huge suites
+    # skip the prefilter and keep the plain scan.
+    firsts = sorted({g.split(" ", 1)[0] for g in benchmark})
+    anchors_ok = 0 < len(firsts) <= _ANCHOR_LITERAL_MAX
+    if anchors_ok:
+        first_arr = F.array(*[F.lit(t) for t in firsts])
+        idxs = F.filter(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.array_contains(first_arr, F.element_at(F.col("_t"), i)),
+        )
+    else:
+        idxs = F.sequence(F.lit(1), F.greatest(m, F.lit(1)))
     win = F.when(
         m >= 1,
         F.transform(
-            F.sequence(F.lit(1), m),
+            idxs,
             lambda i: F.struct(
                 (i - 1).cast("int").alias("start"),
                 F.concat_ws(" ", F.slice(F.col("_t"), i, n)).alias("gram"),
