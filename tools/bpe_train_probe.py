@@ -1,20 +1,39 @@
 """Scale shape of the distributed BPE trainer
 (functions/bpe.py::train_bpe_merges).
 
-The trainer's claim: the CORPUS term appears exactly once (the initial
-word-frequency aggregation); every per-merge iteration is
-VOCABULARY-sized. This probe separates the two terms by timing
-``n_merges=0`` (vocab build + checkpoint only) against ``n_merges=10``
-on the same input — per-merge cost = (T10 − T0) / 10 — across two
-independent axes:
+The r13 trainer's claim (VERDICT r12 directive #2): the CORPUS term
+appears exactly once (the initial word-frequency aggregation), and the
+per-merge explode+aggregate work is TOUCHED-WORDS-sized — the
+incremental pair-count maintenance recounts only words containing the
+merged pair, never the whole vocabulary. This probe separates the
+terms by timing ``n_merges=0`` (state build + checkpoint only) against
+``n_merges=10`` — per-merge cost = (T10 − T0) / 10 — across three
+axes:
 
 - **vocab axis**: every token suffixed per copy id (the scale_probe
   disjoint-vocabulary recipe), so V copies give V× the vocabulary AND
-  V× the corpus. Per-merge cost should grow ~linearly in V.
+  V× the corpus — but a merge like (e, r) touches its words in EVERY
+  copy, so the touched set also grows V× and per-merge cost should
+  grow ~linearly (the honest bound: this axis scales touched words,
+  not just vocabulary).
+- **shards axis** (r13): every copy's ALPHABET is shifted into a
+  disjoint codepoint block (spaces preserved), so V copies give V× the
+  vocabulary with IDENTICAL per-copy pair structure — every merge
+  touches exactly ONE copy's words, i.e. touched stays CONSTANT while
+  |vocab| grows V×. Per-merge cost tracking touched (≈flat, up to the
+  columnar pairs-frame argmax) and not |vocab| is the directive's
+  "done" shape; the r12 full-recount trainer was linear here by
+  construction.
 - **corpus axis**: plain row duplication (same 31-word vocabulary,
   C× the corpus). Per-merge cost should stay FLAT — only T0 grows.
 
+``--touched`` instead runs ONE 48-merge training on the base corpus
+with per-merge instrumentation (the trainer's ``stats`` hook) and
+prints mean per-merge wall by touched-count quartile — within a single
+corpus, cost should fall with the touched fraction.
+
 Usage: python tools/bpe_train_probe.py [factors ...]   # default 1 10 100
+       python tools/bpe_train_probe.py --touched
 """
 
 from __future__ import annotations
@@ -31,7 +50,7 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 N_MERGES = 10
 
 
-def synth(spark, factor: int, vocab_axis: bool):
+def synth(spark, factor: int, axis: str):
     from time_series_loader_spark.session import read_table
 
     docs = read_table(spark, SRC, "documents").select("text")
@@ -39,7 +58,7 @@ def synth(spark, factor: int, vocab_axis: bool):
         return docs
     copies = spark.range(factor).select(F.col("id").alias("copy"))
     out = docs.crossJoin(copies)
-    if vocab_axis:
+    if axis == "vocab":
         # per-copy token suffix: "word" -> "word_<copy>" for every
         # token (disjoint per-copy vocabularies, the scale_probe recipe)
         out = out.select(
@@ -49,6 +68,37 @@ def synth(spark, factor: int, vocab_axis: bool):
                 F.concat(F.lit("$1_"), F.col("copy").cast("string")),
             ).alias("text")
         )
+    elif axis == "shards":
+        # per-copy ALPHABET shift: every non-space char moves into the
+        # copy's own 256-codepoint block, so pair structures are
+        # identical but fully disjoint across copies — each merge
+        # touches exactly one copy's words. Synthesis-only Arrow kernel
+        # (Spark's char() wraps mod 256, so no builtin can mint the
+        # shifted codepoints); the TRAINER under test stays pure-JVM.
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from pyspark.sql.types import StringType
+
+        def _shift_fn(text, copy):
+            def one(t, k):
+                off = k * 256
+
+                def ch(c):
+                    # hop over the UTF-16 surrogate block (D800-DFFF):
+                    # lone surrogates are not encodable code points
+                    cp = ord(c) + off
+                    return chr(cp + 0x800 if cp >= 0xD800 else cp)
+
+                return "".join(c if c == " " else ch(c) for c in t)
+
+            return pd.Series(
+                [one(t, int(k)) for t, k in zip(text, copy)]
+            )
+
+        _shift = pandas_udf(_shift_fn, StringType())
+
+        out = out.select(_shift("text", "copy").alias("text"))
     return out.select("text")
 
 
@@ -60,17 +110,50 @@ def time_train(spark, df, n_merges: int) -> float:
     return time.time() - t0
 
 
+def touched_mode(spark, factor: int = 100):
+    """One 48-merge instrumented run over the vocab-axis synth (suffixed
+    copies give a vocabulary whose merges touch wildly different word
+    counts): per-merge wall by touched-count quartile — within one
+    corpus, cost must track the touched fraction."""
+    from time_series_loader_spark.functions.bpe import train_bpe_merges
+
+    docs = synth(spark, factor, "vocab").localCheckpoint(eager=True)
+    stats: list[dict] = []
+    train_bpe_merges(docs, "text", n_merges=48, min_count=2, stats=stats)
+    ordered = sorted(stats, key=lambda s: s["n_touched"])
+    q = max(1, len(ordered) // 4)
+    print(f"{'quartile':>10} {'touched range':>18} {'mean wall':>10}")
+    for qi in range(4):
+        chunk = ordered[qi * q : (qi + 1) * q] if qi < 3 else ordered[3 * q :]
+        if not chunk:
+            continue
+        mean = sum(s["wall_s"] for s in chunk) / len(chunk)
+        print(
+            f"{qi + 1:>10} {chunk[0]['n_touched']:>8}-{chunk[-1]['n_touched']:<8} "
+            f"{mean:>9.3f}s"
+        )
+    top = ordered[-1]
+    bot = ordered[0]
+    print(
+        f"touched {bot['n_touched']} -> {bot['wall_s']:.3f}s ; "
+        f"touched {top['n_touched']} -> {top['wall_s']:.3f}s"
+    )
+
+
 def main():
     from time_series_loader_spark.session import get_spark
 
-    factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    print(f"{'axis':>7} {'V/C':>5} {'vocab':>9} {'T0 (corpus pass)':>17} "
+    if "--touched" in sys.argv:
+        touched_mode(spark)
+        return
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    print(f"{'axis':>7} {'V/C':>5} {'vocab':>9} {'T0 (state build)':>17} "
           f"{'T10':>8} {'per-merge':>10}")
-    for axis, vocab_axis in (("vocab", True), ("corpus", False)):
+    for axis in ("vocab", "shards", "corpus"):
         for f in factors:
-            df = synth(spark, f, vocab_axis).localCheckpoint(eager=True)
+            df = synth(spark, f, axis).localCheckpoint(eager=True)
             n_vocab = (
                 df.select(F.explode(F.split("text", " ")).alias("w"))
                 .where(F.col("w") != "")
