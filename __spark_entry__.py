@@ -2391,19 +2391,29 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r12: surgical-decontamination column — how many token positions
     # strip_contamination would remove against the 100-stride suite,
-    # margin=1 (exercises the both-edge clamp). The zero-join literal
-    # form keeps the one-scan shape; the cross-engine certification is
-    # the position arithmetic (windows → ±margin → clamp → distinct),
-    # the rebuild being test-pinned (test_strip_contamination).
-    from time_series_loader_spark.operators.decontam import strip_count_expr
+    # margin=1 (exercises the both-edge clamp). r13 (ADVICE r12): routed
+    # through the strip_counts DISPATCHER — at gate scale the suite fits
+    # EXPR_FORM_MAX_NGRAMS so the zero-join literal form keeps the
+    # one-scan shape (toks_col reuses the materialized array); past the
+    # crossover it becomes the broadcast-join position count instead of
+    # walking into the codegen-bloat trap (equality at the crossover is
+    # pinned by test_flagship_corpus_filter_identical_under_both_forms).
+    # Cross-engine certification is the position arithmetic (windows →
+    # ±margin → clamp → distinct); the rebuild is test-pinned
+    # (test_strip_contamination).
+    from time_series_loader_spark.operators.decontam import strip_counts
 
+    decon = strip_counts(
+        decon, "text", "doc_id", bench100, n=8, margin=1,
+        count_col="n_strip", toks_col="_toks",
+    )
     feat = decon.select(
         "doc_id",
         "n_pii",
         *_quality_exprs("text", toks=tk),
         _langid_named("text", toks=tk)["lang_pred"].alias("lang_pred"),
         "n_contam",
-        strip_count_expr(tk, bench100, n=8, margin=1).alias("n_strip"),
+        "n_strip",
         ppl_decile.alias("ppl_decile"),
         F.md5(F.coalesce(F.col("text"), F.lit(" "))).alias("key_digest"),
     )

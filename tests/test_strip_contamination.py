@@ -164,3 +164,109 @@ def test_expr_form_counts_equal_join_form_positions(spark, corpus, margin):
     }
     for doc_id, _ in DOCS:
         assert expr_counts[doc_id] == join_counts.get(doc_id, 0), (doc_id, margin)
+
+
+def _strip_map(df, **kw):
+    return {
+        r["doc_id"]: r["text"]
+        for r in strip_contamination(df, "text", "doc_id", **kw).collect()
+    }
+
+
+@pytest.mark.parametrize("margin", [0, 2])
+def test_anchor_join_form_equals_literal_form(spark, corpus, margin):
+    """r13 (VERDICT r12 #3): the broadcast-joined anchor table —
+    the path suites past _ANCHOR_LITERAL_MAX take, where r12 silently
+    dropped the prefilter — must enumerate exactly the literal form's
+    positions. Forced via max_anchor_literals=0."""
+    lit = {
+        (r["doc_id"], r["pos"])
+        for r in contaminated_positions(
+            corpus, "text", "doc_id", BENCH, n=N, margin=margin
+        ).collect()
+    }
+    joined = {
+        (r["doc_id"], r["pos"])
+        for r in contaminated_positions(
+            corpus, "text", "doc_id", BENCH, n=N, margin=margin,
+            max_anchor_literals=0,
+        ).collect()
+    }
+    assert joined == lit
+
+
+def test_ngram_dataframe_benchmark(spark, corpus):
+    """A 1-column ngram frame as the benchmark (the real-eval-suite
+    shape) takes the join-form prefilter and strips identically."""
+    bng = spark.createDataFrame([(g,) for g in BENCH], "ngram string")
+    assert _strip_map(corpus, benchmark=bng, n=N) == _strip_map(
+        corpus, benchmark=BENCH, n=N
+    )
+
+
+def test_bench_df_entry_point(spark, corpus):
+    """strip_contamination(bench_df=...) — parity with contamination's
+    benchmark-TEXT-frame entry (VERDICT r12 #3)."""
+    bdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BENCH_TEXTS)], "doc_id LONG, text STRING"
+    )
+    assert _strip_map(corpus, bench_df=bdf, n=N) == _strip_map(
+        corpus, benchmark=BENCH, n=N
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        strip_contamination(corpus, "text", "doc_id", BENCH, n=N, bench_df=bdf)
+    with pytest.raises(ValueError, match="exactly one"):
+        strip_contamination(corpus, "text", "doc_id", n=N)
+
+
+def test_strip_counts_dispatches_at_crossover(spark, corpus):
+    """strip_counts (ADVICE r12): literal-expr and broadcast-join forms
+    agree exactly at the forced crossover, and the raw expression form
+    raises loudly instead of embedding an oversized literal."""
+    from time_series_loader_spark.operators.decontam import (
+        strip_count_expr,
+        strip_counts,
+    )
+    from time_series_loader_spark.operators.text import tokens
+
+    expr_form = {
+        r["doc_id"]: r["n_strip"]
+        for r in strip_counts(
+            corpus, "text", "doc_id", BENCH, n=N, max_expr_ngrams=10_000
+        ).collect()
+    }
+    join_form = {
+        r["doc_id"]: r["n_strip"]
+        for r in strip_counts(
+            corpus, "text", "doc_id", BENCH, n=N, max_expr_ngrams=0
+        ).collect()
+    }
+    assert expr_form == join_form
+    assert any(v > 0 for v in expr_form.values())
+    import time_series_loader_spark.operators.decontam as dmod
+
+    orig = dmod.EXPR_FORM_MAX_NGRAMS
+    dmod.EXPR_FORM_MAX_NGRAMS = 2
+    try:
+        with pytest.raises(ValueError, match="strip_counts"):
+            corpus.select(strip_count_expr(tokens("text"), BENCH, n=N))
+    finally:
+        dmod.EXPR_FORM_MAX_NGRAMS = orig
+
+
+def test_whitespace_contract_on_touched_docs(spark):
+    """The rebuild contract, pinned (VERDICT r12 #6): UNTOUCHED docs
+    pass through byte-identical whatever their whitespace; a TOUCHED
+    doc is rebuilt from surviving tokens joined by single spaces, so
+    its tab/multi-space runs normalize (the Dolma rewrite convention,
+    documented in the docstring and shared with remove_repeated_spans).
+    Token-position semantics are whitespace-run based on BOTH paths, so
+    which tokens survive never depends on the whitespace flavor."""
+    docs = [
+        (10, "clean\tdoc  with \t odd\n whitespace stays byte identical"),
+        (11, "keep1\tkeep2  the secret eval answer is forty two exactly so there\tkeep3   keep4"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = _strip_map(df, benchmark=BENCH, n=N)
+    assert out[10] == docs[10 - 10][1]          # untouched: bytes preserved
+    assert out[11] == "keep1 keep2 keep3 keep4"  # touched: single-spaced

@@ -150,7 +150,21 @@ def strip_count_expr(
     let-bound via single-element transform() wrappers (Catalyst does no
     CSE inside HOF arguments — the known O(m²) trap), so each evaluates
     once per row; the per-window work is an array index plus a contains
-    against the (usually tiny) hit set."""
+    against the (usually tiny) hit set.
+
+    This is the zero-join LITERAL form: every benchmark n-gram rides
+    the plan as a Literal, so it raises past ``EXPR_FORM_MAX_NGRAMS``
+    (ADVICE r12) — larger suites take :func:`strip_counts` (the
+    dispatcher) or :func:`contaminated_positions` (broadcast-join
+    form) instead of silently walking into the codegen-bloat trap
+    documented at the constant's definition."""
+    if len(benchmark) > EXPR_FORM_MAX_NGRAMS:
+        raise ValueError(
+            f"strip_count_expr embeds {len(benchmark)} benchmark n-grams "
+            f"as plan literals (> EXPR_FORM_MAX_NGRAMS="
+            f"{EXPR_FORM_MAX_NGRAMS}); use strip_counts() — it dispatches "
+            f"to the broadcast-join form (contaminated_positions)"
+        )
     if not benchmark:
         return F.lit(0).cast("long")
     bench_arr = F.array(*[F.lit(s) for s in sorted(set(benchmark))])
@@ -196,10 +210,13 @@ def strip_count_expr(
     ).cast("long")
 
 
-# Anchor-prefilter cap: the distinct FIRST tokens of the benchmark grams
-# ride the plan as an array literal (contaminated_positions); past this
-# many entries the literal bloats codegen like any oversized literal
-# (see EXPR_FORM_MAX_NGRAMS below) and the prefilter is skipped.
+# Anchor-prefilter literal/join crossover: the distinct FIRST tokens of
+# the benchmark grams ride the plan as an array literal
+# (contaminated_positions) while they fit; past this many entries the
+# literal bloats codegen like any oversized literal (see
+# EXPR_FORM_MAX_NGRAMS below), so the anchors become a broadcast-joined
+# table instead (`_positions_anchor_join` — r13; the r12 code SKIPPED
+# the prefilter here, handing the biggest suites the slowest plan).
 _ANCHOR_LITERAL_MAX = 5000
 
 # Crossover between the literal-array form and the broadcast-join form.
@@ -281,13 +298,99 @@ def decontaminate(
     )
 
 
+def _hit_positions(hits: DataFrame, id_col: str, n: int, margin: int) -> DataFrame:
+    """Shared tail of both prefilter forms: (id, start, _last) hit
+    windows → distinct covered positions, each window widened by
+    ``margin`` and clamped to the document on BOTH edges (margin can
+    overflow either way; strip_count_expr clamps identically so the
+    forms COUNT alike)."""
+    return hits.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("start") - margin, F.lit(0)),
+                F.least(F.col("start") + (n - 1) + margin, F.col("_last")),
+            )
+        ).alias("pos"),
+    ).distinct()
+
+
+def _positions_anchor_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bng: DataFrame,
+    n: int,
+    margin: int,
+) -> DataFrame:
+    """Join-form anchor prefilter (r13, VERDICT r12 directive #3): the
+    r12 literal form silently DROPPED the prefilter past
+    ``_ANCHOR_LITERAL_MAX`` distinct first tokens — exactly the big
+    suites that need it most. Here the anchor set (distinct FIRST
+    tokens of the benchmark grams — exact, not heuristic: a window can
+    only hit if its first token anchors some gram) is a broadcast
+    table:
+
+    1. one narrow posexplode of (id, pos, token) — corpus-token-sized
+       rows but three thin columns, no gram strings;
+    2. broadcast LEFT SEMI against the anchors → surviving positions
+       (contamination-anchored-sized on realistic token overlap);
+    3. per-doc anchor-position arrays (an id-keyed shuffle of hit
+       positions only) joined back to the tokenized frame;
+    4. gram strings built ONLY at anchor positions, then the usual
+       broadcast hit join against the full benchmark.
+
+    vs the no-prefilter scan: trades building n-token gram strings at
+    every position (n× token bytes as strings) for one narrow explode
+    plus an id-keyed join of anchor positions. Wins whenever anchors
+    cover well under 100% of positions; see tools/strip_probe.py
+    --natural for the stopword-anchored honest measurement."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    m = F.size("_t") - (n - 1)
+    anchors = bng.select(
+        F.substring_index("ngram", " ", 1).alias("_anchor")
+    ).distinct()
+    pos_tok = toked.select(
+        F.col(id_col),
+        m.alias("_m"),
+        F.posexplode("_t").alias("_p", "_tok"),
+    ).where(F.col("_p") < F.col("_m"))
+    apos = (
+        pos_tok.join(
+            F.broadcast(anchors),
+            pos_tok["_tok"] == anchors["_anchor"],
+            "left_semi",
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_p")).alias("_apos"))
+    )
+    cand = toked.join(apos, id_col, "inner")  # anchor-free docs: no windows
+    win = F.transform(
+        F.col("_apos"),
+        lambda p: F.struct(
+            p.cast("int").alias("start"),
+            F.concat_ws(" ", F.slice(F.col("_t"), p + 1, n)).alias("gram"),
+        ),
+    )
+    wins = cand.select(
+        F.col(id_col),
+        F.explode(win).alias("w"),
+        (F.size("_t") - 1).alias("_last"),
+    ).select(id_col, "w.start", "w.gram", "_last")
+    hits = wins.join(
+        F.broadcast(bng), wins["gram"] == bng["ngram"], "inner"
+    ).select(id_col, "start", "_last")
+    return _hit_positions(hits, id_col, n, margin)
+
+
 def contaminated_positions(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    benchmark: Sequence[str],
+    benchmark: Sequence[str] | DataFrame,
     n: int = 8,
     margin: int = 0,
+    max_anchor_literals: int | None = None,
 ) -> DataFrame:
     """(``id_col``, pos): the 0-based whitespace-token positions covered
     by ANY word n-gram present in ``benchmark``, each hit window widened
@@ -297,32 +400,42 @@ def contaminated_positions(
     Broadcast-join form, the scale path: positional windows are
     corpus-sized but non-hit windows die map-side against the broadcast
     benchmark, so the position explode and distinct run only on hits —
-    contamination-sized, not corpus-sized."""
+    contamination-sized, not corpus-sized.
+
+    ``benchmark`` is a driver-side n-gram list OR a 1-column ``ngram``
+    DataFrame (r13 — real eval suites are themselves tables; see
+    :func:`benchmark_ngrams`). The ANCHOR prefilter (r12 probe finding:
+    building every window's n-token gram string is the corpus-sized
+    cost term — the 45 s baseline in tools/strip_probe.py) now has two
+    forms and is NEVER skipped: distinct first tokens ride the plan as
+    an array literal while they fit ``max_anchor_literals`` (default
+    ``_ANCHOR_LITERAL_MAX``), else — and always for a DataFrame
+    benchmark — they become a broadcast-joined anchor table
+    (`_positions_anchor_join`)."""
+    if max_anchor_literals is None:
+        max_anchor_literals = _ANCHOR_LITERAL_MAX
     spark = df.sparkSession
+    if isinstance(benchmark, DataFrame):
+        return _positions_anchor_join(df, text_col, id_col, benchmark, n, margin)
+    firsts = sorted({g.split(" ", 1)[0] for g in benchmark})
+    if len(firsts) > max_anchor_literals:
+        bng = spark.createDataFrame(
+            [(g,) for g in sorted(set(benchmark))], "ngram string"
+        )
+        return _positions_anchor_join(df, text_col, id_col, bng, n, margin)
     bng = spark.createDataFrame(
         [(g,) for g in sorted(set(benchmark))], "ngram string"
     )
     toked = df.select(F.col(id_col), tokens(text_col).alias("_t"))
     m = F.size("_t") - (n - 1)
-    # ANCHOR prefilter (r12 probe finding): building every window's
-    # n-token gram string is the corpus-sized cost term (~2.3 GB of
-    # strings per 200k 120-token docs — the 45 s baseline in
-    # tools/strip_probe.py). A window can only hit the benchmark if its
-    # FIRST token is some benchmark gram's first token, so gram strings
-    # are built ONLY at those anchor positions — exact, not heuristic.
-    # The anchor set is vocabulary-of-first-tokens-sized (≪ |benchmark|);
-    # past _ANCHOR_LITERAL_MAX it would bloat codegen, so huge suites
-    # skip the prefilter and keep the plain scan.
-    firsts = sorted({g.split(" ", 1)[0] for g in benchmark})
-    anchors_ok = 0 < len(firsts) <= _ANCHOR_LITERAL_MAX
-    if anchors_ok:
+    if firsts:
         first_arr = F.array(*[F.lit(t) for t in firsts])
         idxs = F.filter(
             F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
             lambda i: F.array_contains(first_arr, F.element_at(F.col("_t"), i)),
         )
-    else:
-        idxs = F.sequence(F.lit(1), F.greatest(m, F.lit(1)))
+    else:  # empty benchmark: no anchors, no windows
+        idxs = F.array().cast("array<int>")
     win = F.when(
         m >= 1,
         F.transform(
@@ -341,26 +454,56 @@ def contaminated_positions(
     hits = wins.join(
         F.broadcast(bng), wins["gram"] == bng["ngram"], "inner"
     ).select(id_col, "start", "_last")
-    # both edges clamp to the document (margin can overflow either way);
-    # strip_count_expr clamps identically so the two forms COUNT alike
-    return hits.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(
-                F.greatest(F.col("start") - margin, F.lit(0)),
-                F.least(F.col("start") + (n - 1) + margin, F.col("_last")),
-            )
-        ).alias("pos"),
-    ).distinct()
+    return _hit_positions(hits, id_col, n, margin)
 
 
-def strip_contamination(
+def strip_counts(
     df: DataFrame,
     text_col: str,
     id_col: str,
     benchmark: Sequence[str],
     n: int = 8,
     margin: int = 0,
+    count_col: str = "n_strip",
+    max_expr_ngrams: int | None = None,
+    toks_col: str | None = None,
+) -> DataFrame:
+    """Form dispatcher for the SURGICAL count (ADVICE r12): adds
+    ``count_col`` (long) = how many token positions
+    :func:`strip_contamination` would remove. Zero-join literal
+    expression (:func:`strip_count_expr`) while the benchmark fits
+    ``max_expr_ngrams``, else the broadcast-join position count
+    (:func:`contaminated_positions` → per-doc count) — the
+    `decontaminate` dispatch pattern applied to the surgical policy.
+    Both forms are equality-tested at the crossover
+    (tests/test_decontam.py). ``toks_col`` names a pre-materialized
+    ``tokens(text)`` array for the expr form (the corpus_filter
+    one-scan discipline — never re-tokenize inside a projection that
+    already carries the array)."""
+    if max_expr_ngrams is None:
+        max_expr_ngrams = EXPR_FORM_MAX_NGRAMS
+    if len(benchmark) <= max_expr_ngrams:
+        toks = F.col(toks_col) if toks_col else tokens(text_col)
+        return df.withColumn(
+            count_col, strip_count_expr(toks, benchmark, n, margin)
+        )
+    pos = contaminated_positions(df, text_col, id_col, benchmark, n, margin)
+    counts = pos.groupBy(id_col).agg(F.count(F.lit(1)).alias(count_col))
+    return df.join(counts, id_col, "left").withColumn(
+        count_col, F.coalesce(F.col(count_col), F.lit(0)).cast("long")
+    )
+
+
+def strip_contamination(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    benchmark: Sequence[str] | DataFrame | None = None,
+    n: int = 8,
+    margin: int = 0,
+    bench_df: DataFrame | None = None,
+    bench_text_col: str = "text",
+    bench_id_col: str | None = None,
 ) -> DataFrame:
     """SURGICAL decontamination: rewrite each document with the
     contaminated spans removed instead of dropping the whole document —
@@ -379,9 +522,23 @@ def strip_contamination(
     ``text_col``) — same reattach contract as
     `spans.remove_repeated_spans`.
 
+    ``benchmark`` is a driver-side n-gram list or a 1-column ``ngram``
+    DataFrame; alternatively pass ``bench_df`` — a DataFrame of
+    benchmark TEXTS (r13, parity with :func:`contamination`'s
+    ``bench_df``) shingled via :func:`benchmark_ngrams` — for real eval
+    suites, which are themselves tables. Exactly one of the two.
+
     Detection tokenizes lowercase (`text.tokens`, matching every other
     decontamination form); the rewrite splits the RAW text — positions
-    align because lowercasing never moves whitespace.
+    align because lowercasing never moves whitespace. WHITESPACE
+    CONTRACT (r13 test-pinned, VERDICT r12 #6): untouched documents
+    pass through byte-identical, but a TOUCHED document is rebuilt from
+    its surviving tokens joined by single spaces — runs of
+    spaces/tabs/newlines inside it normalize to one space (the Dolma
+    rewrite convention, shared with `spans.remove_repeated_spans`).
+    Callers needing byte-exact inter-token whitespace on touched docs
+    must keep offsets themselves; token-position semantics (which
+    positions survive) are unaffected.
 
     Scale shape: one corpus-sized projection builds positional windows;
     the broadcast benchmark kills non-hits map-side, so everything
@@ -394,6 +551,15 @@ def strip_contamination(
         rebuild_without_positions,
     )
 
+    if (benchmark is None) == (bench_df is None):
+        raise ValueError(
+            "pass exactly one of benchmark (n-gram list / ngram frame) "
+            "or bench_df (benchmark-text frame)"
+        )
+    if bench_df is not None:
+        benchmark = benchmark_ngrams(
+            bench_df, bench_text_col, bench_id_col or id_col, n
+        )
     bad_pos = contaminated_positions(df, text_col, id_col, benchmark, n, margin)
     return rebuild_without_positions(
         df.select(id_col, text_col), text_col, id_col, bad_pos
