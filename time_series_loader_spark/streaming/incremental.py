@@ -19,10 +19,27 @@ writes are keyed by batch id. Batch ids are processed sequentially, so
 the store a batch sees always contains exactly the survivors of all
 prior batches (the restart test pins this).
 
-Scale: the store is signature-width (≈ id + 17×32 B per doc); at 100 TB
-corpus scale persist it bucketed by digest (see ``doc_signatures``) and
-compact the per-batch subdirectories periodically — both are plain
-parquet-table maintenance, orthogonal to the streaming logic here.
+Scale: the store is signature-width (≈ id + 17×32 B per doc). r13
+(VERDICT r12 directive #4) builds the table maintenance IN: every
+``compact_every`` batches the accumulated per-batch delta directories
+are folded into one digest-prefix-partitioned snapshot
+(``_compacted/upto=M``, partitioned by ``dp = digest[:1]``; production
+would widen to 2 hex chars = 256 buckets), so a batch's store scan
+reads ONE compacted snapshot plus at most ``compact_every`` recent
+deltas instead of every prior batch directory — the r12 drain probe's
+1.39× per-batch creep at B=100 was exactly this file-count share.
+
+Compaction replay-safety (the same strict-before discipline as the
+reads): a batch compacts only batches STRICTLY BEFORE ITSELF
+(``upto = N-1``), writes the snapshot COMPLETELY (``_SUCCESS``-marked;
+an existing complete snapshot is never rewritten) before any deletion
+starts, and readers prefer the newest complete snapshot < their batch
+id while ignoring deltas it already covers — so a crash between the
+snapshot write and the delta deletes double-covers rows harmlessly
+(the reader never reads both), and a crash mid-write leaves an
+ignored, ``_SUCCESS``-less directory that the replay overwrites. The
+underscore prefix keeps the snapshot tree invisible to the root
+partition-discovery read the deltas use.
 """
 
 from __future__ import annotations
@@ -35,6 +52,32 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+_COMPACT_ROOT = "_compacted"
+
+
+def _compacted_uptos(spark: SparkSession, store_path: str) -> list[int]:
+    """``upto`` ids of COMPLETE (``_SUCCESS``-marked) compacted
+    snapshots. Incomplete snapshots (crash mid-write) are invisible —
+    the replay overwrites them."""
+    root = os.path.join(store_path, _COMPACT_ROOT)
+    fs, hpath = _store_fs(spark, root)
+    if not fs.exists(hpath):
+        return []
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    out = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not name.startswith("upto="):
+            continue
+        try:
+            m = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if fs.exists(jvm_path(os.path.join(root, name, "_SUCCESS"))):
+            out.append(m)
+    return out
+
+
 def _read_store(
     spark: SparkSession,
     store_path: str,
@@ -42,33 +85,109 @@ def _read_store(
     num_hashes: int,
     before_batch_id: int,
 ) -> DataFrame:
-    """Signatures of every batch STRICTLY BEFORE ``before_batch_id``.
+    """Signatures of every batch STRICTLY BEFORE ``before_batch_id``:
+    the newest complete compacted snapshot below it (if any) plus the
+    delta directories it does not cover.
 
-    The filter is load-bearing for exactly-once: a micro-batch that
-    crashed after its store write and is REPLAYED would otherwise read
-    its own previous partial output, self-dedup to empty, and overwrite
-    its survivors away. Only a genuinely-missing store path takes the
-    bootstrap branch — any other read failure must surface, because
-    deduping against a silently-empty store admits duplicates
-    irreversibly."""
-    from pyspark.errors import AnalysisException
-
+    The strict-before filter is load-bearing for exactly-once: a
+    micro-batch that crashed after its store write and is REPLAYED
+    would otherwise read its own previous partial output, self-dedup
+    to empty, and overwrite its survivors away. Deltas a snapshot
+    covers are NEVER read even if a crashed compaction left them
+    behind — that is what makes the write-snapshot-then-delete
+    protocol double-cover-safe. Listing failures on a present store
+    must surface: deduping against a silently-empty store admits
+    duplicates irreversibly (only a genuinely-missing path
+    bootstraps)."""
     mh_cols = [f"mh{i}" for i in range(num_hashes)]
-    try:
-        return (
-            spark.read.parquet(store_path)
-            .where(F.col("batch_id") < before_batch_id)
-            .select(id_field.name, "digest", *mh_cols)
+    cols = [id_field.name, "digest", *mh_cols]
+    uptos = [m for m in _compacted_uptos(spark, store_path) if m < before_batch_id]
+    m_star = max(uptos) if uptos else -1
+    frames = []
+    if m_star >= 0:
+        frames.append(
+            spark.read.parquet(
+                os.path.join(store_path, _COMPACT_ROOT, f"upto={m_star}")
+            ).select(*cols)
         )
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e):
-            raise
-        schema = StructType([id_field])
-        empty = spark.createDataFrame([], schema)
-        out = empty.withColumn("digest", F.lit(None).cast("string"))
-        for c in mh_cols:
-            out = out.withColumn(c, F.lit(None).cast("long"))
+    deltas = [
+        b
+        for b in _mg_batch_dirs(spark, store_path)
+        if m_star < b < before_batch_id
+    ]
+    if deltas:
+        frames.append(
+            spark.read.parquet(store_path)
+            .where(
+                (F.col("batch_id") > m_star)
+                & (F.col("batch_id") < before_batch_id)
+            )
+            .select(*cols)
+        )
+    if frames:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
         return out
+    schema = StructType([id_field])
+    empty = spark.createDataFrame([], schema)
+    out = empty.withColumn("digest", F.lit(None).cast("string"))
+    for c in mh_cols:
+        out = out.withColumn(c, F.lit(None).cast("long"))
+    return out
+
+
+def _compact_store(
+    spark: SparkSession,
+    store_path: str,
+    batch_id: int,
+    id_field,
+    num_hashes: int,
+    compact_every: int,
+) -> None:
+    """Fold delta directories ≤ ``batch_id − 1`` into one
+    digest-prefix-partitioned snapshot, then delete what it covers.
+    Runs inside the batch's ``foreachBatch`` after its own writes; see
+    the module docstring for the crash-window argument. The target is
+    strictly before the CURRENT batch so a replay of this batch id can
+    still read everything it needs whatever this function got through
+    last time."""
+    target = batch_id - 1
+    uptos = _compacted_uptos(spark, store_path)
+    m_star = max((m for m in uptos if m <= target), default=-1)
+    pending = [
+        b for b in _mg_batch_dirs(spark, store_path) if m_star < b <= target
+    ]
+    if target not in uptos:
+        if len(pending) < compact_every:
+            return
+        snap = _read_store(
+            spark, store_path, id_field, num_hashes, before_batch_id=target + 1
+        )
+        (
+            snap.withColumn("dp", F.substring("digest", 1, 1))
+            .repartition(16, "dp")
+            .write.partitionBy("dp")
+            .mode("overwrite")
+            .parquet(os.path.join(store_path, _COMPACT_ROOT, f"upto={target}"))
+        )
+    # deletion phase — reached only once upto=target is COMPLETE (just
+    # written, or found _SUCCESS-marked by a replay): everything it
+    # covers is unreachable by any future or replayed reader
+    fs, _ = _store_fs(spark, store_path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    for b in pending:
+        fs.delete(
+            jvm_path(os.path.join(store_path, f"batch_id={b}")), True
+        )
+    for m in uptos:
+        if m < target:
+            fs.delete(
+                jvm_path(
+                    os.path.join(store_path, _COMPACT_ROOT, f"upto={m}")
+                ),
+                True,
+            )
 
 
 def incremental_dedup_stream(
@@ -86,6 +205,7 @@ def incremental_dedup_stream(
     threshold: float = 0.5,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    compact_every: int | None = 16,
 ):
     """Start the stream; returns the StreamingQuery.
 
@@ -93,6 +213,10 @@ def incremental_dedup_stream(
     batch-backfill trigger); ``False`` runs continuously.
     ``max_files_per_trigger`` bounds batch size (and, in tests, forces
     one micro-batch per input file so cross-batch semantics are real).
+    ``compact_every`` folds the store's per-batch delta directories
+    into one digest-prefix-partitioned snapshot whenever that many are
+    pending (`_compact_store` — r13, bounds the store's file count and
+    the per-batch scan creep); ``None``/0 disables compaction.
     """
     from time_series_loader_spark.operators.dedup import incremental_dedup
 
@@ -111,6 +235,10 @@ def incremental_dedup_stream(
         surv.select(id_col, "digest", *mh_cols).write.mode("overwrite").parquet(
             f"{store_path}/batch_id={batch_id}"
         )
+        if compact_every:
+            _compact_store(
+                spark, store_path, batch_id, id_field, num_hashes, compact_every
+            )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

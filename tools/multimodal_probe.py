@@ -117,6 +117,17 @@ def main():
 
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     spark = get_spark()
+    # r13: the decode/resize kernels slot PIL in when installed
+    # (multimodal.py::_pil_image); the recorded byte rates are
+    # codec-dependent, so stamp which codec path this run measured
+    import importlib.util
+
+    pil = importlib.util.find_spec("PIL") is not None
+    print(
+        "codec path: "
+        + ("PIL installed (JPEG/PNG decode+resize active)" if pil
+           else "pure-Python BMP/WAV only (PIL absent)")
+    )
     print(f"{'factor':>6} {'rows':>7} {'MB':>8} " + " ".join(
         f"{op:>14}" for op in ("decode", "resize", "frame_sample", "extract_stub")
     ))

@@ -181,11 +181,18 @@ def drain_dedup(spark, n_batches: int) -> dict:
     import duckdb
 
     n_store = duckdb.sql(
-        f"SELECT count(*) FROM '{store}/*/*.parquet'"
+        f"SELECT count(*) FROM '{store}/**/*.parquet'"
     ).fetchone()[0]
     n_surv = duckdb.sql(
         f"SELECT count(*) FROM '{surv}/*/*.parquet'"
     ).fetchone()[0]
+    store_files = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _r, _d, files in os.walk(store)
+    )
+    delta_dirs = len(
+        [d for d in os.listdir(store) if d.startswith("batch_id=")]
+    )
     res = {
         "family": "incremental_dedup",
         "batches": n_batches,
@@ -194,6 +201,8 @@ def drain_dedup(spark, n_batches: int) -> dict:
         "store_rows": n_store,
         "survivor_rows": n_surv,
         "store_bytes": _dir_size(store),
+        "store_files": store_files,
+        "delta_dirs": delta_dirs,
     }
     shutil.rmtree(work, ignore_errors=True)
     return res
