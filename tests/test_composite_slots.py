@@ -63,7 +63,17 @@ def test_corpus_prep_sections_cover_corpus(rows, spark):
     secs = {}
     for r in out:
         secs.setdefault(r["section"], []).append(r)
-    assert set(secs) == {"chunk", "pack", "mix", "dsir", "normtext", "bpe"}
+    assert set(secs) == {
+        "chunk", "pack", "mix", "dsir", "normtext", "bpe", "bpe_learn"
+    }
+    # bpe_learn rows ARE the learned merge table (r13): dense ranks from
+    # 0, s1 = a␟b with non-empty halves
+    learn = sorted(secs["bpe_learn"], key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in learn] == list(range(len(learn)))
+    assert len(learn) >= 1
+    for r in learn:
+        a, b = r["s1"].split("\x1f")
+        assert a and b
     from time_series_loader_spark.session import read_table
 
     n_docs = read_table(spark, SF, "documents").count()

@@ -93,6 +93,14 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     again = read_time_partitioned(spark, path)
     assert again.where(F.col("p_date") == "2024-01-01").count() == 4  # untouched
     assert again.where(F.col("p_date") == "2024-01-02").count() == 1  # replaced
+    # r13 regression pin: dynamic mode must ride the WRITE, never the
+    # session conf — the leaked session conf suppressed _SUCCESS markers
+    # for every later partitioned overwrite and broke the dedup-store
+    # compaction's completeness protocol two modules away
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static").lower()
+        == "static"
+    )
 
 
 def test_bucketed_join_no_shuffle(spark, tmp_path):

@@ -317,7 +317,7 @@ def test_store_compaction_preserves_semantics_and_bounds_dirs(spark, tmp_path):
     snaps = os.listdir(os.path.join(store, "_compacted"))
     assert len(snaps) == 1 and snaps[0].startswith("upto=")
     snap_dir = os.path.join(store, "_compacted", snaps[0])
-    assert os.path.exists(os.path.join(snap_dir, "_SUCCESS"))
+    assert os.path.exists(os.path.join(snap_dir, "_TSL_COMPLETE"))
     assert any(d.startswith("dp=") for d in os.listdir(snap_dir))
 
     # store CONTENT equals the uncompacted store's

@@ -27,9 +27,6 @@ def write_time_partitioned(
     date/hour partitions. ``dynamic=True`` only replaces partitions present
     in ``df`` (incremental re-loads don't clobber history).
     """
-    spark = df.sparkSession
-    if dynamic:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = df.withColumn("p_date", F.to_date(ts_col))
     parts = ["p_date"]
     if granularity == "hour":
@@ -37,7 +34,16 @@ def write_time_partitioned(
         parts.append("p_hour")
     elif granularity != "day":
         raise ValueError("granularity must be 'day' or 'hour'")
-    out.write.mode(mode).partitionBy(*parts).parquet(path)
+    writer = out.write.mode(mode).partitionBy(*parts)
+    if dynamic:
+        # per-WRITE option, never the session conf: the r13 full-suite
+        # run caught the old `spark.conf.set(...)` leaking dynamic mode
+        # into every later partitioned overwrite in the session — under
+        # which Spark writes no _SUCCESS marker and only replaces
+        # partitions present in the new data (it silently broke the
+        # dedup-store compaction's completeness protocol two modules away)
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(path)
 
 
 def read_time_partitioned(spark, path: str) -> DataFrame:

@@ -31,13 +31,14 @@ deltas instead of every prior batch directory — the r12 drain probe's
 
 Compaction replay-safety (the same strict-before discipline as the
 reads): a batch compacts only batches STRICTLY BEFORE ITSELF
-(``upto = N-1``), writes the snapshot COMPLETELY (``_SUCCESS``-marked;
-an existing complete snapshot is never rewritten) before any deletion
+(``upto = N-1``), writes the snapshot COMPLETELY (marked complete by a
+driver-written ``_TSL_COMPLETE`` file — committer-agnostic; an
+existing complete snapshot is never rewritten) before any deletion
 starts, and readers prefer the newest complete snapshot < their batch
 id while ignoring deltas it already covers — so a crash between the
 snapshot write and the delta deletes double-covers rows harmlessly
 (the reader never reads both), and a crash mid-write leaves an
-ignored, ``_SUCCESS``-less directory that the replay overwrites. The
+ignored, marker-less directory that the replay overwrites. The
 underscore prefix keeps the snapshot tree invisible to the root
 partition-discovery read the deltas use.
 """
@@ -53,12 +54,20 @@ from pyspark.sql.types import StructType
 
 
 _COMPACT_ROOT = "_compacted"
+# driver-written completion marker: the committer's _SUCCESS is NOT a
+# reliable completion signal (dynamic partitionOverwriteMode and
+# marksuccessfuljobs=false both suppress it — the r13 full-suite run
+# caught a leaked dynamic mode deleting deltas behind a snapshot the
+# reader then refused to see). The driver creates this marker itself
+# after the write call returns; deletion keys off it, so a snapshot
+# without it is ALWAYS invisible and its inputs always intact.
+_COMPLETE_MARK = "_TSL_COMPLETE"
 
 
 def _compacted_uptos(spark: SparkSession, store_path: str) -> list[int]:
-    """``upto`` ids of COMPLETE (``_SUCCESS``-marked) compacted
-    snapshots. Incomplete snapshots (crash mid-write) are invisible —
-    the replay overwrites them."""
+    """``upto`` ids of COMPLETE (marker-carrying) compacted snapshots.
+    Incomplete snapshots (crash mid-write, or written-but-unmarked) are
+    invisible — the replay overwrites them."""
     root = os.path.join(store_path, _COMPACT_ROOT)
     fs, hpath = _store_fs(spark, root)
     if not fs.exists(hpath):
@@ -73,7 +82,7 @@ def _compacted_uptos(spark: SparkSession, store_path: str) -> list[int]:
             m = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        if fs.exists(jvm_path(os.path.join(root, name, "_SUCCESS"))):
+        if fs.exists(jvm_path(os.path.join(root, name, _COMPLETE_MARK))):
             out.append(m)
     return out
 
@@ -164,13 +173,25 @@ def _compact_store(
         snap = _read_store(
             spark, store_path, id_field, num_hashes, before_batch_id=target + 1
         )
+        snap_dir = os.path.join(store_path, _COMPACT_ROOT, f"upto={target}")
         (
             snap.withColumn("dp", F.substring("digest", 1, 1))
             .repartition(16, "dp")
             .write.partitionBy("dp")
             .mode("overwrite")
-            .parquet(os.path.join(store_path, _COMPACT_ROOT, f"upto={target}"))
+            # pin static overwrite per-write: under (possibly session-
+            # leaked) dynamic mode an overwrite only replaces partitions
+            # present in the new data, which is not the replace-the-
+            # whole-snapshot semantics this protocol needs
+            .option("partitionOverwriteMode", "static")
+            .parquet(snap_dir)
         )
+        # the driver's own completion marker — see _COMPLETE_MARK
+        fs, _ = _store_fs(spark, store_path)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        fs.create(
+            jvm_path(os.path.join(snap_dir, _COMPLETE_MARK)), True
+        ).close()
     # deletion phase — reached only once upto=target is COMPLETE (just
     # written, or found _SUCCESS-marked by a replay): everything it
     # covers is unreachable by any future or replayed reader
