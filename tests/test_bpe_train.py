@@ -82,3 +82,48 @@ def test_min_count_stopping_and_cap(spark):
     df2 = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
     out = train_bpe_merges(df2, "text", n_merges=2, min_count=2)
     assert len(out) == 2 and out == seq_train(_word_freq(["aaaa aaaa aaaa"]), 2)
+
+
+def test_state_dir_resume_is_bit_identical(spark, tmp_path):
+    """r13 restartable training: a fit persisted mid-run and resumed by
+    a fresh call must yield exactly the uninterrupted fit's merges
+    (prefix-stability of BPE), and a satisfied state short-circuits."""
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    straight = train_bpe_merges(df, "text", n_merges=20, min_count=2)
+    assert len(straight) == 13  # this corpus saturates at 13 (min_count stop)
+
+    state = str(tmp_path / "bpe_state")
+    first = train_bpe_merges(
+        df, "text", n_merges=8, min_count=2,
+        checkpoint_every=3, state_dir=state, persist_every=4,
+    )
+    assert first == straight[:8]
+    import os
+
+    gens = [d for d in os.listdir(state) if d.startswith("upto=")]
+    assert gens == ["upto=8"]  # completion persist, older gens swept
+    assert os.path.exists(os.path.join(state, "upto=8", "_TSL_COMPLETE"))
+
+    # resume to 20 — the corpus argument is only needed for a cold
+    # start; the persisted vocab is the state
+    resumed = train_bpe_merges(
+        df, "text", n_merges=20, min_count=2, state_dir=state,
+    )
+    assert resumed == straight
+    # satisfied state: returns the stored prefix without training
+    assert train_bpe_merges(df, "text", n_merges=5, min_count=2, state_dir=state) == straight[:5]
+
+
+def test_state_dir_ignores_unmarked_generation(spark, tmp_path):
+    """A generation without the driver's completion marker (crash
+    mid-persist) must be invisible — the fit restarts cleanly."""
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    state = str(tmp_path / "bpe_state")
+    train_bpe_merges(
+        df, "text", n_merges=6, min_count=2, state_dir=state
+    )
+    import os
+
+    os.remove(os.path.join(state, "upto=6", "_TSL_COMPLETE"))
+    out = train_bpe_merges(df, "text", n_merges=6, min_count=2, state_dir=state)
+    assert out == train_bpe_merges(df, "text", n_merges=6, min_count=2)

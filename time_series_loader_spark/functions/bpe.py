@@ -262,6 +262,59 @@ class _CkptTracker:
         self._generations.clear()
 
 
+_STATE_MARK = "_TSL_COMPLETE"
+
+
+def _hfs(spark, path: str):
+    """(Hadoop FileSystem, Path) through Spark's own filesystem layer —
+    the training state must live wherever the cluster's storage is
+    (HDFS/S3/file://), same rationale as `streaming.incremental._store_fs`."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), hpath
+
+
+def _state_generations(spark, state_dir: str) -> list[int]:
+    """Merge counts of COMPLETE persisted training generations
+    (driver-marker discipline — see streaming.incremental._COMPLETE_MARK:
+    the committer's _SUCCESS is not a reliable completion signal)."""
+    fs, hpath = _hfs(spark, state_dir)
+    if not fs.exists(hpath):
+        return []
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    out = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not name.startswith("upto="):
+            continue
+        try:
+            k = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if fs.exists(jvm_path(os.path.join(state_dir, name, _STATE_MARK))):
+            out.append(k)
+    return out
+
+
+def _persist_state(spark, state_dir: str, vocab: DataFrame, merges: list) -> None:
+    """Write one complete training generation: the (materialized) vocab
+    state + the merges learned so far, marked complete by the driver
+    AFTER both writes return, then older generations deleted — the
+    write-completely-then-delete protocol, so a crash at any point
+    leaves either the previous complete generation or both."""
+    gen = os.path.join(state_dir, f"upto={len(merges)}")
+    vocab.write.mode("overwrite").parquet(os.path.join(gen, "vocab"))
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank INT, a STRING, b STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(gen, "merges"))
+    fs, _ = _hfs(spark, state_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs.create(jvm_path(os.path.join(gen, _STATE_MARK)), True).close()
+    for k in _state_generations(spark, state_dir):
+        if k < len(merges):
+            fs.delete(jvm_path(os.path.join(state_dir, f"upto={k}")), True)
+
+
 def train_bpe_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -269,6 +322,8 @@ def train_bpe_merges(
     min_count: int = 2,
     checkpoint_every: int = 4,
     stats: list | None = None,
+    state_dir: str | None = None,
+    persist_every: int = 16,
 ) -> list[tuple[str, str]]:
     """DISTRIBUTED BPE training (Sennrich et al. 2016) — learn the merge
     table from a corpus, bit-identical to the sequential reference
@@ -319,28 +374,61 @@ def train_bpe_merges(
 
     Scale shape: after the first pass, per-merge cost is sized by the
     words the merge touches (plus one pairs-frame argmax), and the
-    100 TB corpus term appears exactly once. For real tokenizer
-    training (32k merges) the same loop applies; production would
-    persist the state frames to tables every few hundred merges
-    instead of localCheckpoint (same contract, restartable).
+    100 TB corpus term appears exactly once.
+
+    RESTARTABILITY (r13): ``state_dir`` makes the fit resumable — a
+    32k-merge production fit runs for days and must survive driver
+    loss. Every ``persist_every`` merges (applied at checkpoint
+    boundaries, and once more on completion) the vocab state and the
+    merges learned so far are written to
+    ``state_dir/upto=<merges_done>/`` as parquet, marked complete by a
+    driver-written ``_TSL_COMPLETE`` file AFTER the writes return (the
+    committer's _SUCCESS is not a reliable completion signal — see
+    streaming.incremental), then older generations are deleted. A
+    later call with the same ``state_dir`` resumes from the newest
+    complete generation (pair counts are recomputed from the persisted
+    vocab — one vocab-sized job, cheaper than keeping them consistent
+    on disk); BPE training is prefix-stable, so a resumed fit is
+    bit-identical to an uninterrupted one (test-pinned), and raising
+    ``n_merges`` against an existing state continues the same fit. The
+    state is specific to the (corpus, text_col, min_count) it was
+    trained on — callers key the directory accordingly.
     """
     spark = df.sparkSession
     lit0 = F.lit(0).cast("long")
     ckpts = _CkptTracker(spark)
-    vocab = ckpts.checkpoint(
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("seq", F.split(F.col("w"), "")),
-        "vocab",
-    )
+    merges: list[tuple[str, str]] = []
+    vocab = None
+    if state_dir:
+        gens = _state_generations(spark, state_dir)
+        if gens:
+            gen = os.path.join(state_dir, f"upto={max(gens)}")
+            merges = [
+                (r["a"], r["b"])
+                for r in spark.read.parquet(os.path.join(gen, "merges"))
+                .orderBy("rank")
+                .collect()
+            ]
+            if len(merges) >= n_merges:
+                return merges[:n_merges]  # prefix-stability of BPE
+            vocab = ckpts.checkpoint(
+                spark.read.parquet(os.path.join(gen, "vocab")), "vocab"
+            )
+    if vocab is None:
+        vocab = ckpts.checkpoint(
+            df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .withColumn("seq", F.split(F.col("w"), "")),
+            "vocab",
+        )
     pairs = ckpts.checkpoint(_pair_counts(vocab), "pairs")
     n_parts = vocab.rdd.getNumPartitions()
-    merges: list[tuple[str, str]] = []
     since_ckpt = 0
+    last_persist = len(merges)
     try:
-        for _ in range(n_merges):
+        while len(merges) < n_merges:
             t_merge = time.monotonic() if stats is not None else 0.0
             best = (
                 pairs.agg(
@@ -437,6 +525,9 @@ def train_bpe_merges(
                 # generations it referenced are now dead weight
                 ckpts.release_prefix("touched-")
                 since_ckpt = 0
+                if state_dir and len(merges) - last_persist >= persist_every:
+                    _persist_state(spark, state_dir, vocab, merges)
+                    last_persist = len(merges)
             if stats is not None:
                 stats.append(
                     {
@@ -447,6 +538,11 @@ def train_bpe_merges(
                         "wall_s": time.monotonic() - t_merge,
                     }
                 )
+        # completion persist (also covers the min_count early stop):
+        # inside the try so live touched generations the lazy vocab may
+        # reference are still materialized
+        if state_dir and len(merges) > last_persist:
+            _persist_state(spark, state_dir, vocab, merges)
     finally:
         # state frames are working memory, not a result — release every
         # tracked checkpoint generation's blocks explicitly
