@@ -289,3 +289,32 @@ def test_decontaminate_strip_step(spark, corpus):
     # the numeric doc shares no 8-gram -> byte-identical
     assert out[13] == "numbers 1 2 3 4 5 6 7 8 9 10 11 12"
     assert p.steps_applied == ["decontam_strip(8-gram,±0)"]
+
+
+def test_decontaminate_accepts_benchmark_dataframe(spark, corpus):
+    """r13: both decontamination steps take a DataFrame of benchmark
+    TEXTS (eval suites are tables) and must match the list form row for
+    row — the DataFrame path is the broadcast join / anchor-join form."""
+    bdf = spark.createDataFrame([(BENCH,)], "text string")
+    drop_list = {
+        r["doc_id"]
+        for r in CorpusPipeline(corpus, "doc_id", "text")
+        .decontaminate([BENCH], n=8, max_hits=0).df().collect()
+    }
+    drop_df = {
+        r["doc_id"]
+        for r in CorpusPipeline(corpus, "doc_id", "text")
+        .decontaminate(bdf, n=8, max_hits=0).df().collect()
+    }
+    assert drop_df == drop_list
+    strip_list = {
+        r["doc_id"]: r["text"]
+        for r in CorpusPipeline(corpus, "doc_id", "text")
+        .decontaminate_strip([BENCH], n=8).df().collect()
+    }
+    strip_df = {
+        r["doc_id"]: r["text"]
+        for r in CorpusPipeline(corpus, "doc_id", "text")
+        .decontaminate_strip(bdf, n=8).df().collect()
+    }
+    assert strip_df == strip_list

@@ -124,25 +124,48 @@ class CorpusPipeline:
         return self
 
     def decontaminate(
-        self, benchmark_texts: Sequence[str], n: int = 8, max_hits: int = 0
+        self,
+        benchmark_texts: Sequence[str] | DataFrame,
+        n: int = 8,
+        max_hits: int = 0,
     ) -> "CorpusPipeline":
         """Drop documents sharing more than ``max_hits`` word n-grams
         with the benchmark suite (`operators/decontam.py::decontaminate`
         — dispatches literal-expression vs broadcast-join form on
-        benchmark size)."""
-        from time_series_loader_spark.operators.decontam import decontaminate, ngram_set
-
-        bench = ngram_set(benchmark_texts, n)
-        self._df = (
-            decontaminate(self._df, self.text_col, self.id_col, bench, n=n)
-            .where(F.col("n_contam") <= max_hits)
-            .drop("n_contam")
+        benchmark size). ``benchmark_texts`` may be a DataFrame of
+        benchmark TEXTS (column ``text``) — real eval suites are
+        tables; the DataFrame path is the broadcast semi-join form
+        (`decontam.contamination`), never a driver-side collect (r13)."""
+        from time_series_loader_spark.operators.decontam import (
+            contamination,
+            decontaminate,
+            ngram_set,
         )
+
+        if isinstance(benchmark_texts, DataFrame):
+            bdf = benchmark_texts
+            if self.id_col not in bdf.columns:
+                bdf = bdf.withColumn(
+                    self.id_col, F.monotonically_increasing_id()
+                )
+            scored = contamination(
+                self._df, self.text_col, self.id_col, bdf,
+                bench_text_col="text", bench_id_col=self.id_col, n=n,
+            )
+        else:
+            bench = ngram_set(benchmark_texts, n)
+            scored = decontaminate(
+                self._df, self.text_col, self.id_col, bench, n=n
+            )
+        self._df = scored.where(F.col("n_contam") <= max_hits).drop("n_contam")
         self.steps_applied.append(f"decontam({n}-gram)")
         return self
 
     def decontaminate_strip(
-        self, benchmark_texts: Sequence[str], n: int = 8, margin: int = 0
+        self,
+        benchmark_texts: Sequence[str] | DataFrame,
+        n: int = 8,
+        margin: int = 0,
     ) -> "CorpusPipeline":
         """SURGICAL decontamination (r12): remove only the contaminated
         spans (benchmark-colliding word n-grams ± ``margin`` tokens)
@@ -153,17 +176,37 @@ class CorpusPipeline:
         ``quality_filter`` (their length score is 0) or filter
         ``length(text) > 0``. Rewritten docs come back
         whitespace-normalized (`decontam.strip_contamination` rebuild
-        contract); untouched docs byte-identical."""
+        contract); untouched docs byte-identical.
+
+        ``benchmark_texts`` may be a DataFrame of benchmark TEXTS
+        (column ``text``, or pass through a pre-built suite with
+        `decontam.benchmark_ngrams` yourself) — real eval suites are
+        tables, and the DataFrame path always takes the broadcast-
+        joined anchor prefilter (r13)."""
         from time_series_loader_spark.operators.decontam import (
             ngram_set,
             strip_contamination,
         )
 
-        bench = ngram_set(benchmark_texts, n)
-        cleaned = strip_contamination(
-            self._df.select(self.id_col, self.text_col),
-            self.text_col, self.id_col, bench, n=n, margin=margin,
-        )
+        if isinstance(benchmark_texts, DataFrame):
+            bdf = benchmark_texts
+            if self.id_col not in bdf.columns:
+                # the shingler keys by id; suite row identity is
+                # irrelevant post-distinct, any unique id serves
+                bdf = bdf.withColumn(
+                    self.id_col, F.monotonically_increasing_id()
+                )
+            cleaned = strip_contamination(
+                self._df.select(self.id_col, self.text_col),
+                self.text_col, self.id_col, n=n, margin=margin,
+                bench_df=bdf, bench_id_col=self.id_col,
+            )
+        else:
+            bench = ngram_set(benchmark_texts, n)
+            cleaned = strip_contamination(
+                self._df.select(self.id_col, self.text_col),
+                self.text_col, self.id_col, bench, n=n, margin=margin,
+            )
         self._df = self._df.drop(self.text_col).join(cleaned, self.id_col)
         self.steps_applied.append(f"decontam_strip({n}-gram,±{margin})")
         return self
