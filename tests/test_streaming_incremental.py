@@ -378,3 +378,46 @@ def test_compaction_ignores_covered_leftover_deltas(spark, tmp_path):
     st = _read_store(spark, store, SCHEMA["doc_id"], 16, 10**6)
     ids = [r["doc_id"] for r in st.select("doc_id").collect()]
     assert len(ids) == len(set(ids))  # the ghost delta contributed nothing
+
+
+def test_public_compact_signature_store(spark, tmp_path):
+    """Batch-mode maintenance entry: fold whatever the store holds into
+    one complete snapshot, content-identical, idempotent, and still
+    correct for the next increment."""
+    from time_series_loader_spark.streaming.incremental import (
+        _read_store,
+        compact_signature_store,
+    )
+
+    inp, store, surv, ckpt = (str(tmp_path / d) for d in ("in", "st", "sv", "ck"))
+    os.makedirs(inp)
+    _gen_batches(inp, 5)
+    _drain_compact(spark, inp, store, surv, ckpt, None)  # no auto-compaction
+
+    def store_ids():
+        return {
+            r["doc_id"]
+            for r in _read_store(spark, store, SCHEMA["doc_id"], 16, 10**6).collect()
+        }
+
+    before = store_ids()
+    compact_signature_store(spark, store, SCHEMA["doc_id"], 16)
+    assert store_ids() == before
+    assert [d for d in os.listdir(store) if d.startswith("batch_id=")] == []
+    snaps = os.listdir(os.path.join(store, "_compacted"))
+    assert len(snaps) == 1
+    compact_signature_store(spark, store, SCHEMA["doc_id"], 16)  # idempotent
+    assert store_ids() == before
+    # the next stream increment dedups against the compacted store
+    _write_file(
+        f"{inp}/f5.parquet",
+        [(50, "batch zero words w0 w1 w2 w3 w4 w5 w6"),
+         (51, "a post-maintenance genuinely fresh document body")],
+        1_700_000_010,
+    )
+    _drain_compact(spark, inp, store, surv, ckpt, None)
+    surv5 = {
+        r["doc_id"]
+        for r in spark.read.parquet(surv).where(F.col("batch_id") == 5).collect()
+    }
+    assert surv5 == {51}

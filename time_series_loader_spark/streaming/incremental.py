@@ -211,6 +211,31 @@ def _compact_store(
             )
 
 
+def compact_signature_store(
+    spark: SparkSession,
+    store_path: str,
+    id_field,
+    num_hashes: int = 16,
+) -> None:
+    """PUBLIC batch-mode store maintenance (the daily operating mode:
+    callers running `operators.dedup.incremental_dedup` themselves and
+    appending ``batch_id=N`` delta directories): fold everything
+    currently in the store into one digest-prefix-partitioned complete
+    snapshot, exactly the stream's `_compact_store` protocol (write
+    completely → driver marker → delete covered inputs), so the next
+    increment scans one snapshot instead of every prior delta.
+    Safe to run any time no batch is concurrently writing; a crash at
+    any point leaves a readable store (the marker discipline)."""
+    deltas = _mg_batch_dirs(spark, store_path)
+    uptos = _compacted_uptos(spark, store_path)
+    if not deltas and len(uptos) <= 1:
+        return  # nothing to fold
+    newest = max(deltas + uptos)
+    _compact_store(
+        spark, store_path, newest + 1, id_field, num_hashes, compact_every=1
+    )
+
+
 def incremental_dedup_stream(
     spark: SparkSession,
     input_path: str,
