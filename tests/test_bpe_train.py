@@ -127,3 +127,29 @@ def test_state_dir_ignores_unmarked_generation(spark, tmp_path):
     os.remove(os.path.join(state, "upto=6", "_TSL_COMPLETE"))
     out = train_bpe_merges(df, "text", n_merges=6, min_count=2, state_dir=state)
     assert out == train_bpe_merges(df, "text", n_merges=6, min_count=2)
+
+
+def test_trainer_randomized_dense_tie_corpora(spark):
+    """Randomized differential: on dense-tie corpora (two-letter
+    alphabet -> many equal pair counts, the deterministic tie-break's
+    worst case, plus self-pair cascades), the distributed incremental
+    trainer equals the sequential reference exactly. Seeded random
+    (not hypothesis: a Spark fit inside a hypothesis example trips the
+    py4j recursion-limit warning under the suite's warnings-as-errors
+    policy); 5 trials, each a real fit with mid-cadence checkpoints."""
+    import random
+
+    rng = random.Random(13)
+    for _trial in range(5):
+        texts = [
+            " ".join(
+                "".join(rng.choice("ab") for _ in range(rng.randint(1, 5)))
+                for _ in range(rng.randint(3, 10))
+            )
+            for _ in range(rng.randint(2, 5))
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        dist = train_bpe_merges(
+            df, "text", n_merges=6, min_count=2, checkpoint_every=2
+        )
+        assert dist == seq_train(_word_freq(texts), 6), texts
