@@ -518,6 +518,12 @@ def train_bpe_merges(
                 .unionByName(merged)
                 .coalesce(n_parts)
             )
+            # count BEFORE the cadence branch below can release the
+            # touched generation — a count() on a released
+            # localCheckpoint is unrecoverable (and unpersist(False) is
+            # non-blocking, so it only fails under memory pressure —
+            # the worst kind of latent bug; caught by the zipf rig)
+            n_touched = touched.count() if stats is not None else 0
             since_ckpt += 1
             if since_ckpt >= checkpoint_every:
                 vocab = ckpts.checkpoint(vocab, "vocab")
@@ -534,7 +540,7 @@ def train_bpe_merges(
                         "rank": len(merges) - 1,
                         "a": a,
                         "b": b,
-                        "n_touched": touched.count(),
+                        "n_touched": n_touched,
                         "wall_s": time.monotonic() - t_merge,
                     }
                 )

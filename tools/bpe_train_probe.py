@@ -32,8 +32,17 @@ with per-merge instrumentation (the trainer's ``stats`` hook) and
 prints mean per-merge wall by touched-count quartile — within a single
 corpus, cost should fall with the touched fraction.
 
+``--zipf`` builds a NATURAL-shaped corpus (100k docs × 30 tokens,
+~50k-word vocabulary with Zipf-ish rank frequencies via a
+deterministic log-uniform inverse CDF, words spelled in letters) and
+runs one instrumented 30-merge fit: per-merge touched counts span
+orders of magnitude on such a vocabulary (early merges touch huge
+slices, later ones thin tails), so wall-vs-touched on this rig is the
+realistic-data version of the shards-axis claim.
+
 Usage: python tools/bpe_train_probe.py [factors ...]   # default 1 10 100
        python tools/bpe_train_probe.py --touched
+       python tools/bpe_train_probe.py --zipf
 """
 
 from __future__ import annotations
@@ -140,6 +149,52 @@ def touched_mode(spark, factor: int = 100):
     )
 
 
+def zipf_mode(spark, n_docs: int = 100_000, doc_len: int = 30,
+              v_max: int = 50_000, n_merges: int = 30):
+    """One instrumented fit over a Zipf-shaped vocabulary — the
+    realistic-data wall-vs-touched record."""
+    from time_series_loader_spark.functions.bpe import train_bpe_merges
+
+    # deterministic log-uniform rank (≈ Zipf(1) inverse CDF), spelled
+    # in letters so character-pair structure is word-like
+    u = (F.xxhash64(F.col("i"), F.col("j")).cast("double") / F.lit(2.0**63) + 1.0) / 2.0
+    rank = F.floor(F.exp(u * F.log(F.lit(float(v_max))))).cast("long")
+    word = F.translate(rank.cast("string"), "0123456789", "abcdefghij")
+    docs = (
+        spark.range(n_docs, numPartitions=32)
+        .select(F.col("id").alias("i"), F.explode(F.sequence(F.lit(1), F.lit(doc_len))).alias("j"))
+        .select("i", word.alias("w"))
+        .groupBy("i")
+        .agg(F.concat_ws(" ", F.collect_list("w")).alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    n_vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.countDistinct("w")).collect()[0][0]
+    )
+    stats: list[dict] = []
+    import time as _t
+
+    t0 = _t.time()
+    merges = train_bpe_merges(docs, "text", n_merges=n_merges, min_count=2, stats=stats)
+    wall = _t.time() - t0
+    print(f"zipf rig: {n_docs} docs, vocab {n_vocab}, {len(merges)} merges, {wall:.1f}s total")
+    print(f"{'rank':>5} {'pair':>12} {'touched':>9} {'touched%':>9} {'wall':>7}")
+    for s in stats:
+        print(f"{s['rank']:>5} {s['a']+'+'+s['b']:>12} {s['n_touched']:>9} "
+              f"{100.0*s['n_touched']/n_vocab:>8.1f}% {s['wall_s']:>6.2f}s")
+    ordered = sorted(stats, key=lambda s: s["n_touched"])
+    lo = ordered[: len(ordered) // 3]
+    hi = ordered[-len(ordered) // 3 :]
+    print(
+        f"bottom-third touched (mean {sum(s['n_touched'] for s in lo)/len(lo):.0f} words): "
+        f"{sum(s['wall_s'] for s in lo)/len(lo):.2f}s/merge ; "
+        f"top-third touched (mean {sum(s['n_touched'] for s in hi)/len(hi):.0f} words): "
+        f"{sum(s['wall_s'] for s in hi)/len(hi):.2f}s/merge"
+    )
+    docs.unpersist()
+
+
 def main():
     from time_series_loader_spark.session import get_spark
 
@@ -147,6 +202,9 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     if "--touched" in sys.argv:
         touched_mode(spark)
+        return
+    if "--zipf" in sys.argv:
+        zipf_mode(spark)
         return
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     print(f"{'axis':>7} {'V/C':>5} {'vocab':>9} {'T0 (state build)':>17} "
