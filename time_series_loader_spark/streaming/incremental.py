@@ -153,6 +153,7 @@ def _compact_store(
     id_field,
     num_hashes: int,
     compact_every: int,
+    dp_chars: int = 1,
 ) -> None:
     """Fold delta directories ≤ ``batch_id − 1`` into one
     digest-prefix-partitioned snapshot, then delete what it covers.
@@ -175,8 +176,11 @@ def _compact_store(
         )
         snap_dir = os.path.join(store_path, _COMPACT_ROOT, f"upto={target}")
         (
-            snap.withColumn("dp", F.substring("digest", 1, 1))
-            .repartition(16, "dp")
+            # dp_chars hex chars of the digest: 16^dp_chars buckets
+            # (1 → 16 for local scale; production uses 2 → 256 so each
+            # bucket stays executor-memory-sized at a 10^10-doc store)
+            snap.withColumn("dp", F.substring("digest", 1, dp_chars))
+            .repartition(16 ** dp_chars, "dp")
             .write.partitionBy("dp")
             .mode("overwrite")
             # pin static overwrite per-write: under (possibly session-
@@ -216,6 +220,7 @@ def compact_signature_store(
     store_path: str,
     id_field,
     num_hashes: int = 16,
+    dp_chars: int = 1,
 ) -> None:
     """PUBLIC batch-mode store maintenance (the daily operating mode:
     callers running `operators.dedup.incremental_dedup` themselves and
@@ -232,7 +237,8 @@ def compact_signature_store(
         return  # nothing to fold
     newest = max(deltas + uptos)
     _compact_store(
-        spark, store_path, newest + 1, id_field, num_hashes, compact_every=1
+        spark, store_path, newest + 1, id_field, num_hashes,
+        compact_every=1, dp_chars=dp_chars,
     )
 
 
