@@ -29,6 +29,18 @@ reads ONE compacted snapshot plus at most ``compact_every`` recent
 deltas instead of every prior batch directory — the r12 drain probe's
 1.39× per-batch creep at B=100 was exactly this file-count share.
 
+Compaction COST posture, stated honestly: each fold rewrites the
+whole store (one snapshot in, one out), so a drain of B batches pays
+O(B²/compact_every) total snapshot bytes — trivial while the store is
+signature-width and compactions are periodic, and the measured drain
+is flat to B=100. At a 10¹⁰-doc store the standard fix is TIERED
+compaction (deltas → small runs → rare major folds, LSM-style);
+``compact_every`` is the knob to stretch first (the per-batch scan
+reads compact_every deltas + one snapshot either way). The marker /
+strict-before machinery below carries over to tiers unchanged; the
+one extension tiering needs is a reader that unions several
+non-overlapping runs instead of exactly one snapshot.
+
 Compaction replay-safety (the same strict-before discipline as the
 reads): a batch compacts only batches STRICTLY BEFORE ITSELF
 (``upto = N-1``), writes the snapshot COMPLETELY (marked complete by a
