@@ -318,3 +318,20 @@ def test_decontaminate_accepts_benchmark_dataframe(spark, corpus):
         .decontaminate_strip(bdf, n=8).df().collect()
     }
     assert strip_df == strip_list
+    # bench_text_col passthrough (r13 review): a suite frame whose text
+    # column is NOT named 'text' works on both steps
+    bdf2 = spark.createDataFrame([(BENCH,)], "prompt string")
+    drop_df2 = {
+        r["doc_id"]
+        for r in CorpusPipeline(corpus, "doc_id", "text")
+        .decontaminate(bdf2, n=8, max_hits=0, bench_text_col="prompt")
+        .df().collect()
+    }
+    assert drop_df2 == drop_list
+    strip_df2 = {
+        r["doc_id"]: r["text"]
+        for r in CorpusPipeline(corpus, "doc_id", "text")
+        .decontaminate_strip(bdf2, n=8, bench_text_col="prompt")
+        .df().collect()
+    }
+    assert strip_df2 == strip_list

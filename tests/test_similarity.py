@@ -324,13 +324,16 @@ def _fake_pil(monkeypatch):
             return FakeImg(size, self.format)
 
         def save(self, buf, format=None):
-            assert format == "JPEG"
-            buf.write(b"\xff\xd8" + bytes(self.size))
+            assert format == self.format
+            head = b"BM" if format == "BMP" else b"\xff\xd8"
+            buf.write(head + bytes(self.size))
 
     image_mod = types.ModuleType("PIL.Image")
 
     def _open(fp):
         data = fp.read()
+        if data.startswith(b"BM"):  # real PIL decodes BMP variants too
+            return FakeImg((9, 9), "BMP")
         if not data.startswith(b"\xff\xd8"):
             raise ValueError("not a jpeg")
         return FakeImg((data[2], data[3]))
@@ -365,6 +368,14 @@ def test_pil_slot_in_decode_and_resize(monkeypatch):
     from time_series_loader_spark.operators.multimodal import make_bmp
 
     assert decode_payload(make_bmp(5, 4))["width"] == 5
+    bmp = bytearray(make_bmp(5, 4))
+    assert resize_payload(bytes(bmp), 2, 2)[:2] == b"BM"  # pure kernel
+    # a BMP VARIANT the pure kernel refuses (top-down: negative height)
+    # must FALL THROUGH to the codec instead of failing (r13 review)
+    import struct
+
+    struct.pack_into("<i", bmp, 22, -4)
+    assert resize_payload(bytes(bmp), 2, 2) == b"BM" + bytes([2, 2])
 
 
 def test_pil_absent_unknown_format_raises_honestly():

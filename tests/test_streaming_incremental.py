@@ -378,6 +378,19 @@ def test_compaction_ignores_covered_leftover_deltas(spark, tmp_path):
     st = _read_store(spark, store, SCHEMA["doc_id"], 16, 10**6)
     ids = [r["doc_id"] for r in st.select("doc_id").collect()]
     assert len(ids) == len(set(ids))  # the ghost delta contributed nothing
+    # ... and the next maintenance pass SWEEPS it (r13 review finding:
+    # the deletion phase must cover ALL deltas <= target, not only the
+    # replay's empty pending set, or crash leftovers orphan forever)
+    from time_series_loader_spark.streaming.incremental import (
+        compact_signature_store,
+    )
+
+    compact_signature_store(spark, store, SCHEMA["doc_id"], 16)
+    leftover = [
+        d for d in os.listdir(store)
+        if d.startswith("batch_id=") and int(d.split("=")[1]) <= covered
+    ]
+    assert leftover == []
 
 
 def test_public_compact_signature_store(spark, tmp_path):

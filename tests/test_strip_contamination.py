@@ -270,3 +270,36 @@ def test_whitespace_contract_on_touched_docs(spark):
     out = _strip_map(df, benchmark=BENCH, n=N)
     assert out[10] == docs[10 - 10][1]          # untouched: bytes preserved
     assert out[11] == "keep1 keep2 keep3 keep4"  # touched: single-spaced
+
+
+def test_strip_counts_dataframe_benchmark_and_override(spark, corpus):
+    """r13 review findings: strip_counts accepts an ngram DataFrame
+    (always the join form) and honors an explicit max_expr_ngrams
+    ABOVE the module crossover (the guard must not re-raise on an
+    opted-in caller)."""
+    import time_series_loader_spark.operators.decontam as dmod
+    from time_series_loader_spark.operators.decontam import strip_counts
+
+    list_form = {
+        r["doc_id"]: r["n_strip"]
+        for r in strip_counts(corpus, "text", "doc_id", BENCH, n=N).collect()
+    }
+    bng = spark.createDataFrame([(g,) for g in BENCH], "ngram string")
+    df_form = {
+        r["doc_id"]: r["n_strip"]
+        for r in strip_counts(corpus, "text", "doc_id", bng, n=N).collect()
+    }
+    assert df_form == list_form
+    orig = dmod.EXPR_FORM_MAX_NGRAMS
+    dmod.EXPR_FORM_MAX_NGRAMS = 2  # below len(BENCH)
+    try:
+        opted_in = {
+            r["doc_id"]: r["n_strip"]
+            for r in strip_counts(
+                corpus, "text", "doc_id", BENCH, n=N,
+                max_expr_ngrams=10_000,  # explicit caller opt-in wins
+            ).collect()
+        }
+    finally:
+        dmod.EXPR_FORM_MAX_NGRAMS = orig
+    assert opted_in == list_form

@@ -46,6 +46,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from time_series_loader_spark import fsutil
+
 MERGES_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "resources",
@@ -262,37 +264,14 @@ class _CkptTracker:
         self._generations.clear()
 
 
-_STATE_MARK = "_TSL_COMPLETE"
-
-
-def _hfs(spark, path: str):
-    """(Hadoop FileSystem, Path) through Spark's own filesystem layer —
-    the training state must live wherever the cluster's storage is
-    (HDFS/S3/file://), same rationale as `streaming.incremental._store_fs`."""
-    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), hpath
+_STATE_MARK = fsutil.COMPLETE_MARK
 
 
 def _state_generations(spark, state_dir: str) -> list[int]:
     """Merge counts of COMPLETE persisted training generations
-    (driver-marker discipline — see streaming.incremental._COMPLETE_MARK:
+    (the driver-marker discipline — see `time_series_loader_spark.fsutil`:
     the committer's _SUCCESS is not a reliable completion signal)."""
-    fs, hpath = _hfs(spark, state_dir)
-    if not fs.exists(hpath):
-        return []
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    out = []
-    for status in fs.listStatus(hpath):
-        name = status.getPath().getName()
-        if not name.startswith("upto="):
-            continue
-        try:
-            k = int(name.split("=", 1)[1])
-        except ValueError:
-            continue
-        if fs.exists(jvm_path(os.path.join(state_dir, name, _STATE_MARK))):
-            out.append(k)
-    return out
+    return fsutil.complete_generations(spark, state_dir, "upto")
 
 
 def _persist_state(spark, state_dir: str, vocab: DataFrame, merges: list) -> None:
@@ -307,12 +286,10 @@ def _persist_state(spark, state_dir: str, vocab: DataFrame, merges: list) -> Non
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank INT, a STRING, b STRING",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(gen, "merges"))
-    fs, _ = _hfs(spark, state_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    fs.create(jvm_path(os.path.join(gen, _STATE_MARK)), True).close()
+    fsutil.write_complete_marker(spark, gen)
     for k in _state_generations(spark, state_dir):
         if k < len(merges):
-            fs.delete(jvm_path(os.path.join(state_dir, f"upto={k}")), True)
+            fsutil.delete_dir(spark, os.path.join(state_dir, f"upto={k}"))
 
 
 def train_bpe_merges(

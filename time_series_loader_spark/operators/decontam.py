@@ -134,7 +134,11 @@ def contamination_expr_text(
 
 
 def strip_count_expr(
-    toks: Column, benchmark: Sequence[str], n: int = 8, margin: int = 0
+    toks: Column,
+    benchmark: Sequence[str],
+    n: int = 8,
+    margin: int = 0,
+    max_ngrams: int | None = None,
 ) -> Column:
     """How many token positions :func:`strip_contamination` would remove
     — as a pure Column over a pre-tokenized array (the zero-join literal
@@ -153,17 +157,21 @@ def strip_count_expr(
     against the (usually tiny) hit set.
 
     This is the zero-join LITERAL form: every benchmark n-gram rides
-    the plan as a Literal, so it raises past ``EXPR_FORM_MAX_NGRAMS``
-    (ADVICE r12) — larger suites take :func:`strip_counts` (the
-    dispatcher) or :func:`contaminated_positions` (broadcast-join
-    form) instead of silently walking into the codegen-bloat trap
-    documented at the constant's definition."""
-    if len(benchmark) > EXPR_FORM_MAX_NGRAMS:
+    the plan as a Literal, so it raises past ``max_ngrams`` (default:
+    the module's ``EXPR_FORM_MAX_NGRAMS``; ADVICE r12) — larger suites
+    take :func:`strip_counts` (the dispatcher) or
+    :func:`contaminated_positions` (broadcast-join form) instead of
+    silently walking into the codegen-bloat trap documented at the
+    constant's definition. A dispatcher that already consulted its own
+    crossover passes it through here so an explicit caller opt-in is
+    honored (r13 review finding)."""
+    if max_ngrams is None:
+        max_ngrams = EXPR_FORM_MAX_NGRAMS
+    if len(benchmark) > max_ngrams:
         raise ValueError(
             f"strip_count_expr embeds {len(benchmark)} benchmark n-grams "
-            f"as plan literals (> EXPR_FORM_MAX_NGRAMS="
-            f"{EXPR_FORM_MAX_NGRAMS}); use strip_counts() — it dispatches "
-            f"to the broadcast-join form (contaminated_positions)"
+            f"as plan literals (> {max_ngrams}); use strip_counts() — it "
+            f"dispatches to the broadcast-join form (contaminated_positions)"
         )
     if not benchmark:
         return F.lit(0).cast("long")
@@ -461,7 +469,7 @@ def strip_counts(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    benchmark: Sequence[str],
+    benchmark: Sequence[str] | DataFrame,
     n: int = 8,
     margin: int = 0,
     count_col: str = "n_strip",
@@ -482,10 +490,15 @@ def strip_counts(
     already carries the array)."""
     if max_expr_ngrams is None:
         max_expr_ngrams = EXPR_FORM_MAX_NGRAMS
-    if len(benchmark) <= max_expr_ngrams:
+    if isinstance(benchmark, DataFrame):
+        pass  # an ngram frame always takes the join form below (r13)
+    elif len(benchmark) <= max_expr_ngrams:
         toks = F.col(toks_col) if toks_col else tokens(text_col)
         return df.withColumn(
-            count_col, strip_count_expr(toks, benchmark, n, margin)
+            count_col,
+            strip_count_expr(
+                toks, benchmark, n, margin, max_ngrams=max_expr_ngrams
+            ),
         )
     pos = contaminated_positions(df, text_col, id_col, benchmark, n, margin)
     counts = pos.groupBy(id_col).agg(F.count(F.lit(1)).alias(count_col))

@@ -341,15 +341,21 @@ def sample_wav_frames(p: bytes, every: int) -> bytes:
 
 
 def resize_payload(p: bytes, out_w: int, out_h: int) -> bytes:
-    """Format-dispatched resize: 24-bit BMP through the pure-Python
-    nearest-neighbor kernel (:func:`resize_bmp` — codec-independent,
-    bit-stable), anything else through PIL when installed (nearest
-    resample for determinism, re-encoded in the source format).
-    Raises NotImplementedError when neither path applies — the
+    """Format-dispatched resize: 24-bit bottom-up BMP through the
+    pure-Python nearest-neighbor kernel (:func:`resize_bmp` —
+    codec-independent, bit-stable), anything else — including BMP
+    VARIANTS the pure kernel refuses (top-down, palette, 32bpp; r13
+    review finding) — through PIL when installed (nearest resample for
+    determinism, re-encoded in the source format). Raises
+    NotImplementedError when neither path applies — the
     transform_payloads kernel catches it and passes the payload
     through flagged."""
     if p[:2] == b"BM":
-        return resize_bmp(p, out_w, out_h)
+        try:
+            return resize_bmp(p, out_w, out_h)
+        except NotImplementedError:
+            if _pil_image() is None:
+                raise  # no fallback: keep the pure kernel's message
     Image = _pil_image()
     if Image is not None:
         import io

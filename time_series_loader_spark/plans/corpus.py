@@ -128,6 +128,7 @@ class CorpusPipeline:
         benchmark_texts: Sequence[str] | DataFrame,
         n: int = 8,
         max_hits: int = 0,
+        bench_text_col: str = "text",
     ) -> "CorpusPipeline":
         """Drop documents sharing more than ``max_hits`` word n-grams
         with the benchmark suite (`operators/decontam.py::decontaminate`
@@ -135,7 +136,8 @@ class CorpusPipeline:
         benchmark size). ``benchmark_texts`` may be a DataFrame of
         benchmark TEXTS (column ``text``) — real eval suites are
         tables; the DataFrame path is the broadcast semi-join form
-        (`decontam.contamination`), never a driver-side collect (r13)."""
+        (`decontam.contamination`), never a driver-side collect (r13);
+        ``bench_text_col`` names the suite frame's text column."""
         from time_series_loader_spark.operators.decontam import (
             contamination,
             decontaminate,
@@ -150,7 +152,7 @@ class CorpusPipeline:
                 )
             scored = contamination(
                 self._df, self.text_col, self.id_col, bdf,
-                bench_text_col="text", bench_id_col=self.id_col, n=n,
+                bench_text_col=bench_text_col, bench_id_col=self.id_col, n=n,
             )
         else:
             bench = ngram_set(benchmark_texts, n)
@@ -166,6 +168,7 @@ class CorpusPipeline:
         benchmark_texts: Sequence[str] | DataFrame,
         n: int = 8,
         margin: int = 0,
+        bench_text_col: str = "text",
     ) -> "CorpusPipeline":
         """SURGICAL decontamination (r12): remove only the contaminated
         spans (benchmark-colliding word n-grams ± ``margin`` tokens)
@@ -199,7 +202,8 @@ class CorpusPipeline:
             cleaned = strip_contamination(
                 self._df.select(self.id_col, self.text_col),
                 self.text_col, self.id_col, n=n, margin=margin,
-                bench_df=bdf, bench_id_col=self.id_col,
+                bench_df=bdf, bench_text_col=bench_text_col,
+                bench_id_col=self.id_col,
             )
         else:
             bench = ngram_set(benchmark_texts, n)

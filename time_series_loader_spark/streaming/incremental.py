@@ -64,39 +64,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from time_series_loader_spark import fsutil
+
 
 _COMPACT_ROOT = "_compacted"
-# driver-written completion marker: the committer's _SUCCESS is NOT a
-# reliable completion signal (dynamic partitionOverwriteMode and
-# marksuccessfuljobs=false both suppress it — the r13 full-suite run
-# caught a leaked dynamic mode deleting deltas behind a snapshot the
-# reader then refused to see). The driver creates this marker itself
-# after the write call returns; deletion keys off it, so a snapshot
-# without it is ALWAYS invisible and its inputs always intact.
-_COMPLETE_MARK = "_TSL_COMPLETE"
+# the driver-written completion marker and its rationale live in
+# `time_series_loader_spark.fsutil` (shared with the BPE trainer's
+# restartable state since r13): a snapshot without the marker is
+# ALWAYS invisible and its inputs always intact.
+_COMPLETE_MARK = fsutil.COMPLETE_MARK
 
 
 def _compacted_uptos(spark: SparkSession, store_path: str) -> list[int]:
     """``upto`` ids of COMPLETE (marker-carrying) compacted snapshots.
     Incomplete snapshots (crash mid-write, or written-but-unmarked) are
     invisible — the replay overwrites them."""
-    root = os.path.join(store_path, _COMPACT_ROOT)
-    fs, hpath = _store_fs(spark, root)
-    if not fs.exists(hpath):
-        return []
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    out = []
-    for status in fs.listStatus(hpath):
-        name = status.getPath().getName()
-        if not name.startswith("upto="):
-            continue
-        try:
-            m = int(name.split("=", 1)[1])
-        except ValueError:
-            continue
-        if fs.exists(jvm_path(os.path.join(root, name, _COMPLETE_MARK))):
-            out.append(m)
-    return out
+    return fsutil.complete_generations(
+        spark, os.path.join(store_path, _COMPACT_ROOT), "upto"
+    )
 
 
 def _read_store(
@@ -202,28 +187,23 @@ def _compact_store(
             .option("partitionOverwriteMode", "static")
             .parquet(snap_dir)
         )
-        # the driver's own completion marker — see _COMPLETE_MARK
-        fs, _ = _store_fs(spark, store_path)
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-        fs.create(
-            jvm_path(os.path.join(snap_dir, _COMPLETE_MARK)), True
-        ).close()
+        # the driver's own completion marker — see fsutil
+        fsutil.write_complete_marker(spark, snap_dir)
     # deletion phase — reached only once upto=target is COMPLETE (just
-    # written, or found _SUCCESS-marked by a replay): everything it
-    # covers is unreachable by any future or replayed reader
-    fs, _ = _store_fs(spark, store_path)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    for b in pending:
-        fs.delete(
-            jvm_path(os.path.join(store_path, f"batch_id={b}")), True
-        )
+    # written, or found marker-complete by a replay): everything it
+    # covers is unreachable by any future or replayed reader. Sweep ALL
+    # deltas ≤ target, not just `pending`: after a crash between the
+    # marker write and these deletes, the replay finds m_star == target
+    # and an EMPTY pending — sweeping only pending would orphan the
+    # covered leftovers forever (r13 review finding; the file-count
+    # bound must survive crash-replay, not just the clean path)
+    for b in _mg_batch_dirs(spark, store_path):
+        if b <= target:
+            fsutil.delete_dir(spark, os.path.join(store_path, f"batch_id={b}"))
     for m in uptos:
         if m < target:
-            fs.delete(
-                jvm_path(
-                    os.path.join(store_path, _COMPACT_ROOT, f"upto={m}")
-                ),
-                True,
+            fsutil.delete_dir(
+                spark, os.path.join(store_path, _COMPACT_ROOT, f"upto={m}")
             )
 
 
@@ -357,10 +337,7 @@ def _store_fs(spark: SparkSession, path: str):
     (r8 advisor finding: silent corruption, not a loud failure). The
     Hadoop API gives the same listing/delete semantics on every scheme
     Spark itself can write to."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, hpath
+    return fsutil.hadoop_fs(spark, path)
 
 
 def _mg_batch_dirs(spark: SparkSession, store_path: str) -> list[int]:
