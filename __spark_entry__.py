@@ -2442,6 +2442,19 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         decon, "text", "doc_id", bench100, n=8, margin=1,
         count_col="n_strip", toks_col="_toks",
     )
+    # r14 (VERDICT r13 directive #5): the SAME surgical count FORCED
+    # through the broadcast anchor-join form (`max_expr_ngrams=0` →
+    # `contaminated_positions` / `_positions_anchor_join`) — the form
+    # every big-suite production run takes. Until now that path was
+    # certified by pytest equality only; surfacing it as its own gate
+    # column puts the scale path itself under the driver's value hash
+    # (the oracle replays one position arithmetic; literal and join
+    # form must both reproduce it, so n_strip == n_strip_join row for
+    # row is part of the certified contract).
+    decon = strip_counts(
+        decon, "text", "doc_id", bench100, n=8, margin=1,
+        count_col="n_strip_join", max_expr_ngrams=0,
+    )
     feat = decon.select(
         "doc_id",
         "n_pii",
@@ -2449,13 +2462,14 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         _langid_named("text", toks=tk)["lang_pred"].alias("lang_pred"),
         "n_contam",
         "n_strip",
+        "n_strip_join",
         ppl_decile.alias("ppl_decile"),
         F.md5(F.coalesce(F.col("text"), F.lit(" "))).alias("key_digest"),
     )
     rep = F.min(
         F.struct(
             "doc_id", "lang_pred", "n_tokens", "quality_score", "n_pii",
-            "n_contam", "n_strip", "ppl_decile",
+            "n_contam", "n_strip", "n_strip_join", "ppl_decile",
         )
     ).alias("rep")
     return (
@@ -2475,6 +2489,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rep.n_pii").alias("n_pii"),
             F.col("rep.n_contam").alias("n_contam"),
             F.col("rep.n_strip").alias("n_strip"),
+            F.col("rep.n_strip_join").alias("n_strip_join"),
             F.col("rep.ppl_decile").alias("ppl_decile"),
         )
         # near_kept is corpus-CARDINALITY but two narrow columns (id +
@@ -2635,6 +2650,11 @@ SELECT s.doc_id, l.lang_pred, s.n_tokens,
        floor((s.quality_score)*1000000 + 0.5)/1000000 AS quality_score,
        r.n_dups, c.n_pii, coalesce(ct.n_contam, 0) AS n_contam,
        CAST(coalesce(st.n_strip, 0) AS BIGINT) AS n_strip,
+       -- n_strip_join: the Spark side computes this through the FORCED
+       -- broadcast anchor-join form (max_expr_ngrams=0); the semantics
+       -- are one position arithmetic, so the oracle value is the same
+       -- expression — the hash equality certifies the join path
+       CAST(coalesce(st.n_strip, 0) AS BIGINT) AS n_strip_join,
        CAST(CASE WHEN vd.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS near_rep,
        (CAST(u.mean_logprob > bnd.b[1] AS INT) + CAST(u.mean_logprob > bnd.b[2] AS INT) + CAST(u.mean_logprob > bnd.b[3] AS INT) + CAST(u.mean_logprob > bnd.b[4] AS INT) + CAST(u.mean_logprob > bnd.b[5] AS INT) + CAST(u.mean_logprob > bnd.b[6] AS INT) + CAST(u.mean_logprob > bnd.b[7] AS INT) + CAST(u.mean_logprob > bnd.b[8] AS INT) + CAST(u.mean_logprob > bnd.b[9] AS INT)) AS ppl_decile
 FROM scored s

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from time_series_loader_spark.functions.bpe import (
     _merge_fold_expr,
+    _select_batch,
     load_merges,
     merge_fold,
     train_bpe_merges,
@@ -127,6 +128,96 @@ def test_state_dir_ignores_unmarked_generation(spark, tmp_path):
     os.remove(os.path.join(state, "upto=6", "_TSL_COMPLETE"))
     out = train_bpe_merges(df, "text", n_merges=6, min_count=2, state_dir=state)
     assert out == train_bpe_merges(df, "text", n_merges=6, min_count=2)
+
+
+def _row(a, b, cnt):
+    return {"a": a, "b": b, "cnt": cnt}
+
+
+def test_select_batch_created_pair_tie_guard():
+    """The case that breaks NAIVE token-disjoint batching: merging
+    ("a","z") creates token "az", and the created pair ("az","y") —
+    count bounded by the pre-existing ("z","y") — TIES the disjoint
+    candidate ("m","m") at 5 and beats it lexicographically ("az" <
+    "m"), so the sequential trainer's second merge is ("az","y"), not
+    ("m","m"). The created-pair upper bound (Rmax("z") = 5) must close
+    the batch at width 1."""
+    top = [_row("a", "z", 10), _row("m", "m", 5), _row("z", "y", 5)]
+    assert _select_batch(top, False, 2, 16) == [("a", "z")]
+
+
+def test_select_batch_widens_on_clean_separation():
+    """Token-disjoint pairs with strictly separated counts and no
+    left/right neighbors batch fully — no pair any of these merges
+    creates can reach the next member's count."""
+    top = [
+        _row("a", "b", 100),
+        _row("c", "d", 50),
+        _row("e", "f", 25),
+        _row("g", "h", 12),
+    ]
+    assert _select_batch(top, False, 2, 16) == [
+        ("a", "b"), ("c", "d"), ("e", "f"), ("g", "h"),
+    ]
+    # width cap and the truncation floor both close the batch: with
+    # truncated=True every member must clear top[-1].cnt = 12, so
+    # ("g","h") itself is out (cnt 12 <= floor 12 via the e/f bound...
+    # the floor enters through lmax/rmax estimates of EARLIER picks)
+    assert _select_batch(top, False, 2, 2) == [("a", "b"), ("c", "d")]
+    assert _select_batch(top, True, 2, 16) == [
+        ("a", "b"), ("c", "d"), ("e", "f"),
+    ]
+
+
+def test_select_batch_token_conflict_closes_prefix():
+    # shared token ("b" reused as a left token) closes the batch even
+    # at separated counts — count invariance is not provable
+    top = [_row("a", "b", 100), _row("b", "c", 50)]
+    assert _select_batch(top, False, 2, 16) == [("a", "b")]
+    # the MERGED STRING is a token conflict too: "ab" as a member token
+    top = [_row("a", "b", 100), _row("ab", "c", 50)]
+    assert _select_batch(top, False, 2, 16) == [("a", "b")]
+    # below-min_count candidate closes the batch (training stop is the
+    # next iteration's argmax decision, not the selector's)
+    top = [_row("a", "b", 100), _row("c", "d", 1)]
+    assert _select_batch(top, False, 2, 16) == [("a", "b")]
+
+
+def test_trainer_batched_is_bit_identical_on_created_pair_corpus(spark):
+    """End-to-end pin of the `_select_batch` tie guard: on the corpus
+    realizing the created-pair counterexample, the batched trainer must
+    walk ("a","z") -> ("az","y") exactly like the sequential reference
+    (naive disjoint batching would emit ("m","m") second)."""
+    text = " ".join(["azy"] * 5 + ["az"] * 5 + ["mm"] * 5)
+    df = spark.createDataFrame([(text,)], "text string")
+    dist = train_bpe_merges(df, "text", n_merges=6, min_count=2)
+    assert dist == seq_train(_word_freq([text]), 6)
+    assert dist[:2] == [("a", "z"), ("az", "y")]
+
+
+def test_trainer_batches_do_fire_and_amortize(spark):
+    """On a cleanly separated corpus the batch width must exceed 1
+    (the whole point of r14 directive #1) while the learned table stays
+    the sequential reference's."""
+    text = " ".join(
+        ["ab"] * 100 + ["cd"] * 50 + ["ef"] * 25 + ["gh"] * 12
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    stats: list[dict] = []
+    dist = train_bpe_merges(df, "text", n_merges=4, min_count=2, stats=stats)
+    assert dist == seq_train(_word_freq([text]), 4)
+    assert max(s["batch_w"] for s in stats) == 4  # one iteration, four merges
+    assert [s["rank"] for s in stats] == [0, 1, 2, 3]
+
+
+def test_trainer_max_batch_1_restores_sequential_loop(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    stats: list[dict] = []
+    out = train_bpe_merges(
+        df, "text", n_merges=8, min_count=2, stats=stats, max_batch=1
+    )
+    assert out == seq_train(_word_freq(CORPUS), 8)
+    assert all(s["batch_w"] == 1 for s in stats)
 
 
 def test_trainer_randomized_dense_tie_corpora(spark):

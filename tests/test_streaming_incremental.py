@@ -280,21 +280,25 @@ def _gen_batches(inp, n_batches, t0=1_700_000_000):
         _write_file(f"{inp}/f{b}.parquet", rows, t0 + b)
 
 
-def _drain_compact(spark, inp, store, surv, ckpt, compact_every):
+def _drain_compact(spark, inp, store, surv, ckpt, compact_every,
+                   runs_per_major=8):
     q = incremental_dedup_stream(
         spark, inp, SCHEMA, store, surv, ckpt,
         max_files_per_trigger=1, compact_every=compact_every,
+        runs_per_major=runs_per_major,
     )
     q.awaitTermination()
 
 
 def test_store_compaction_preserves_semantics_and_bounds_dirs(spark, tmp_path):
-    """r13 (VERDICT r12 #4): with compact_every=3 over 10 batches the
-    survivor sets and final store CONTENT are identical to the
-    uncompacted run, the per-batch delta directories are bounded by the
-    cadence (not the batch count), exactly one complete snapshot
-    remains, and it is digest-prefix partitioned. A restart after the
-    drain keeps deduping correctly against the compacted store."""
+    """r13/r14 (VERDICT r12 #4, r13 #2): with compact_every=3 and
+    runs_per_major=2 over 10 batches — so the drain exercises minor
+    folds (deltas→run) AND a cadence-triggered major (runs→snapshot) —
+    the survivor sets and final store CONTENT are identical to the
+    uncompacted run; the store ends bounded: ≤3 deltas, one complete
+    digest-prefix-partitioned snapshot, one complete run above it. A
+    restart after the drain keeps deduping correctly against the
+    tiered store."""
     base = tmp_path / "plain"
     comp = tmp_path / "compact"
     results = {}
@@ -302,7 +306,7 @@ def test_store_compaction_preserves_semantics_and_bounds_dirs(spark, tmp_path):
         inp, store, surv, ckpt = (str(root / d) for d in ("in", "st", "sv", "ck"))
         os.makedirs(inp)
         _gen_batches(inp, 10)
-        _drain_compact(spark, inp, store, surv, ckpt, every)
+        _drain_compact(spark, inp, store, surv, ckpt, every, runs_per_major=2)
         results[name] = {
             "surv": {
                 (r["batch_id"], r["doc_id"])
@@ -314,11 +318,16 @@ def test_store_compaction_preserves_semantics_and_bounds_dirs(spark, tmp_path):
     store = str(comp / "st")
     deltas = [d for d in os.listdir(store) if d.startswith("batch_id=")]
     assert len(deltas) <= 3  # bounded by cadence, not by 10 batches
+    # minor folds at batches 3/6/9 → runs 0_2, 3_5, 6_8; the second
+    # reaches runs_per_major=2 → major fold to upto=5; run 6_8 remains
     snaps = os.listdir(os.path.join(store, "_compacted"))
-    assert len(snaps) == 1 and snaps[0].startswith("upto=")
+    assert snaps == ["upto=5"]
     snap_dir = os.path.join(store, "_compacted", snaps[0])
     assert os.path.exists(os.path.join(snap_dir, "_TSL_COMPLETE"))
     assert any(d.startswith("dp=") for d in os.listdir(snap_dir))
+    runs = os.listdir(os.path.join(store, "_runs"))
+    assert runs == ["run=6_8"]
+    assert os.path.exists(os.path.join(store, "_runs", runs[0], "_TSL_COMPLETE"))
 
     # store CONTENT equals the uncompacted store's
     from time_series_loader_spark.streaming.incremental import _read_store
@@ -349,22 +358,23 @@ def test_store_compaction_preserves_semantics_and_bounds_dirs(spark, tmp_path):
 
 
 def test_compaction_ignores_covered_leftover_deltas(spark, tmp_path):
-    """Crash-window double cover: a delta directory the snapshot already
-    covers (delete crashed halfway) must be INVISIBLE to readers — no
-    duplicate store rows, and the next compaction sweeps it away."""
+    """Crash-window double cover at the RUN tier: a delta directory a
+    complete run already covers (delete crashed halfway) must be
+    INVISIBLE to readers — no duplicate store rows, and the next
+    maintenance pass sweeps it away."""
     inp, store, surv, ckpt = (str(tmp_path / d) for d in ("in", "st", "sv", "ck"))
     os.makedirs(inp)
     _gen_batches(inp, 7)
     _drain_compact(spark, inp, store, surv, ckpt, 3)
 
     from time_series_loader_spark.streaming.incremental import (
-        _compacted_uptos,
         _read_store,
+        _run_ranges,
     )
 
-    uptos = _compacted_uptos(spark, store)
-    assert len(uptos) == 1
-    covered = uptos[0]
+    runs = [r for r, done in _run_ranges(spark, store).items() if done]
+    assert sorted(runs) == [(0, 2), (3, 5)]  # minors at batches 3 and 6
+    covered = max(hi for _, hi in runs)
     # resurrect a covered delta, as if the post-snapshot delete crashed
     from time_series_loader_spark.operators.dedup import doc_signatures
 
@@ -391,6 +401,48 @@ def test_compaction_ignores_covered_leftover_deltas(spark, tmp_path):
         if d.startswith("batch_id=") and int(d.split("=")[1]) <= covered
     ]
     assert leftover == []
+
+
+def test_incomplete_run_is_invisible_and_swept(spark, tmp_path):
+    """A marker-less run directory (crash mid-minor-fold) must be
+    ignored by readers — the deltas it was folding are still read
+    directly — and deleted by the next maintenance pass even though no
+    future fold lands on its range name (the r13 orphan advisory,
+    generalized to tiers)."""
+    inp, store, surv, ckpt = (str(tmp_path / d) for d in ("in", "st", "sv", "ck"))
+    os.makedirs(inp)
+    _gen_batches(inp, 4)
+    _drain_compact(spark, inp, store, surv, ckpt, None)  # deltas only
+
+    from time_series_loader_spark.streaming.incremental import (
+        _read_store,
+        compact_signature_store,
+    )
+
+    # fake a crashed minor fold: a run dir with data but NO marker,
+    # on a range (0..1) no future fold will ever target again
+    ghost_dir = os.path.join(store, "_runs", "run=0_1")
+    spark.read.parquet(store).where(F.col("batch_id") <= 1).drop(
+        "batch_id"
+    ).write.parquet(ghost_dir)
+    st = _read_store(spark, store, SCHEMA["doc_id"], 16, 10**6)
+    ids = [r["doc_id"] for r in st.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))  # deltas read once, ghost ignored
+
+    compact_signature_store(spark, store, SCHEMA["doc_id"], 16)
+    assert not os.path.exists(ghost_dir)
+    assert store_content_ids(spark, store) == set(ids)
+
+
+def store_content_ids(spark, store):
+    from time_series_loader_spark.streaming.incremental import _read_store
+
+    return {
+        r["doc_id"]
+        for r in _read_store(spark, store, SCHEMA["doc_id"], 16, 10**6)
+        .select("doc_id")
+        .collect()
+    }
 
 
 def test_public_compact_signature_store(spark, tmp_path):

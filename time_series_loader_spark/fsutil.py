@@ -44,10 +44,21 @@ def complete_generations(spark, root: str, prefix: str) -> list[int]:
     """Ids N of COMPLETE (marker-carrying) ``<root>/<prefix>=N``
     generation directories. Incomplete generations (crash mid-write, or
     written-but-unmarked) are invisible — replays overwrite them."""
+    return [n for n, done in all_generations(spark, root, prefix).items() if done]
+
+
+def all_generations(spark, root: str, prefix: str) -> dict[int, bool]:
+    """Every ``<root>/<prefix>=N`` directory, id → marker-complete?.
+    Writers use the incomplete entries to SWEEP crash orphans: a
+    marker-less generation is invisible to every reader by construction
+    (see `complete_generations`), so deleting one is always safe — but
+    a replay only overwrites it if it lands on the same N, so without
+    an explicit sweep an orphan whose N is never revisited leaks
+    forever (r13 advisory on the BPE trainer's state)."""
     fs, hpath = hadoop_fs(spark, root)
     if not fs.exists(hpath):
-        return []
-    out = []
+        return {}
+    out: dict[int, bool] = {}
     for status in fs.listStatus(hpath):
         name = status.getPath().getName()
         if not name.startswith(prefix + "="):
@@ -56,8 +67,7 @@ def complete_generations(spark, root: str, prefix: str) -> list[int]:
             n = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        if fs.exists(jpath(spark, os.path.join(root, name, COMPLETE_MARK))):
-            out.append(n)
+        out[n] = fs.exists(jpath(spark, os.path.join(root, name, COMPLETE_MARK)))
     return out
 
 

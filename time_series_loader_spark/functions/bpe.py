@@ -207,6 +207,74 @@ def _pair_counts(frame: DataFrame) -> DataFrame:
     )
 
 
+def _select_batch(
+    top: list, truncated: bool, min_count: int, max_width: int
+) -> list[tuple[str, str]]:
+    """The longest prefix of ``top`` (pair rows in exact sequential
+    argmax order: min struct(-cnt, a, b) first) that is PROVABLY the
+    next ``len(result)`` merges of the sequential trainer, so all of
+    them can be applied in one Spark job (r14, VERDICT r13 #1 — the
+    per-merge driver-loop floor divides by the batch width).
+
+    Selection is prefix-greedy — candidates are taken strictly in rank
+    order and the batch CLOSES at the first one that fails a guard
+    (skipping is never sound: a skipped pair's count may change under
+    the selected merges, so the true next winner is unknowable). A
+    candidate p_i = (a_i, b_i) with pre-batch count c_i joins iff:
+
+    1. **count invariance**: {a_i, b_i} is disjoint from every
+       selected p_j's {a_j, b_j, a_j+b_j}. Merging (a_j,b_j) → a_j b_j
+       only destroys occurrences of pairs sharing one of those three
+       strings and only creates pairs containing a_j+b_j, so p_i's
+       count — and its rank against every other pre-existing pair,
+       whose counts can only DECREASE — is exactly its sequential
+       count at step i.
+    2. **created-pair bound**: c_i must be STRICTLY greater than an
+       upper bound on the count of any pair the selected merges
+       create. Token-disjointness alone is NOT sufficient (the naive
+       reading of "non-interacting"): merging (a,b) → ab can create
+       (x, ab) whose count ties or beats a later batch member, and a
+       tie resolves by a lexicographic comparison against a string
+       (x) we cannot enumerate driver-side. The bound: every
+       occurrence of a created pair (x, a_j+b_j) maps to a pre-merge
+       occurrence of (x, a_j), so its count ≤ Lmax(a_j) = max count
+       over pairs whose RIGHT token is a_j; symmetrically
+       (a_j+b_j, y) ≤ Rmax(b_j); and both ≤ c_j (one creation per
+       merge event). Chained creations ((a_m+b_m, a_j+b_j), …) are
+       bounded by the same quantities inductively. Lmax/Rmax are
+       estimated from ``top`` itself: any pair OUTSIDE a truncated
+       top-K has count ≤ top[-1].cnt, so
+       max(matching in-top counts, that floor) is a true upper bound —
+       and EXACT when the whole frame fit in K (``truncated=False``),
+       which is every gate-scale corpus.
+
+    Width is additionally capped by ``max_width`` (expression-depth
+    control: the fold stack is linear in width, but bounded is
+    bounded) and by ``min_count`` (a below-threshold candidate closes
+    the batch; whether training STOPS is decided by the next
+    iteration's argmax, because a created pair may still be above
+    threshold). Pure driver-side function — unit-tested directly on
+    adversarial shapes in tests/test_bpe_train.py."""
+    cnt_floor = top[-1]["cnt"] if (truncated and top) else 0
+    sel: list[tuple[str, str]] = []
+    blocked: set[str] = set()
+    created_ub = 0
+    for r in top:
+        a, b, cnt = r["a"], r["b"], r["cnt"]
+        if cnt < min_count:
+            break
+        if sel and (a in blocked or b in blocked or cnt <= created_ub):
+            break
+        sel.append((a, b))
+        if len(sel) >= max_width:
+            break
+        lmax = max((rr["cnt"] for rr in top if rr["b"] == a), default=0)
+        rmax = max((rr["cnt"] for rr in top if rr["a"] == b), default=0)
+        created_ub = max(created_ub, min(cnt, max(lmax, rmax, cnt_floor)))
+        blocked.update((a, b, a + b))
+    return sel
+
+
 class _CkptTracker:
     """Explicit release of superseded localCheckpoint blocks.
 
@@ -229,11 +297,29 @@ class _CkptTracker:
     def checkpoint(self, df: DataFrame, key: str) -> DataFrame:
         before = {r.id() for r in self._jsc.getPersistentRDDs().values()}
         out = df.localCheckpoint(eager=True)
-        new = [
+        # scope the diff to OUR checkpoint's RDD where the plan exposes
+        # it (r13 advisory): the checkpointed Dataset's analyzed plan is
+        # a LogicalRDD wrapping exactly the RDD localCheckpoint
+        # persisted, so matching on its id keeps any RDD a CONCURRENT
+        # caller persisted during our call window out of this
+        # generation (the registry diff alone would adopt — and later
+        # silently unpersist — it). Fall back to the plain diff if the
+        # plan shape ever stops exposing the id.
+        own_id = None
+        try:
+            own_id = out._jdf.queryExecution().analyzed().rdd().id()
+        except Exception:
+            pass
+        appeared = [
             r
             for r in self._jsc.getPersistentRDDs().values()
             if r.id() not in before
         ]
+        scoped = [r for r in appeared if r.id() == own_id]
+        # empty `scoped` with a non-empty diff means the id probe did
+        # not line up with what actually persisted — track the full
+        # diff rather than leaking the checkpoint blocks untracked
+        new = scoped if scoped else appeared
         for rdd in self._generations.get(key, []):
             try:
                 rdd.unpersist(False)
@@ -287,8 +373,13 @@ def _persist_state(spark, state_dir: str, vocab: DataFrame, merges: list) -> Non
         "rank INT, a STRING, b STRING",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(gen, "merges"))
     fsutil.write_complete_marker(spark, gen)
-    for k in _state_generations(spark, state_dir):
-        if k < len(merges):
+    # sweep: older COMPLETE generations are superseded; marker-less
+    # directories at any OTHER merge count are crash orphans — invisible
+    # to resume by construction (no marker), and a replay overwrites one
+    # only if a later persist lands on exactly the same count, so
+    # without this they leak forever (r13 advisory)
+    for k, done in fsutil.all_generations(spark, state_dir, "upto").items():
+        if (done and k < len(merges)) or (not done and k != len(merges)):
             fsutil.delete_dir(spark, os.path.join(state_dir, f"upto={k}"))
 
 
@@ -301,6 +392,7 @@ def train_bpe_merges(
     stats: list | None = None,
     state_dir: str | None = None,
     persist_every: int = 16,
+    max_batch: int = 16,
 ) -> list[tuple[str, str]]:
     """DISTRIBUTED BPE training (Sennrich et al. 2016) — learn the merge
     table from a corpus, bit-identical to the sequential reference
@@ -333,12 +425,26 @@ def train_bpe_merges(
       pair; untouched words pass through;
     - merges are inherently SEQUENTIAL (each changes the pair counts
       the next one sees — same data dependence every BPE trainer has),
-      so the driver loop runs touched-words-sized Spark jobs per merge;
-      ``checkpoint_every`` bounds lineage growth by materializing both
-      state frames every k merges, and superseded checkpoint blocks
-      are released EXPLICITLY (`_CkptTracker` — not left to
-      ContextCleaner GC timing; flat storage across long runs is the
-      r13 ckpt probe record).
+      so the driver loop runs touched-words-sized Spark jobs per
+      ITERATION; ``checkpoint_every`` bounds lineage growth by
+      materializing both state frames every k iterations, and
+      superseded checkpoint blocks are released EXPLICITLY
+      (`_CkptTracker` — not left to ContextCleaner GC timing; flat
+      storage across long runs is the r13 ckpt probe record);
+    - each iteration learns a BATCH of up to ``max_batch`` merges
+      (r14, VERDICT r13 #1): the argmax collect takes the top-K of
+      the pairs frame instead of one row, and `_select_batch` proves
+      driver-side — count-invariance via token-disjointness plus a
+      strict upper bound on any pair the batch's own merges CREATE —
+      which prefix of it the sequential trainer would pick in exactly
+      that order; all of them are applied in one nested JVM fold
+      pass. The fixed ~3-job/iteration driver-loop floor (the r13
+      wall at 32k production merges: ~0.5-0.8 s × 32k ≈ 7-12 h of
+      pure scheduling) divides by the realized batch width while the
+      learned table stays BIT-IDENTICAL — every trainer differential
+      (sequential reference, frozen-resource prefix, dense-tie
+      randomized corpora) pins this, and ``max_batch=1`` restores the
+      one-merge-per-iteration r13 loop exactly.
 
     Returns the learned merge list in rank order. Driver-side memory is
     O(n_merges) — the merge table itself, which is the artifact being
@@ -407,24 +513,47 @@ def train_bpe_merges(
     try:
         while len(merges) < n_merges:
             t_merge = time.monotonic() if stats is not None else 0.0
-            best = (
-                pairs.agg(
-                    F.min(
-                        F.struct((-F.col("cnt")).alias("negcnt"), "a", "b")
-                    ).alias("m")
-                ).collect()[0]["m"]
+            # top-K of the pairs frame in exact argmax order (one
+            # TakeOrdered job — replaces the r13 single-row agg): row 1
+            # is the sequential argmax, rows 2..K feed the driver-side
+            # batch selection (`_select_batch`) that proves how many of
+            # them are ALSO the next merges. K is the truncation floor
+            # of the created-pair bound — bigger K, smaller floor,
+            # wider provable batches; 1024 tiny rows is a trivial
+            # collect at any vocabulary.
+            k_top = max(4 * max_batch, 1024)
+            top = (
+                pairs.orderBy(
+                    F.struct((-F.col("cnt")).alias("negcnt"), "a", "b")
+                )
+                .limit(k_top)
+                .collect()
             )
-            if best is None or -best["negcnt"] < min_count:
+            if not top or top[0]["cnt"] < min_count:
                 break
-            a, b = best["a"], best["b"]
-            merges.append((a, b))
+            batch = _select_batch(
+                top,
+                truncated=len(top) >= k_top,
+                min_count=min_count,
+                max_width=min(max_batch, n_merges - len(merges)),
+            )
+            merges.extend(batch)
             # size guard skips words that cannot contain a pair (the
             # slice itself is safe on size-1 words — empty array); the
             # exists() is the touched-words filter everything below
-            # keys off
+            # keys off — ONE pass, OR over the batch. The lambda must
+            # stay unary: exists() infers the HOF's arity from the
+            # Python signature, so even a defaulted second parameter
+            # turns it into a two-argument lambda.
+            def _any_pair(p):
+                cond = None
+                for a_j, b_j in batch:
+                    this = (p["a"] == F.lit(a_j)) & (p["b"] == F.lit(b_j))
+                    cond = this if cond is None else (cond | this)
+                return cond
+
             has_pair = (F.size("seq") >= 2) & F.exists(
-                _zipped_pairs(),
-                lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)),
+                _zipped_pairs(), _any_pair
             )
             # touched-words frame materialized ONCE per merge: it feeds
             # the old-pairs count, the new-pairs count, the vocab
@@ -439,9 +568,17 @@ def train_bpe_merges(
                 vocab.where(has_pair), f"touched-{since_ckpt}"
             )
             old_c = _pair_counts(touched).withColumnRenamed("cnt", "_old")
-            merged = touched.withColumn(
-                "seq", _merge_fold_expr(F.col("seq"), a, b)
-            )
+            # apply the whole batch in rank order as NESTED folds —
+            # each `_merge_fold_expr` references its input array
+            # exactly once, so the stack grows LINEARLY in batch
+            # width (the r13 ~6^k ProjectCollapsing trap needs
+            # conditional projections that multiply references; an
+            # unconditional fold chain does not). A fold for a pair a
+            # word does not contain is a no-op on that word.
+            seq_expr = F.col("seq")
+            for a_j, b_j in batch:
+                seq_expr = _merge_fold_expr(seq_expr, a_j, b_j)
+            merged = touched.withColumn("seq", seq_expr)
             new_c = _pair_counts(merged).withColumnRenamed("cnt", "_new")
             delta = (
                 new_c.join(old_c, ["a", "b"], "full_outer")
@@ -512,15 +649,23 @@ def train_bpe_merges(
                     _persist_state(spark, state_dir, vocab, merges)
                     last_persist = len(merges)
             if stats is not None:
-                stats.append(
-                    {
-                        "rank": len(merges) - 1,
-                        "a": a,
-                        "b": b,
-                        "n_touched": n_touched,
-                        "wall_s": time.monotonic() - t_merge,
-                    }
-                )
+                # one entry per LEARNED MERGE (the probes' unit), with
+                # the batched job's wall amortized across its members
+                # and the width recorded so per-merge cost stays an
+                # honest ratio, not a hidden one
+                wall = time.monotonic() - t_merge
+                base = len(merges) - len(batch)
+                for i, (a_j, b_j) in enumerate(batch):
+                    stats.append(
+                        {
+                            "rank": base + i,
+                            "a": a_j,
+                            "b": b_j,
+                            "n_touched": n_touched,
+                            "wall_s": wall / len(batch),
+                            "batch_w": len(batch),
+                        }
+                    )
         # completion persist (also covers the min_count early stop):
         # inside the try so live touched generations the lazy vocab may
         # reference are still materialized

@@ -362,7 +362,13 @@ def resize_payload(p: bytes, out_w: int, out_h: int) -> bytes:
 
         with Image.open(io.BytesIO(p)) as im:
             fmt = im.format
-            out = im.resize((out_w, out_h), resample=Image.Resampling.NEAREST)
+            # Image.Resampling only exists on Pillow >= 9.1; older
+            # clusters expose the constant module-level. Version-
+            # tolerant lookup, or transform_payloads' broad except
+            # would silently pass every resize through untransformed
+            # (r13 advisory)
+            nearest = getattr(Image, "Resampling", Image).NEAREST
+            out = im.resize((out_w, out_h), resample=nearest)
             buf = io.BytesIO()
             out.save(buf, format=fmt)
             return buf.getvalue()

@@ -29,30 +29,35 @@ reads ONE compacted snapshot plus at most ``compact_every`` recent
 deltas instead of every prior batch directory — the r12 drain probe's
 1.39× per-batch creep at B=100 was exactly this file-count share.
 
-Compaction COST posture, stated honestly: each fold rewrites the
-whole store (one snapshot in, one out), so a drain of B batches pays
-O(B²/compact_every) total snapshot bytes — trivial while the store is
-signature-width and compactions are periodic, and the measured drain
-is flat to B=100. At a 10¹⁰-doc store the standard fix is TIERED
-compaction (deltas → small runs → rare major folds, LSM-style);
-``compact_every`` is the knob to stretch first (the per-batch scan
-reads compact_every deltas + one snapshot either way). The marker /
-strict-before machinery below carries over to tiers unchanged; the
-one extension tiering needs is a reader that unions several
-non-overlapping runs instead of exactly one snapshot.
+Compaction is TIERED (r14, VERDICT r13 directive #2 — the LSM shape
+the r13 module sketched): every ``compact_every`` pending deltas fold
+into one bounded RUN (``_runs/run=<lo>_<hi>`` — cost = those deltas'
+bytes, NEVER the store's), and only when ``runs_per_major`` complete
+runs have accumulated does a rare MAJOR fold rewrite them (plus the
+previous snapshot) into ``_compacted/upto=M``. A drain of B batches
+therefore pays O(B) total run bytes plus O(B²/(compact_every ×
+runs_per_major)) major-fold bytes — the r13 posture's O(store)-per-
+fold term is now paid once per ``runs_per_major`` folds instead of
+every fold (the store_probe drain records the per-fold byte split).
+Readers union the newest complete snapshot + the complete runs above
+it + the uncovered deltas: ≤ 1 + runs_per_major + compact_every
+directories, file count bounded forever.
 
 Compaction replay-safety (the same strict-before discipline as the
-reads): a batch compacts only batches STRICTLY BEFORE ITSELF
-(``upto = N-1``), writes the snapshot COMPLETELY (marked complete by a
-driver-written ``_TSL_COMPLETE`` file — committer-agnostic; an
-existing complete snapshot is never rewritten) before any deletion
-starts, and readers prefer the newest complete snapshot < their batch
-id while ignoring deltas it already covers — so a crash between the
-snapshot write and the delta deletes double-covers rows harmlessly
-(the reader never reads both), and a crash mid-write leaves an
-ignored, marker-less directory that the replay overwrites. The
-underscore prefix keeps the snapshot tree invisible to the root
-partition-discovery read the deltas use.
+reads, per TIER): a batch compacts only batches STRICTLY BEFORE
+ITSELF (``≤ N-1``), writes each run/snapshot COMPLETELY (marked
+complete by a driver-written ``_TSL_COMPLETE`` file —
+committer-agnostic; an existing complete generation is never
+rewritten) before any deletion starts, and readers prefer complete
+runs/snapshots while ignoring the deltas (or runs) they cover — so a
+crash between a fold's marker and its input deletes double-covers
+rows harmlessly (the reader never reads both), and a crash mid-write
+leaves an ignored marker-less directory that the sweep phase deletes
+(always safe: no marker ⇒ invisible to every reader by
+construction). Run ranges never overlap: each new run starts at the
+current coverage high-water + 1, whatever ``compact_every`` was when
+older runs were written. The underscore prefixes keep both trees
+invisible to the root partition-discovery read the deltas use.
 """
 
 from __future__ import annotations
@@ -68,6 +73,7 @@ from time_series_loader_spark import fsutil
 
 
 _COMPACT_ROOT = "_compacted"
+_RUNS_ROOT = "_runs"
 # the driver-written completion marker and its rationale live in
 # `time_series_loader_spark.fsutil` (shared with the BPE trainer's
 # restartable state since r13): a snapshot without the marker is
@@ -84,6 +90,41 @@ def _compacted_uptos(spark: SparkSession, store_path: str) -> list[int]:
     )
 
 
+def _run_ranges(spark: SparkSession, store_path: str) -> dict[tuple[int, int], bool]:
+    """(lo, hi) → marker-complete? of every ``_runs/run=<lo>_<hi>``
+    directory. Incomplete runs (crash mid-write) are invisible to
+    readers and swept by the next maintenance pass."""
+    root = os.path.join(store_path, _RUNS_ROOT)
+    fs, hpath = fsutil.hadoop_fs(spark, root)
+    if not fs.exists(hpath):
+        return {}
+    out: dict[tuple[int, int], bool] = {}
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not name.startswith("run="):
+            continue
+        try:
+            lo, hi = (int(x) for x in name.split("=", 1)[1].split("_", 1))
+        except ValueError:
+            continue
+        out[(lo, hi)] = fs.exists(
+            fsutil.jpath(spark, os.path.join(root, name, _COMPLETE_MARK))
+        )
+    return out
+
+
+def _live_runs(
+    spark: SparkSession, store_path: str, m_star: int, upper: int
+) -> list[tuple[int, int]]:
+    """Complete runs strictly above snapshot ``m_star`` and entirely at
+    or below ``upper``, ascending (they are disjoint by construction)."""
+    return sorted(
+        r
+        for r, done in _run_ranges(spark, store_path).items()
+        if done and r[0] > m_star and r[1] <= upper
+    )
+
+
 def _read_store(
     spark: SparkSession,
     store_path: str,
@@ -92,23 +133,27 @@ def _read_store(
     before_batch_id: int,
 ) -> DataFrame:
     """Signatures of every batch STRICTLY BEFORE ``before_batch_id``:
-    the newest complete compacted snapshot below it (if any) plus the
-    delta directories it does not cover.
+    the newest complete compacted snapshot below it (if any), plus the
+    complete runs above that snapshot, plus the delta directories
+    nothing covers — ≤ 1 + runs_per_major + compact_every directories
+    (the tiered-store reader, r14).
 
     The strict-before filter is load-bearing for exactly-once: a
     micro-batch that crashed after its store write and is REPLAYED
     would otherwise read its own previous partial output, self-dedup
-    to empty, and overwrite its survivors away. Deltas a snapshot
-    covers are NEVER read even if a crashed compaction left them
-    behind — that is what makes the write-snapshot-then-delete
-    protocol double-cover-safe. Listing failures on a present store
-    must surface: deduping against a silently-empty store admits
-    duplicates irreversibly (only a genuinely-missing path
-    bootstraps)."""
+    to empty, and overwrite its survivors away. Deltas a run or
+    snapshot covers are NEVER read even if a crashed fold left them
+    behind — that is what makes the write-completely-then-delete
+    protocol double-cover-safe at every tier. Listing failures on a
+    present store must surface: deduping against a silently-empty
+    store admits duplicates irreversibly (only a genuinely-missing
+    path bootstraps)."""
     mh_cols = [f"mh{i}" for i in range(num_hashes)]
     cols = [id_field.name, "digest", *mh_cols]
     uptos = [m for m in _compacted_uptos(spark, store_path) if m < before_batch_id]
     m_star = max(uptos) if uptos else -1
+    runs = _live_runs(spark, store_path, m_star, before_batch_id - 1)
+    covered = max([m_star] + [hi for _, hi in runs])
     frames = []
     if m_star >= 0:
         frames.append(
@@ -116,16 +161,22 @@ def _read_store(
                 os.path.join(store_path, _COMPACT_ROOT, f"upto={m_star}")
             ).select(*cols)
         )
+    for lo, hi in runs:
+        frames.append(
+            spark.read.parquet(
+                os.path.join(store_path, _RUNS_ROOT, f"run={lo}_{hi}")
+            ).select(*cols)
+        )
     deltas = [
         b
         for b in _mg_batch_dirs(spark, store_path)
-        if m_star < b < before_batch_id
+        if covered < b < before_batch_id
     ]
     if deltas:
         frames.append(
             spark.read.parquet(store_path)
             .where(
-                (F.col("batch_id") > m_star)
+                (F.col("batch_id") > covered)
                 & (F.col("batch_id") < before_batch_id)
             )
             .select(*cols)
@@ -151,57 +202,111 @@ def _compact_store(
     num_hashes: int,
     compact_every: int,
     dp_chars: int = 1,
+    runs_per_major: int = 8,
+    force_major: bool = False,
 ) -> None:
-    """Fold delta directories ≤ ``batch_id − 1`` into one
-    digest-prefix-partitioned snapshot, then delete what it covers.
+    """Tiered store maintenance over batches ≤ ``batch_id − 1`` (r14):
+
+    - **minor fold** — when ``compact_every`` uncovered deltas are
+      pending, rewrite exactly THOSE deltas into one run
+      (``_runs/run=<lo>_<hi>``). Cost is the deltas' own bytes; the
+      store is not touched.
+    - **major fold** — when ``runs_per_major`` complete runs have
+      accumulated (or ``force_major``), rewrite snapshot + runs (+ any
+      uncovered deltas when forced) into one digest-prefix-partitioned
+      snapshot (``_compacted/upto=M``). This is the only O(store) fold
+      and it runs once per ``runs_per_major`` minors.
+    - **sweep** — always: delete every delta/run/snapshot that a
+      complete generation now covers, plus marker-less fold orphans
+      (invisible to every reader by construction, so removal is
+      always safe — a crashed fold whose range never recurs would
+      otherwise leak forever).
+
     Runs inside the batch's ``foreachBatch`` after its own writes; see
     the module docstring for the crash-window argument. The target is
     strictly before the CURRENT batch so a replay of this batch id can
     still read everything it needs whatever this function got through
-    last time."""
+    last time. Each fold writes completely → driver marker → (sweep
+    deletes inputs), so a crash at any point leaves a readable store;
+    a replayed fold lands on the same directory name and overwrites."""
     target = batch_id - 1
     uptos = _compacted_uptos(spark, store_path)
     m_star = max((m for m in uptos if m <= target), default=-1)
+    runs = _live_runs(spark, store_path, m_star, target)
+    covered = max([m_star] + [hi for _, hi in runs])
     pending = [
-        b for b in _mg_batch_dirs(spark, store_path) if m_star < b <= target
+        b for b in _mg_batch_dirs(spark, store_path) if covered < b <= target
     ]
-    if target not in uptos:
-        if len(pending) < compact_every:
-            return
-        snap = _read_store(
-            spark, store_path, id_field, num_hashes, before_batch_id=target + 1
-        )
-        snap_dir = os.path.join(store_path, _COMPACT_ROOT, f"upto={target}")
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+    cols = [id_field.name, "digest", *mh_cols]
+    if not force_major and len(pending) >= compact_every:
+        lo, hi = covered + 1, target
+        run_dir = os.path.join(store_path, _RUNS_ROOT, f"run={lo}_{hi}")
         (
-            # dp_chars hex chars of the digest: 16^dp_chars buckets
-            # (1 → 16 for local scale; production uses 2 → 256 so each
-            # bucket stays executor-memory-sized at a 10^10-doc store)
-            snap.withColumn("dp", F.substring("digest", 1, dp_chars))
-            .repartition(16 ** dp_chars, "dp")
-            .write.partitionBy("dp")
-            .mode("overwrite")
-            # pin static overwrite per-write: under (possibly session-
-            # leaked) dynamic mode an overwrite only replaces partitions
-            # present in the new data, which is not the replace-the-
-            # whole-snapshot semantics this protocol needs
-            .option("partitionOverwriteMode", "static")
-            .parquet(snap_dir)
+            spark.read.parquet(store_path)
+            .where((F.col("batch_id") >= lo) & (F.col("batch_id") <= hi))
+            .select(*cols)
+            .write.mode("overwrite")
+            .parquet(run_dir)
         )
-        # the driver's own completion marker — see fsutil
-        fsutil.write_complete_marker(spark, snap_dir)
-    # deletion phase — reached only once upto=target is COMPLETE (just
-    # written, or found marker-complete by a replay): everything it
-    # covers is unreachable by any future or replayed reader. Sweep ALL
-    # deltas ≤ target, not just `pending`: after a crash between the
-    # marker write and these deletes, the replay finds m_star == target
-    # and an EMPTY pending — sweeping only pending would orphan the
-    # covered leftovers forever (r13 review finding; the file-count
-    # bound must survive crash-replay, not just the clean path)
+        fsutil.write_complete_marker(spark, run_dir)
+        runs.append((lo, hi))
+        covered = hi
+    if force_major or len(runs) >= runs_per_major:
+        # force_major also folds uncovered deltas (public full
+        # maintenance); the cadence-triggered major folds exactly the
+        # accumulated runs + previous snapshot
+        m_new = target if force_major else covered
+        if m_new > m_star or (force_major and len(uptos) > 1):
+            if m_new not in uptos:
+                snap = _read_store(
+                    spark, store_path, id_field, num_hashes,
+                    before_batch_id=m_new + 1,
+                )
+                snap_dir = os.path.join(
+                    store_path, _COMPACT_ROOT, f"upto={m_new}"
+                )
+                (
+                    # dp_chars hex chars of the digest: 16^dp_chars
+                    # buckets (1 → 16 for local scale; production uses
+                    # 2 → 256 so each bucket stays executor-memory-
+                    # sized at a 10^10-doc store)
+                    snap.withColumn("dp", F.substring("digest", 1, dp_chars))
+                    .repartition(16 ** dp_chars, "dp")
+                    .write.partitionBy("dp")
+                    .mode("overwrite")
+                    # pin static overwrite per-write: under (possibly
+                    # session-leaked) dynamic mode an overwrite only
+                    # replaces partitions present in the new data,
+                    # which is not the replace-the-whole-snapshot
+                    # semantics this protocol needs
+                    .option("partitionOverwriteMode", "static")
+                    .parquet(snap_dir)
+                )
+                # the driver's own completion marker — see fsutil
+                fsutil.write_complete_marker(spark, snap_dir)
+            m_star = m_new
+    # sweep phase — always runs, so crash leftovers from ANY earlier
+    # fold are reclaimed by the next maintenance pass, not only by a
+    # replay landing on the same name (r13 review finding generalized
+    # to tiers). Re-list coverage: everything below it is unreachable
+    # by every future or replayed reader.
+    uptos = _compacted_uptos(spark, store_path)
+    m_star = max((m for m in uptos if m <= target), default=m_star)
+    live = set(_live_runs(spark, store_path, m_star, target))
+    cov_hi = max([m_star] + [hi for _, hi in live])
     for b in _mg_batch_dirs(spark, store_path):
-        if b <= target:
+        if b <= cov_hi:
             fsutil.delete_dir(spark, os.path.join(store_path, f"batch_id={b}"))
+    for (lo, hi), done in _run_ranges(spark, store_path).items():
+        # complete runs the snapshot covers are superseded; marker-less
+        # runs are crash orphans — invisible to readers, always safe
+        if (done and hi <= m_star) or not done:
+            fsutil.delete_dir(
+                spark, os.path.join(store_path, _RUNS_ROOT, f"run={lo}_{hi}")
+            )
     for m in uptos:
-        if m < target:
+        if m < m_star:
             fsutil.delete_dir(
                 spark, os.path.join(store_path, _COMPACT_ROOT, f"upto={m}")
             )
@@ -225,12 +330,13 @@ def compact_signature_store(
     any point leaves a readable store (the marker discipline)."""
     deltas = _mg_batch_dirs(spark, store_path)
     uptos = _compacted_uptos(spark, store_path)
-    if not deltas and len(uptos) <= 1:
+    run_his = [hi for (_, hi), done in _run_ranges(spark, store_path).items() if done]
+    if not deltas and not run_his and len(uptos) <= 1:
         return  # nothing to fold
-    newest = max(deltas + uptos)
+    newest = max(deltas + uptos + run_his)
     _compact_store(
         spark, store_path, newest + 1, id_field, num_hashes,
-        compact_every=1, dp_chars=dp_chars,
+        compact_every=1, dp_chars=dp_chars, force_major=True,
     )
 
 
@@ -250,6 +356,7 @@ def incremental_dedup_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     compact_every: int | None = 16,
+    runs_per_major: int = 8,
 ):
     """Start the stream; returns the StreamingQuery.
 
@@ -257,10 +364,12 @@ def incremental_dedup_stream(
     batch-backfill trigger); ``False`` runs continuously.
     ``max_files_per_trigger`` bounds batch size (and, in tests, forces
     one micro-batch per input file so cross-batch semantics are real).
-    ``compact_every`` folds the store's per-batch delta directories
-    into one digest-prefix-partitioned snapshot whenever that many are
-    pending (`_compact_store` — r13, bounds the store's file count and
-    the per-batch scan creep); ``None``/0 disables compaction.
+    ``compact_every`` folds that many pending delta directories into
+    one bounded run, and every ``runs_per_major`` runs a major fold
+    rewrites them into the digest-prefix-partitioned snapshot
+    (`_compact_store` — r13/r14 tiered maintenance: bounds the store's
+    file count and the per-batch scan creep, with the O(store) rewrite
+    paid only on majors); ``None``/0 disables all compaction.
     """
     from time_series_loader_spark.operators.dedup import incremental_dedup
 
@@ -281,7 +390,8 @@ def incremental_dedup_stream(
         )
         if compact_every:
             _compact_store(
-                spark, store_path, batch_id, id_field, num_hashes, compact_every
+                spark, store_path, batch_id, id_field, num_hashes,
+                compact_every, runs_per_major=runs_per_major,
             )
 
     reader = spark.readStream.schema(schema)

@@ -149,25 +149,31 @@ def touched_mode(spark, factor: int = 100):
     )
 
 
+def zipf_docs(spark, n_docs: int = 100_000, doc_len: int = 30,
+              v_max: int = 50_000):
+    """The Zipf-shaped corpus shared by the --zipf rig and the
+    kill/resume probe (tools/bpe_resume_probe.py): deterministic
+    log-uniform rank (≈ Zipf(1) inverse CDF), spelled in letters so
+    character-pair structure is word-like."""
+    u = (F.xxhash64(F.col("i"), F.col("j")).cast("double") / F.lit(2.0**63) + 1.0) / 2.0
+    rank = F.floor(F.exp(u * F.log(F.lit(float(v_max))))).cast("long")
+    word = F.translate(rank.cast("string"), "0123456789", "abcdefghij")
+    return (
+        spark.range(n_docs, numPartitions=32)
+        .select(F.col("id").alias("i"), F.explode(F.sequence(F.lit(1), F.lit(doc_len))).alias("j"))
+        .select("i", word.alias("w"))
+        .groupBy("i")
+        .agg(F.concat_ws(" ", F.collect_list("w")).alias("text"))
+    )
+
+
 def zipf_mode(spark, n_docs: int = 100_000, doc_len: int = 30,
               v_max: int = 50_000, n_merges: int = 30):
     """One instrumented fit over a Zipf-shaped vocabulary — the
     realistic-data wall-vs-touched record."""
     from time_series_loader_spark.functions.bpe import train_bpe_merges
 
-    # deterministic log-uniform rank (≈ Zipf(1) inverse CDF), spelled
-    # in letters so character-pair structure is word-like
-    u = (F.xxhash64(F.col("i"), F.col("j")).cast("double") / F.lit(2.0**63) + 1.0) / 2.0
-    rank = F.floor(F.exp(u * F.log(F.lit(float(v_max))))).cast("long")
-    word = F.translate(rank.cast("string"), "0123456789", "abcdefghij")
-    docs = (
-        spark.range(n_docs, numPartitions=32)
-        .select(F.col("id").alias("i"), F.explode(F.sequence(F.lit(1), F.lit(doc_len))).alias("j"))
-        .select("i", word.alias("w"))
-        .groupBy("i")
-        .agg(F.concat_ws(" ", F.collect_list("w")).alias("text"))
-        .localCheckpoint(eager=True)
-    )
+    docs = zipf_docs(spark, n_docs, doc_len, v_max).localCheckpoint(eager=True)
     n_vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .agg(F.countDistinct("w")).collect()[0][0]
@@ -178,11 +184,16 @@ def zipf_mode(spark, n_docs: int = 100_000, doc_len: int = 30,
     t0 = _t.time()
     merges = train_bpe_merges(docs, "text", n_merges=n_merges, min_count=2, stats=stats)
     wall = _t.time() - t0
+    widths = [s.get("batch_w", 1) for s in stats]
+    n_iters = sum(1.0 / w for w in widths)
     print(f"zipf rig: {n_docs} docs, vocab {n_vocab}, {len(merges)} merges, {wall:.1f}s total")
-    print(f"{'rank':>5} {'pair':>12} {'touched':>9} {'touched%':>9} {'wall':>7}")
+    print(f"batched scheduling (r14): {n_iters:.0f} driver iterations for "
+          f"{len(merges)} merges — mean batch width {len(merges)/max(n_iters,1):.2f}")
+    print(f"{'rank':>5} {'pair':>12} {'touched':>9} {'touched%':>9} {'wall':>7} {'bw':>3}")
     for s in stats:
         print(f"{s['rank']:>5} {s['a']+'+'+s['b']:>12} {s['n_touched']:>9} "
-              f"{100.0*s['n_touched']/n_vocab:>8.1f}% {s['wall_s']:>6.2f}s")
+              f"{100.0*s['n_touched']/n_vocab:>8.1f}% {s['wall_s']:>6.2f}s "
+              f"{s.get('batch_w', 1):>3}")
     ordered = sorted(stats, key=lambda s: s["n_touched"])
     lo = ordered[: len(ordered) // 3]
     hi = ordered[-len(ordered) // 3 :]
