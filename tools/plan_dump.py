@@ -1,0 +1,63 @@
+"""Dump `.explain("formatted")` for declared queries to files.
+
+Captures the PRE-execution formatted physical plan of each
+`__spark_entry__.queries()` (and optionally `bench_sections()`) DataFrame
+so optimization rounds can commit before/after plan evidence
+(`plans/rNN/<query>_<tag>.txt`) that a reviewer can diff without running
+Spark.
+
+Usage:
+    python tools/plan_dump.py <out_dir> <tag> [sf_dir] [query ...]
+
+With no query names, dumps every declared query. `tag` is the filename
+suffix (e.g. `before`, `after`).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from time_series_loader_spark.session import get_spark
+
+
+def main() -> None:
+    out_dir = sys.argv[1]
+    tag = sys.argv[2]
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    wanted = sys.argv[4:]
+    os.makedirs(out_dir, exist_ok=True)
+    # same flag as plan_audit: skip result-localCheckpoints so the dumped
+    # plan is the real compute plan, not `Scan ExistingRDD`
+    os.environ["SPARK_GRAFT_PLAN_AUDIT"] = "1"
+    spark = get_spark("tsl-plan-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = dict(entrymod.queries())
+    secs = getattr(entrymod, "bench_sections", dict)()
+    qs.update({k.replace("/", "__"): v for k, v in secs.items()})
+    names = wanted or list(qs)
+    for name in names:
+        fn = qs.get(name)
+        if fn is None:
+            print(f"SKIP {name}: not a declared query/section", file=sys.stderr)
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # noqa: BLE001 — dump must list, not die
+            plan = f"ERROR building plan: {exc}"
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(f"# {name} @ {sf_dir} ({tag})\n\n{plan}\n")
+        print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
