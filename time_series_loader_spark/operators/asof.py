@@ -148,16 +148,28 @@ def asof_nearest(
         F.struct(F.col(ts_col).alias("_ts"), *[F.col(c) for c in value_cols]),
     )
     order = [F.col(ts_col).asc(), F.col("_is_target").asc()]
+    # exact mirror of `order` (asc defaults NULLS FIRST, desc NULLS LAST,
+    # so reversing the direction reverses the total order exactly): the
+    # "next data row" is first(ignorenulls) over (1, unboundedFollowing)
+    # in `order`, but Spark executes an unboundedFollowing frame by
+    # re-scanning to the partition end for EVERY row (
+    # UnboundedFollowingWindowFunctionFrame) — O(rows²) per partition,
+    # measured 8.3 s vs 0.5 s on the sf0.1 asof slot alone. The same
+    # value is last(ignorenulls) over (unboundedPreceding, -1) in the
+    # REVERSED order — a growing frame Spark maintains incrementally
+    # (O(rows)). Costs one extra local sort in the same exchange.
+    order_rev = [F.col(ts_col).desc(), F.col("_is_target").desc()]
 
     if gcols:
         w = Window.partitionBy(*gcols).orderBy(*order)
+        w_rev = Window.partitionBy(*gcols).orderBy(*order_rev)
         enriched = u.select(
             *u.columns,
             F.last(row_struct, ignorenulls=True)
             .over(w.rowsBetween(Window.unboundedPreceding, 0))
             .alias("_prev"),
-            F.first(row_struct, ignorenulls=True)
-            .over(w.rowsBetween(1, Window.unboundedFollowing))
+            F.last(row_struct, ignorenulls=True)
+            .over(w_rev.rowsBetween(Window.unboundedPreceding, -1))
             .alias("_next"),
         ).where(F.col("_is_target") == 1)
         return _pick(enriched, ts_col, value_cols, gcols, direction, tolerance_seconds)
@@ -168,13 +180,14 @@ def asof_nearest(
     lo, hi = time_span(u, ts_col)
     if lo is None or hi is None or hi <= lo or n <= 1:
         w = Window.orderBy(*order)
+        w_rev = Window.orderBy(*order_rev)
         enriched = u.select(
             *u.columns,
             F.last(row_struct, ignorenulls=True)
             .over(w.rowsBetween(Window.unboundedPreceding, 0))
             .alias("_prev"),
-            F.first(row_struct, ignorenulls=True)
-            .over(w.rowsBetween(1, Window.unboundedFollowing))
+            F.last(row_struct, ignorenulls=True)
+            .over(w_rev.rowsBetween(Window.unboundedPreceding, -1))
             .alias("_next"),
         ).where(F.col("_is_target") == 1)
         return _pick(enriched, ts_col, value_cols, (), direction, tolerance_seconds)
@@ -182,6 +195,7 @@ def asof_nearest(
     span = hi - lo
     bucketed = u.withColumn("_pid", time_bucket_column(ts_col, lo, span, n))
     w = Window.partitionBy("_pid").orderBy(*order)
+    w_rev = Window.partitionBy("_pid").orderBy(*order_rev)
 
     # one agg scan: per bucket, the last and first DATA row (by ts, data
     # rows only) — the cross-bucket neighbor carries
@@ -228,8 +242,8 @@ def asof_nearest(
                 F.col("_pcarry"),
             ).alias("_prev"),
             F.coalesce(
-                F.first(row_struct, ignorenulls=True).over(
-                    w.rowsBetween(1, Window.unboundedFollowing)
+                F.last(row_struct, ignorenulls=True).over(
+                    w_rev.rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.col("_ncarry"),
             ).alias("_next"),

@@ -56,8 +56,18 @@ def _single_partition_interpolate(
         if group_cols
         else Window.orderBy(ts_col)
     )
+    # next-anchor values come from the REVERSED-order running frame, not
+    # (1, unboundedFollowing): Spark executes an unboundedFollowing frame
+    # by re-scanning to the partition end per row — O(rows²) per
+    # partition (see asof.py). desc NULLS LAST mirrors asc NULLS FIRST
+    # exactly, so last() over the reversed growing frame is the same row.
+    w_desc = (
+        Window.partitionBy(*group_cols).orderBy(F.col(ts_col).desc())
+        if group_cols
+        else Window.orderBy(F.col(ts_col).desc())
+    )
     w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
-    w_next = w.rowsBetween(1, Window.unboundedFollowing)
+    w_next = w_desc.rowsBetween(Window.unboundedPreceding, -1)
     w_run = w.rowsBetween(Window.unboundedPreceding, 0)
 
     out = df
@@ -66,8 +76,8 @@ def _single_partition_interpolate(
         nn_ts = F.when(val.isNotNull(), F.col(ts_col))
         pv = F.last(c, ignorenulls=True).over(w_prev)
         pt = F.last(nn_ts, ignorenulls=True).over(w_prev)
-        nv = F.first(c, ignorenulls=True).over(w_next)
-        nt = F.first(nn_ts, ignorenulls=True).over(w_next)
+        nv = F.last(c, ignorenulls=True).over(w_next)
+        nt = F.last(nn_ts, ignorenulls=True).over(w_next)
         dist = None
         if limit is not None:
             run_id = F.count(F.when(val.isNotNull(), 1)).over(w_run)
@@ -97,8 +107,12 @@ def _distributed_interpolate(
 
     bucketed = df.withColumn("_pid", time_bucket_column(ts_col, lo, span, n))
     w = Window.partitionBy("_pid").orderBy(ts_col)
+    # reversed-order running frame instead of (1, unboundedFollowing) —
+    # same row, O(rows) instead of O(rows²) per bucket (see the
+    # single-partition path / asof.py for the execution-frame rationale)
+    w_desc = Window.partitionBy("_pid").orderBy(F.col(ts_col).desc())
     w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
-    w_next = w.rowsBetween(1, Window.unboundedFollowing)
+    w_next = w_desc.rowsBetween(Window.unboundedPreceding, -1)
     w_run = w.rowsBetween(Window.unboundedPreceding, 0)
 
     # one agg scan: per bucket, the LAST non-null (value, ts) — feeds the
@@ -193,9 +207,9 @@ def _distributed_interpolate(
         pt = F.coalesce(
             F.last(nnts, ignorenulls=True).over(w_prev), F.col(f"_pct_{c}")
         )
-        nv = F.coalesce(F.first(c, ignorenulls=True).over(w_next), F.col(f"_ncv_{c}"))
+        nv = F.coalesce(F.last(c, ignorenulls=True).over(w_next), F.col(f"_ncv_{c}"))
         nt = F.coalesce(
-            F.first(nnts, ignorenulls=True).over(w_next), F.col(f"_nct_{c}")
+            F.last(nnts, ignorenulls=True).over(w_next), F.col(f"_nct_{c}")
         )
         dist = None
         if limit is not None:

@@ -8,9 +8,16 @@ Spark.
 
 Usage:
     python tools/plan_dump.py <out_dir> <tag> [sf_dir] [query ...]
+    python tools/plan_dump.py --final <out_dir> <tag> [sf_dir] [query ...]
 
 With no query names, dumps every declared query. `tag` is the filename
 suffix (e.g. `before`, `after`).
+
+`--final`: execute each query through the noop sink FIRST, then dump the
+plan — with AQE the pre-execution plan hides runtime decisions
+(ReusedExchange, SMJ→BHJ conversions, coalesced reads), so claims about
+exchange reuse are only provable from the post-execution plan
+(isFinalPlan=true).
 """
 
 from __future__ import annotations
@@ -25,10 +32,14 @@ from time_series_loader_spark.session import get_spark
 
 
 def main() -> None:
-    out_dir = sys.argv[1]
-    tag = sys.argv[2]
-    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-    wanted = sys.argv[4:]
+    args = list(sys.argv[1:])
+    final = "--final" in args
+    if final:
+        args.remove("--final")
+    out_dir = args[0]
+    tag = args[1]
+    sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.1"
+    wanted = args[3:]
     os.makedirs(out_dir, exist_ok=True)
     # same flag as plan_audit: skip result-localCheckpoints so the dumped
     # plan is the real compute plan, not `Scan ExistingRDD`
@@ -47,6 +58,8 @@ def main() -> None:
             continue
         try:
             df = fn(spark, sf_dir)
+            if final:
+                df.write.format("noop").mode("overwrite").save()
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
