@@ -2848,10 +2848,15 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_loader_spark.operators.profile import profile_table
 
     orders = _t(spark, sf_dir, "orders")
+    # numeric_stats=False (r14): this slot drops mean/stddev below, but
+    # Catalyst cannot prune aggregate functions through the profiler's
+    # explode(array(struct)) output, so without the opt-out an unused
+    # sum(DECIMAL(38,6)) + stddev_samp rode every Expanded row
     prof = profile_table(
         orders,
         cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
         approx=False,
+        numeric_stats=False,
     )
     return prof.select(
         F.col("column").alias("col_name"),
@@ -3966,11 +3971,24 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark `percentile` ≡ DuckDB `quantile_cont` (linear interpolation)."""
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        _r6(F.percentile("l_extendedprice", F.lit(0.25)), "p25"),
-        _r6(F.percentile("l_extendedprice", F.lit(0.5)), "p50"),
-        _r6(F.percentile("l_extendedprice", F.lit(0.75)), "p75"),
-        _r6(F.percentile("l_extendedprice", F.lit(0.99)), "p99"),
+    # ONE array-argument percentile (r14): `percentile` is a
+    # TypedImperativeAggregate that buffers every group value — four
+    # scalar calls built four full value buffers per group; the array
+    # form computes all four points from one buffer with the identical
+    # interpolation (same Percentile evaluator), so values are unchanged
+    pcts = F.percentile(
+        "l_extendedprice", F.lit([0.25, 0.5, 0.75, 0.99])
+    ).alias("_p")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts)
+        .select(
+            "l_returnflag",
+            _r6(F.col("_p")[0], "p25"),
+            _r6(F.col("_p")[1], "p50"),
+            _r6(F.col("_p")[2], "p75"),
+            _r6(F.col("_p")[3], "p99"),
+        )
     )
 
 

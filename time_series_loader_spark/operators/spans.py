@@ -25,7 +25,7 @@ duplicate-sized — small for healthy corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from time_series_loader_spark.operators.text import tokens
@@ -89,17 +89,29 @@ def repeated_spans(
     same flags to rewrite the corpus.
     """
     spans = _positional_digests(df, text_col, id_col, n, min_parallelism)
-    dup = (
-        spans.groupBy("digest")
-        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
-        .where(F.col("n_docs") >= min_docs)
+    # one-pass distinct-doc count (r14): the groupBy(digest) + join-back
+    # form evaluated the positional-digest explode TWICE (Spark shares
+    # no work between a frame and its own aggregate — the md5-per-token
+    # pass is the dominant cost) and sort-merge-joined the two. One
+    # exchange by digest + two window functions over the same sort give
+    # identical n_docs: dense_rank over id, then its partition max =
+    # count of distinct ids (no per-group set in memory, unlike
+    # collect_set).
+    w_sort = Window.partitionBy("digest").orderBy(id_col)
+    w_all = Window.partitionBy("digest").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return spans.join(dup, "digest").select(
-        id_col,
-        "start",
-        (F.col("start") + n).alias("end"),
-        "digest",
-        "n_docs",
+    return (
+        spans.withColumn("_dr", F.dense_rank().over(w_sort))
+        .withColumn("n_docs", F.max("_dr").over(w_all).cast("long"))
+        .where(F.col("n_docs") >= min_docs)
+        .select(
+            id_col,
+            "start",
+            (F.col("start") + n).alias("end"),
+            "digest",
+            "n_docs",
+        )
     )
 
 
@@ -332,35 +344,49 @@ def repeated_spans_winnowed(
             F.col("_a.h64").alias("_h64"),
         )
     )
-    # candidate hashes shared by >= min_docs distinct docs (8-byte keys)
-    cand = (
-        picked.groupBy("_h64")
-        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-        .where(F.col("_nd") >= min_docs)
-        .select("_h64")
+    # candidate anchors shared by >= min_docs distinct docs (r14: ONE
+    # pass over `picked` — the groupBy(_h64) + join-back form evaluated
+    # the whole minimizer-selection pipeline twice, and the expensive
+    # term here is exactly that per-doc selection. One exchange of the
+    # narrow (id, start, h64) rows + dense_rank/max over the same sort
+    # filters identically; no _t array ever shuffles, as guarded by
+    # test_winnowed_plan_shape).
+    w_sort = Window.partitionBy("_h64").orderBy(id_col)
+    w_all = Window.partitionBy("_h64").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    # candidate anchors (broadcast keys — picked never shuffles), then
+    hits = (
+        picked.withColumn("_dr", F.dense_rank().over(w_sort))
+        .withColumn("_nd", F.max("_dr").over(w_all))
+        .where(F.col("_nd") >= min_docs)
+        .select(id_col, "start")
+    )
     # re-attach the token arrays for CANDIDATE DOCS ONLY to build the
     # span text: hits is duplicate-sized and broadcast EXPLICITLY, so
-    # the corpus-sized token frame neither shuffles (guarded by
-    # test_winnowed_plan_shape) nor materializes spans for
-    # non-candidate rows; the slice happens post-join, same stage
-    hits = picked.join(F.broadcast(cand), "_h64").select(id_col, "start")
+    # the corpus-sized token frame neither shuffles nor materializes
+    # spans for non-candidate rows; the slice happens post-join
     toked_t = df.select(F.col(id_col), tokens(text_col).alias("_t"))
     verified = toked_t.join(F.broadcast(hits), id_col).select(
         F.col(id_col),
         "start",
         F.concat_ws(" ", F.slice(F.col("_t"), F.col("start") + 1, n)).alias("_span"),
     )
-    exact = (
-        verified.groupBy("_span")
-        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
-        .where(F.col("n_docs") >= min_docs)
+    # exact per-span distinct-doc count, same one-pass window shape
+    # (verified — candidate-sized — shuffles once by span text instead
+    # of being evaluated twice and sort-merge-joined with itself)
+    ws_sort = Window.partitionBy("_span").orderBy(id_col)
+    ws_all = Window.partitionBy("_span").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return verified.join(exact, "_span").select(
-        id_col,
-        "start",
-        (F.col("start") + n).alias("end"),
-        F.md5("_span").alias("digest"),
-        "n_docs",
+    return (
+        verified.withColumn("_dr", F.dense_rank().over(ws_sort))
+        .withColumn("n_docs", F.max("_dr").over(ws_all).cast("long"))
+        .where(F.col("n_docs") >= min_docs)
+        .select(
+            id_col,
+            "start",
+            (F.col("start") + n).alias("end"),
+            F.md5("_span").alias("digest"),
+            "n_docs",
+        )
     )
