@@ -1727,7 +1727,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     out = embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.45, n_planes=2, dim=64
+        emb, "vec_id", "embedding", threshold=0.45, n_planes=2, dim=64,
+        materialize_signatures=True,
     )
     return out.select("id_a", "id_b", _r6(F.col("cos"), "cos"))
 
@@ -2443,17 +2444,36 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_col="n_strip", toks_col="_toks",
     )
     # r14 (VERDICT r13 directive #5): the SAME surgical count FORCED
-    # through the broadcast anchor-join form (`max_expr_ngrams=0` →
-    # `contaminated_positions` / `_positions_anchor_join`) — the form
-    # every big-suite production run takes. Until now that path was
-    # certified by pytest equality only; surfacing it as its own gate
-    # column puts the scale path itself under the driver's value hash
-    # (the oracle replays one position arithmetic; literal and join
-    # form must both reproduce it, so n_strip == n_strip_join row for
-    # row is part of the certified contract).
-    decon = strip_counts(
-        decon, "text", "doc_id", bench100, n=8, margin=1,
-        count_col="n_strip_join", max_expr_ngrams=0,
+    # through the broadcast anchor-join form (`contaminated_positions`,
+    # the form every big-suite production run takes). Until now that
+    # path was certified by pytest equality only; surfacing it as its
+    # own gate column puts the scale path itself under the driver's
+    # value hash (the oracle replays one position arithmetic; literal
+    # and join form must both reproduce it, so n_strip == n_strip_join
+    # row for row is part of the certified contract).
+    #
+    # r14 OPTIMIZATION (guide §2.4): the counts attach to the
+    # REPRESENTATIVES below, not here. Joining per-doc counts into the
+    # pre-aggregation frame sort-merge-joined the corpus-sized scrub
+    # lineage with its own aggregate by doc_id (a corpus-wide Exchange +
+    # Sort whose only purpose was carrying the column through the
+    # groupBy); duplicate-group members share text, so the
+    # representative's count equals its own joined count — the
+    # near_kept precedent. The positions branch itself (one scrubbed
+    # re-scan — the price of certifying a second computation PATH) now
+    # reuses the materialized `_toks` instead of re-running the regex
+    # split (toks_col, r14).
+    from time_series_loader_spark.operators.decontam import (
+        contaminated_positions,
+    )
+
+    strip_join_counts = (
+        contaminated_positions(
+            toksed, "text", "doc_id", bench100, n=8, margin=1,
+            toks_col="_toks",
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_nsj"))
     )
     feat = decon.select(
         "doc_id",
@@ -2462,14 +2482,16 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         _langid_named("text", toks=tk)["lang_pred"].alias("lang_pred"),
         "n_contam",
         "n_strip",
-        "n_strip_join",
         ppl_decile.alias("ppl_decile"),
         F.md5(F.coalesce(F.col("text"), F.lit(" "))).alias("key_digest"),
     )
+    # n_strip_join dropped from the min-struct: doc_id leads the struct
+    # and is unique per member, so the winner is unchanged; the column
+    # re-attaches per representative below with identical values
     rep = F.min(
         F.struct(
             "doc_id", "lang_pred", "n_tokens", "quality_score", "n_pii",
-            "n_contam", "n_strip", "n_strip_join", "ppl_decile",
+            "n_contam", "n_strip", "ppl_decile",
         )
     ).alias("rep")
     return (
@@ -2489,15 +2511,30 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rep.n_pii").alias("n_pii"),
             F.col("rep.n_contam").alias("n_contam"),
             F.col("rep.n_strip").alias("n_strip"),
-            F.col("rep.n_strip_join").alias("n_strip_join"),
             F.col("rep.ppl_decile").alias("ppl_decile"),
         )
+        # r14: the join-form strip count joins HERE (representative-
+        # sized left side × contamination-sized counts → broadcast)
+        # instead of riding the pre-aggregation corpus frame; the
+        # representative's count is its own doc's count, so values are
+        # identical (group members share text)
+        .join(strip_join_counts, "doc_id", "left")
+        .withColumn(
+            "n_strip_join",
+            F.coalesce(F.col("_nsj"), F.lit(0)).cast("long"),
+        )
+        .drop("_nsj")
         # near_kept is corpus-CARDINALITY but two narrow columns (id +
         # flag): at gate scale AQE broadcasts it; at cluster scale this
         # is an id-only shuffle against the post-filter representative
         # set — never a text-bearing exchange
         .join(near_kept, "doc_id", "left")
         .withColumn("near_rep", F.coalesce("near_rep", F.lit(0)).cast("int"))
+        .select(
+            "doc_id", "lang_pred", "n_tokens", "quality_score", "n_dups",
+            "n_pii", "n_contam", "n_strip", "n_strip_join", "ppl_decile",
+            "near_rep",
+        )
     )
 
 

@@ -320,26 +320,103 @@ def continuity_stats_exact(
     per = prev.select(*group_cols, F.unix_micros(F.col(ts_col)).alias("_us"), d_us.alias("_du"))
     auto = gap_threshold_us is None
     if auto:
-        f2 = infer_frequency_us2(df, ts_col, group_cols)
-        per = (
-            per.join(F.broadcast(f2), list(group_cols))
-            if group_cols
-            else per.crossJoin(F.broadcast(f2))
+        # r14 (guide §2.4): the auto path previously called
+        # infer_frequency_us2(df) — a SECOND full _with_prev_ts lag
+        # pipeline over the same rows — and crossJoined its scalar into
+        # the row-sized frame to evaluate the gap flag per row. Every
+        # delta-derived statistic (n_gaps, gap_total_us, the median) is
+        # a function of the delta DISTRIBUTION alone, so one lag
+        # pipeline feeds a distinct-delta aggregate (tiny: bounded by
+        # distinct spacings, map-side combined) and the gap flag is
+        # evaluated on THAT frame; row-sized work is one lag pass plus
+        # one plain (min, max, count) aggregate. Degenerate-input
+        # semantics match the old form exactly: n_gaps is NULL when no
+        # deltas exist (sum over nothing), 0 when deltas exist but none
+        # gap; grouped mode still drops delta-less groups (inner join).
+        dd = (
+            per.where(F.col("_du").isNotNull())
+            .groupBy(*group_cols, "_du")
+            .agg(F.count(F.lit(1)).alias("_c"))
         )
-        gap_cond = (F.col("_du") * 2) > (F.col("freq_us_x2") * F.lit(int(median_multiple)))
+        # exact doubled-median from dd — infer_frequency_us2's order
+        # statistics, computed over the already-built distribution
+        w = (
+            Window.partitionBy(*group_cols).orderBy("_du")
+            if group_cols
+            else Window.orderBy("_du")
+        )
+        cum = dd.select(
+            *group_cols,
+            "_du",
+            "_c",
+            F.sum("_c").over(w).alias("_hi"),
+            F.sum("_c")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .alias("_n"),
+        )
+        r1 = F.expr("(_n + 1) div 2")
+        r2 = F.expr("(_n + 2) div 2")
+        lo = F.min(F.when(F.col("_hi") >= r1, F.col("_du"))).alias("_lo")
+        hi = F.min(F.when(F.col("_hi") >= r2, F.col("_du"))).alias("_hi2")
+        magg = cum.groupBy(*group_cols).agg(lo, hi) if group_cols else cum.agg(lo, hi)
+        med = magg.select(
+            *group_cols,
+            (F.col("_lo") + F.col("_hi2")).cast("long").alias("freq_us_x2"),
+        )
+        ddm = (
+            dd.join(F.broadcast(med), list(group_cols))
+            if group_cols
+            else dd.crossJoin(F.broadcast(med))
+        )
+        gap_cond = (F.col("_du") * 2) > (
+            F.col("freq_us_x2") * F.lit(int(median_multiple))
+        )
+        gaggs = [
+            F.sum(gap_cond.cast("long") * F.col("_c")).alias("n_gaps"),
+            F.coalesce(
+                F.sum(F.when(gap_cond, F.col("_du") * F.col("_c"))), F.lit(0)
+            ).alias("gap_total_us"),
+            F.min("freq_us_x2").alias("freq_us_x2"),
+        ]
+        gagg = ddm.groupBy(*group_cols).agg(*gaggs) if group_cols else ddm.agg(*gaggs)
+        saggs = [
+            F.min("_us").alias("start_us"),
+            F.max("_us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ]
+        # min/max/count need no predecessor — aggregate the RAW slim
+        # frame (plain map-side-combined agg, no sort), not `per`, so
+        # the lag pipeline is evaluated exactly once (under dd)
+        us = slim.select(
+            *group_cols, F.unix_micros(F.col(ts_col)).alias("_us")
+        )
+        stats = us.groupBy(*group_cols).agg(*saggs) if group_cols else us.agg(*saggs)
+        base = (
+            stats.join(F.broadcast(gagg), list(group_cols))
+            if group_cols
+            else stats.crossJoin(F.broadcast(gagg))
+        )
+        # column order of the old fused aggregate
+        base = base.select(
+            *group_cols,
+            "start_us",
+            "end_us",
+            "n_rows",
+            "n_gaps",
+            "gap_total_us",
+            "freq_us_x2",
+        )
     else:
         gap_cond = F.col("_du") > F.lit(int(gap_threshold_us))
-    gap = F.col("_du").isNotNull() & gap_cond
-    aggs = [
-        F.min("_us").alias("start_us"),
-        F.max("_us").alias("end_us"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(gap.cast("long")).alias("n_gaps"),
-        F.coalesce(F.sum(F.when(gap, F.col("_du"))), F.lit(0)).alias("gap_total_us"),
-    ]
-    if auto:
-        aggs.append(F.min("freq_us_x2").alias("freq_us_x2"))
-    base = per.groupBy(*group_cols).agg(*aggs) if group_cols else per.agg(*aggs)
+        gap = F.col("_du").isNotNull() & gap_cond
+        aggs = [
+            F.min("_us").alias("start_us"),
+            F.max("_us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(gap.cast("long")).alias("n_gaps"),
+            F.coalesce(F.sum(F.when(gap, F.col("_du"))), F.lit(0)).alias("gap_total_us"),
+        ]
+        base = per.groupBy(*group_cols).agg(*aggs) if group_cols else per.agg(*aggs)
     span = F.col("end_us") - F.col("start_us")
     num = span - F.col("gap_total_us")
     # coverage micro-pct by exact integer split division: two 1e4-digit

@@ -330,6 +330,7 @@ def _positions_anchor_join(
     bng: DataFrame,
     n: int,
     margin: int,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Join-form anchor prefilter (r13, VERDICT r12 directive #3): the
     r12 literal form silently DROPPED the prefilter past
@@ -352,8 +353,13 @@ def _positions_anchor_join(
     every position (n× token bytes as strings) for one narrow explode
     plus an id-keyed join of anchor positions. Wins whenever anchors
     cover well under 100% of positions; see tools/strip_probe.py
-    --natural for the stopword-anchored honest measurement."""
-    toked = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    --natural for the stopword-anchored honest measurement.
+
+    ``toks_col`` names a pre-materialized token array (r14: the
+    corpus_filter one-scan discipline — never re-run the regex split
+    when the caller's projection already carries the array)."""
+    tsrc = F.col(toks_col) if toks_col else tokens(text_col)
+    toked = df.select(F.col(id_col), tsrc.alias("_t"))
     m = F.size("_t") - (n - 1)
     anchors = bng.select(
         F.substring_index("ngram", " ", 1).alias("_anchor")
@@ -399,6 +405,7 @@ def contaminated_positions(
     n: int = 8,
     margin: int = 0,
     max_anchor_literals: int | None = None,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """(``id_col``, pos): the 0-based whitespace-token positions covered
     by ANY word n-gram present in ``benchmark``, each hit window widened
@@ -424,17 +431,22 @@ def contaminated_positions(
         max_anchor_literals = _ANCHOR_LITERAL_MAX
     spark = df.sparkSession
     if isinstance(benchmark, DataFrame):
-        return _positions_anchor_join(df, text_col, id_col, benchmark, n, margin)
+        return _positions_anchor_join(
+            df, text_col, id_col, benchmark, n, margin, toks_col
+        )
     firsts = sorted({g.split(" ", 1)[0] for g in benchmark})
     if len(firsts) > max_anchor_literals:
         bng = spark.createDataFrame(
             [(g,) for g in sorted(set(benchmark))], "ngram string"
         )
-        return _positions_anchor_join(df, text_col, id_col, bng, n, margin)
+        return _positions_anchor_join(
+            df, text_col, id_col, bng, n, margin, toks_col
+        )
     bng = spark.createDataFrame(
         [(g,) for g in sorted(set(benchmark))], "ngram string"
     )
-    toked = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    tsrc = F.col(toks_col) if toks_col else tokens(text_col)
+    toked = df.select(F.col(id_col), tsrc.alias("_t"))
     m = F.size("_t") - (n - 1)
     if firsts:
         first_arr = F.array(*[F.lit(t) for t in firsts])
@@ -500,7 +512,9 @@ def strip_counts(
                 toks, benchmark, n, margin, max_ngrams=max_expr_ngrams
             ),
         )
-    pos = contaminated_positions(df, text_col, id_col, benchmark, n, margin)
+    pos = contaminated_positions(
+        df, text_col, id_col, benchmark, n, margin, toks_col=toks_col
+    )
     counts = pos.groupBy(id_col).agg(F.count(F.lit(1)).alias(count_col))
     return df.join(counts, id_col, "left").withColumn(
         count_col, F.coalesce(F.col(count_col), F.lit(0)).cast("long")

@@ -833,8 +833,16 @@ def incremental_dedup(
         raise ValueError("num_hashes must be divisible by bands")
     mh_cols = [f"mh{i}" for i in range(num_hashes)]
 
-    sig_b = doc_signatures(batch, text_col, id_col, n, num_hashes, min_parallelism)
-    enriched = batch.join(sig_b, id_col)
+    # r14 (guide §2.4): the digest is a PROJECTION on the batch, not a
+    # join — the previous doc_signatures(batch) ⋈ batch shape evaluated
+    # the batch three times (digest branch, shingle branch, text side)
+    # and paid two id-keyed joins; this pays one (the minhash aggregate
+    # is the only branch that must re-scan, and its output is k longs
+    # per id). Same digest expression as doc_signatures — the store
+    # schema and every drop rule are unchanged.
+    digest = F.md5(F.coalesce(F.col(text_col).cast("string"), F.lit(" ")))
+    sig_b = minhash_signatures(batch, text_col, id_col, n, num_hashes, min_parallelism)
+    enriched = batch.withColumn("digest", digest).join(sig_b, id_col, "left")
 
     # rule 1a: within-batch exact — keep the min id per digest
     w = Window.partitionBy("digest").orderBy(id_col)
@@ -847,8 +855,12 @@ def incremental_dedup(
     enriched = enriched.join(store.select("digest"), "digest", "left_anti")
     # survivors of rule 1 feed both band probes; executor-local
     # materialization so the store probe, the self-join, and the final
-    # anti-joins don't each re-run the shingle kernel (batch-sized)
-    enriched = enriched.localCheckpoint(eager=True)
+    # anti-joins don't each re-run the shingle kernel (batch-sized).
+    # Lazy (r14): an eager checkpoint is its own scheduled job; lazy
+    # materializes inside the first consuming job (identical blocks,
+    # one fewer scheduling round per call — this runs per BATCH in
+    # production, so the driver-loop floor compounds).
+    enriched = enriched.localCheckpoint(eager=False)
 
     entries = _band_key_entries(num_hashes, bands)
 
@@ -879,7 +891,10 @@ def incremental_dedup(
         .where(eq_bs.cast("double") / float(num_hashes) >= threshold)
         .select(F.col("b_id").alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy for the same reason as `enriched` above: the three
+        # consumers share the blocks; the first job to touch them
+        # materializes the store probe exactly once
+        .localCheckpoint(eager=False)
     )
 
     # rule 3: within-batch pairs (same single-consumer shape as

@@ -75,7 +75,11 @@ def connected_components(
     # the full upstream plan that PRODUCED the pairs (an LSH pipeline,
     # a join...) — diameter × that cost. localCheckpoint, not cache():
     # lineage is truncated too, and nothing pins the session cache.
-    sym = sym.localCheckpoint(eager=True)
+    # Lazy (r14): eager spent a dedicated job materializing before the
+    # size probe below could run; lazy makes the probe's collect (or the
+    # distributed path's first round) compute-and-store in one job —
+    # same blocks, one fewer scheduling round on every CC call.
+    sym = sym.localCheckpoint(eager=False)
 
     if driver_max_edges is not None:
         # ONE action decides AND fetches: collect limit N+1 (reading the

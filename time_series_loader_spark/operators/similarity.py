@@ -353,6 +353,7 @@ def embedding_near_dup_pairs(
     dim: int | None = None,
     max_bucket: int = 65536,
     block: int = 2048,
+    materialize_signatures: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via LSH buckets + exact cosine.
 
@@ -375,6 +376,18 @@ def embedding_near_dup_pairs(
       materialized in ``block×block`` tiles, never m×m — per-task memory
       is O(m·dim + block²) even if a degenerate bucket (all-identical
       vectors, unsplittable by any plane) blows through the cap.
+
+    ``materialize_signatures`` (r14, guide §4/§5): localCheckpoint the
+    (id, vec, norm, bucket) signature frame after the bucket re-split.
+    The frame is referenced by FIVE consumers (oversized-bucket
+    aggregate, re-split join, bucket-pair generation, and both exact-
+    verify join sides), and each reference otherwise replays the scan +
+    the Arrow ``sig`` kernel — measured 5 kernel evaluations per run at
+    sf0.1, a corpus-sized recompute per consumer at scale. Materializing
+    is what a production pass does anyway (the signature table IS the
+    index build). Off by default so plan-audit and differential tests
+    see the full lineage; skipped under SPARK_GRAFT_PLAN_AUDIT even when
+    requested (the semdedup `materialize_assignments` precedent).
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
@@ -416,6 +429,13 @@ def embedding_near_dup_pairs(
         F.col("_s.bucket").alias("_bucket"),
         F.col("_s.extra").alias("_extra"),
     )
+    import os as _os
+
+    if materialize_signatures and not _os.environ.get("SPARK_GRAFT_PLAN_AUDIT"):
+        # one kernel evaluation total: the checkpointed blocks feed the
+        # oversized aggregate, the re-split join, and (through the
+        # projection below) all three phase-1/phase-2 consumers
+        t = t.localCheckpoint()
 
     # Re-split oversized buckets: rows in a bucket of size m > max_bucket
     # append the first ceil(log2(m/max_bucket)) of the precomputed extra

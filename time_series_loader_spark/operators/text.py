@@ -580,7 +580,15 @@ def unigram_logprob(
     tok_expr = F.col(toks_col) if toks_col else tokens(text_col)
     toks = df.select(F.col(id_col), F.explode(tok_expr).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    totals = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    # r14 (guide §2.3/§2.4): term totals straight off the explode —
+    # Σ_docs tf(doc, t) ≡ count of t occurrences, so the (doc, term)
+    # exchange is NOT needed on this branch (Spark shares no work
+    # between a frame and its own aggregate, so `tf.groupBy(term)`
+    # re-ran the corpus-keyed exchange once for the N/V scalars and
+    # once under the logp join). Map-side partial aggregation ships
+    # vocabulary-sized partials only; `tf` itself is now evaluated
+    # exactly once (under `scored`).
+    totals = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
     nv = totals.agg(
         F.sum("ct").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
@@ -663,15 +671,20 @@ def token_entropy(
         from .ln_pinned import ln_u_df, ln_u_lookup
 
         lnu = ln_u_df(df.sparkSession)
-        # loud domain check BEFORE any lossy lookup join: n = Σ tf is
-        # computed from the un-joined tf frame, so a doc with one term
-        # repeated beyond the table's 8e6 domain raises here instead of
-        # being silently dropped by the inner join below, which would
-        # deflate _n/_s and let a wrong entropy through (ADVICE r7
-        # medium — the old check ran AFTER the join and saw deflated n);
-        # ct ≤ n, so max(n) in-domain covers every ct too
-        doc_n = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("_n"))
-        max_n = doc_n.agg(F.max("_n")).collect()[0][0]
+        # loud domain check BEFORE any lossy lookup join — a doc with
+        # one term repeated beyond the table's 8e6 domain must raise
+        # instead of being silently dropped by the inner join below,
+        # which would deflate _n/_s and let a wrong entropy through
+        # (ADVICE r7 medium); ct <= n, so max(n) in-domain covers every
+        # ct too. r14 (guide §2.4): n == size(tokens(text)) for every
+        # doc that yields tf rows, so the check is a PLAIN map-side
+        # aggregate over the raw frame -- the previous
+        # tf->groupBy(doc)->max chain re-ran the corpus (doc, term)
+        # exchange just to validate a scalar.
+        tokc = tokens(text_col)
+        max_n = df.select(
+            F.max(F.when(tokc.isNotNull(), F.size(tokc))).alias("_m")
+        ).collect()[0][0]
         if max_n is not None:
             ln_u_lookup(int(max_n))  # raises beyond the pinned domain
         # distinct ct values are FEW (small integers); resolve their
@@ -682,17 +695,27 @@ def token_entropy(
             "_ct", F.col("ln_u").alias("_ln_ct_u")
         )
         scored = tf.join(F.broadcast(ctmap), tf["tf"] == ctmap["_ct"])
+        # r14: sum(tf) rides the SAME aggregate as sum(tf*ln_u(ct)) — the
+        # previous separate doc_n frame (and its join back) was another
+        # full evaluation of the tf subtree for a column this groupBy
+        # already has in hand
         per_doc_s = scored.groupBy(id_col).agg(
             F.sum(F.col("tf") * F.col("_ln_ct_u")).cast("long").alias("_s"),
+            F.sum("tf").cast("long").alias("_n"),
         )
-        ns = doc_n.select(F.col("_n").alias("_nk")).distinct()
+        # candidate n values WITHOUT the (doc, term) exchange: a
+        # doc-sized distinct of size(tokens(text)) — a SUPERSET of the
+        # realized sum-tf values is fine (nmap is an equality lookup;
+        # unmatched entries are dead broadcast rows)
+        ns = (
+            df.select(F.size(tokc).alias("_nk"))
+            .where(F.col("_nk") >= 1)
+            .distinct()
+        )
         nmap = lnu.join(F.broadcast(ns), lnu["k"] == F.col("_nk")).select(
             "_nk", F.col("ln_u").alias("_ln_n_u")
         )
-        per_doc = (
-            doc_n.join(per_doc_s, id_col)
-            .join(F.broadcast(nmap), F.col("_n") == F.col("_nk"))
-        )
+        per_doc = per_doc_s.join(F.broadcast(nmap), F.col("_n") == F.col("_nk"))
     else:
         ln_ct_u = F.floor(F.log(F.col("tf").cast("double")) * 1e6 + 0.5)
         per_doc = tf.groupBy(id_col).agg(
