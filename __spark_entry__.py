@@ -1333,10 +1333,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
+    # lazy (r14): materializes inside the first consuming job (the CC
+    # size probe) instead of a dedicated scheduled job — same blocks,
+    # one fewer scheduling round; see the incremental_dedup precedent
     cand = minhash_lsh_pairs(
         docs, "text", "doc_id", n=3, num_hashes=16, bands=4, threshold=0.0,
         min_parallelism=par,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     pairs = cand.where(F.col("est_jaccard") >= 0.5)
     comp = connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias("id_a"), F.col("component").alias("cluster")
@@ -3935,11 +3938,26 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_loader_spark.operators.bm25 import inverted_index
 
     docs = _t(spark, sf_dir, "documents")
-    tf_form = inverted_index(docs, "text", "doc_id").select(
+    # r14 (guide §2.4): ONE index pass emits both serializations —
+    # the previous two inverted_index calls each ran the corpus
+    # posexplode + both shuffles (union branches share no work at
+    # runtime; reuse audit in OPTIMIZATION_r14.md). The combined frame
+    # is VOCABULARY-sized, so materializing it between the two union
+    # branches is cheap and inside the no-corpus-sized-cache rule;
+    # skipped under plan-audit so the audited plan shows the real index
+    # machinery (the dsir/semdedup convention).
+    both = inverted_index(docs, "text", "doc_id", positional="both")
+    if not os.environ.get("SPARK_GRAFT_PLAN_AUDIT"):
+        both = both.localCheckpoint(eager=False)
+    tf_form = both.select(
         F.lit("tf").alias("mode"), "term", "df", "ct", "postings"
     )
-    pos_form = inverted_index(docs, "text", "doc_id", positional=True).select(
-        F.lit("pos").alias("mode"), "term", "df", "ct", "postings"
+    pos_form = both.select(
+        F.lit("pos").alias("mode"),
+        "term",
+        "df",
+        "ct",
+        F.col("postings_pos").alias("postings"),
     )
     return tf_form.unionByName(pos_form)
 

@@ -180,7 +180,7 @@ def inverted_index(
     text_col: str,
     id_col: str,
     min_df: int = 1,
-    positional: bool = False,
+    positional: bool | str = False,
 ) -> DataFrame:
     """Posting-list construction: one row per term with its document
     frequency, corpus frequency, and the postings serialized as the
@@ -200,6 +200,17 @@ def inverted_index(
     ``min_df`` drops hapax/rare terms (df < min_df) — the standard index
     pruning knob; the filter runs on the term-level aggregate so pruning
     never re-scans the corpus.
+
+    ``positional="both"`` (r14, guide §2.4) emits ONE row per term with
+    BOTH serializations — (term, df, ct, postings, postings_pos) — from
+    a single posexplode + (doc, term) aggregate + term aggregate.
+    Callers that need the two forms (the retrieval gate slot) previously
+    called this twice, and Spark shares no work between union branches
+    (runtime-reuse audit, OPTIMIZATION_r14.md), so the corpus explode
+    and both shuffles ran twice; the combined frame is vocabulary-sized
+    and cheap to fan back out. Both posting strings sort by the same
+    unique doc id, so each form is bit-identical to its standalone
+    output.
 
     Scale shape: explode → (doc,term) tf groupBy → term-level groupBy
     whose postings aggregate is ``array_sort(collect_list(...))``:
@@ -233,11 +244,22 @@ def inverted_index(
             ),
             lambda s: F.concat_ws(":", s["_doc"].cast("string"), s["_positions"]),
         )
-        out = tf.groupBy("term").agg(
+        aggs = [
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").cast("long").alias("ct"),
-            F.array_join(posting, ",").alias("postings"),
-        )
+        ]
+        if positional == "both":
+            posting_tf = F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_doc"), F.col("tf")))),
+                lambda s: F.concat_ws(
+                    ":", s["_doc"].cast("string"), s["tf"].cast("string")
+                ),
+            )
+            aggs.append(F.array_join(posting_tf, ",").alias("postings"))
+            aggs.append(F.array_join(posting, ",").alias("postings_pos"))
+        else:
+            aggs.append(F.array_join(posting, ",").alias("postings"))
+        out = tf.groupBy("term").agg(*aggs)
         if min_df > 1:
             out = out.where(F.col("df") >= min_df)
         return out

@@ -497,9 +497,9 @@ def strip_counts(
     `decontaminate` dispatch pattern applied to the surgical policy.
     Both forms are equality-tested at the crossover
     (tests/test_decontam.py). ``toks_col`` names a pre-materialized
-    ``tokens(text)`` array for the expr form (the corpus_filter
-    one-scan discipline — never re-tokenize inside a projection that
-    already carries the array)."""
+    ``tokens(text)`` array, honored by BOTH forms (r14 — the
+    corpus_filter one-scan discipline: never re-tokenize inside a
+    projection that already carries the array)."""
     if max_expr_ngrams is None:
         max_expr_ngrams = EXPR_FORM_MAX_NGRAMS
     if isinstance(benchmark, DataFrame):

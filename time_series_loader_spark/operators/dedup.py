@@ -597,7 +597,9 @@ def near_dup_pairs(
         else minhash_lsh_pairs(
             df, text_col, id_col, n, num_hashes, bands,
             threshold=candidate_threshold, min_parallelism=min_parallelism,
-        ).localCheckpoint(eager=True)
+        # lazy (r14): both consumers run inside one action — the blocks
+        # materialize once in that job, no dedicated checkpoint job
+        ).localCheckpoint(eager=False)
     )
     ids = (
         cand.select(F.col("id_a").alias("_vid"))

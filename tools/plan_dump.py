@@ -59,10 +59,18 @@ def main() -> None:
         try:
             df = fn(spark, sf_dir)
             if final:
-                df.write.format("noop").mode("overwrite").save()
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+                # r14 fix: a .write executes a DIFFERENT QueryExecution
+                # (the write command wraps the query), so the dataframe's
+                # own QE stayed isFinalPlan=false and the dump showed the
+                # PRE-execution plan — hiding AQE runtime decisions
+                # (ReusedExchange, BHJ conversions). collect() runs the
+                # dataframe's own QE; gate results are small by contract.
+                df.collect()
+                plan = df._jdf.queryExecution().executedPlan().toString()
+            else:
+                plan = df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
         except Exception as exc:  # noqa: BLE001 — dump must list, not die
             plan = f"ERROR building plan: {exc}"
         path = os.path.join(out_dir, f"{name}_{tag}.txt")
