@@ -438,6 +438,24 @@ def main() -> None:
         n = fn(spark, sf_dir).count()
         return time.time() - t0, n
 
+    # r15 (VERDICT r14 next-round #2, ADDITIONS-ONLY): one noop-sink
+    # execution per slot, recorded in bench_report.json alongside the
+    # count-path numbers. count() lets the optimizer prune columns and
+    # whole subtrees (guide §1.4), so the historical count-path headline
+    # under-measures aggregate-heavy slots (r14: table_stats 10.5 s noop
+    # vs 1.3 s count) and can even punish honest work that moves compute
+    # under count() (r14 retrieval). The headline action, its floors and
+    # the stdout line are UNCHANGED — this is an extra recorded metric:
+    # a single steady-state sample taken after the count runs (plans and
+    # kernels are warm), not floor-gated, best read next to the run's
+    # calibration stamps like every other number.
+    noop_timings: dict[str, float] = {}
+
+    def timed_noop(name, fn) -> None:
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        noop_timings[name] = round(time.time() - t0, 3)
+
     def measure(name, fn) -> float:
         # 3 runs, first discarded: run 1 absorbs this query's codegen /
         # JIT / Arrow-kernel warm-up; best of the remaining 2 is the
@@ -472,6 +490,7 @@ def main() -> None:
         print(f"# {name}: {best:.3f}s ({n} rows){flag}", file=sys.stderr)
         if floor is None or reproducible < floor:
             floors[name] = round(reproducible, 3)
+        timed_noop(name, fn)  # recorded metric only — see timed_noop
         return round(best, 3)
 
     qs = entrymod.queries()
@@ -541,6 +560,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sections": sections,
+        "noop": noop_timings,
         "calibration_sec": calibration,
         "calibration_end_sec": calib_end,
         "calibration_best_sec": best_calib,

@@ -293,10 +293,17 @@ class _CkptTracker:
     def __init__(self, spark) -> None:
         self._jsc = spark.sparkContext._jsc
         self._generations: dict[str, list] = {}
+        # r15: generations checkpointed LAZILY (eager=False) whose
+        # predecessor release is deferred to settle() — the lazy
+        # checkpoint's lineage may still read the predecessor's blocks
+        # until the first action materializes it, and a localCheckpoint
+        # block released before then is unrecoverable (truncated
+        # lineage), not recomputable.
+        self._pending: dict[str, list] = {}
 
-    def checkpoint(self, df: DataFrame, key: str) -> DataFrame:
+    def checkpoint(self, df: DataFrame, key: str, eager: bool = True) -> DataFrame:
         before = {r.id() for r in self._jsc.getPersistentRDDs().values()}
-        out = df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(eager=eager)
         # scope the diff to OUR checkpoint's RDD where the plan exposes
         # it (r13 advisory): the checkpointed Dataset's analyzed plan is
         # a LogicalRDD wrapping exactly the RDD localCheckpoint
@@ -320,6 +327,17 @@ class _CkptTracker:
         # not line up with what actually persisted — track the full
         # diff rather than leaking the checkpoint blocks untracked
         new = scoped if scoped else appeared
+        if not eager:
+            # defer the predecessor release: the lazy checkpoint's
+            # compute chain may read the predecessor's blocks until the
+            # first action materializes it — caller invokes settle(key)
+            # after that action (r15)
+            if key in self._pending:
+                raise RuntimeError(
+                    f"lazy checkpoint {key!r} re-issued before settle()"
+                )
+            self._pending[key] = new
+            return out
         for rdd in self._generations.get(key, []):
             try:
                 rdd.unpersist(False)
@@ -328,26 +346,48 @@ class _CkptTracker:
         self._generations[key] = new
         return out
 
+    def settle(self, key: str) -> None:
+        """Promote a lazily-checkpointed generation after an action has
+        materialized it: release the predecessor's blocks and start
+        tracking the new generation under ``key``. No-op when nothing is
+        pending (e.g. the first generation of a key)."""
+        new = self._pending.pop(key, None)
+        if new is None:
+            return
+        for rdd in self._generations.get(key, []):
+            try:
+                rdd.unpersist(False)
+            except Exception:
+                pass
+        self._generations[key] = new
+
     def release_prefix(self, prefix: str) -> None:
         """Free every tracked generation whose key starts with
         ``prefix`` — for frames whose consumers are only now known to
         be materialized (e.g. touched-words generations, referenced by
-        the vocab lineage until the next vocab checkpoint truncates it)."""
-        for key in [k for k in self._generations if k.startswith(prefix)]:
-            for rdd in self._generations.pop(key):
-                try:
-                    rdd.unpersist(False)
-                except Exception:
-                    pass
+        the vocab lineage until the next vocab checkpoint truncates it).
+        Covers pending (lazy) generations too: the caller's contract is
+        that everything under ``prefix`` has been materialized AND has
+        no remaining reader — for the touched-words family that holds
+        exactly at the vocab-checkpoint cadence point, after the eager
+        vocab checkpoint and the pairs materialization."""
+        for store in (self._generations, self._pending):
+            for key in [k for k in store if k.startswith(prefix)]:
+                for rdd in store.pop(key):
+                    try:
+                        rdd.unpersist(False)
+                    except Exception:
+                        pass
 
     def release_all(self) -> None:
-        for rdds in self._generations.values():
-            for rdd in rdds:
-                try:
-                    rdd.unpersist(False)
-                except Exception:
-                    pass
-        self._generations.clear()
+        for store in (self._generations, self._pending):
+            for rdds in store.values():
+                for rdd in rdds:
+                    try:
+                        rdd.unpersist(False)
+                    except Exception:
+                        pass
+            store.clear()
 
 
 _STATE_MARK = fsutil.COMPLETE_MARK
@@ -444,7 +484,14 @@ def train_bpe_merges(
       learned table stays BIT-IDENTICAL — every trainer differential
       (sequential reference, frozen-resource prefix, dense-tie
       randomized corpora) pins this, and ``max_batch=1`` restores the
-      one-merge-per-iteration r13 loop exactly.
+      one-merge-per-iteration r13 loop exactly. r15 (VERDICT r14 #4)
+      cuts the remaining floor to ONE scheduled action per non-cadence
+      iteration: touched and pairs are checkpointed lazily and the next
+      iteration's top-K collect materializes the whole chain in the
+      round the argmax already pays for; predecessor blocks release
+      only after materialization (tracker ``settle``), and the cadence
+      point materializes the pending pairs before the window's touched
+      generations are freed.
 
     Returns the learned merge list in rank order. Driver-side memory is
     O(n_merges) — the merge table itself, which is the artifact being
@@ -506,7 +553,21 @@ def train_bpe_merges(
             .withColumn("seq", F.split(F.col("w"), "")),
             "vocab",
         )
-    pairs = ckpts.checkpoint(_pair_counts(vocab), "pairs")
+    # r15 (VERDICT r14 #4 — the per-iteration job floor): the pairs
+    # frame is checkpointed LAZILY. The next iteration's top-K collect
+    # is the one action that materializes it — computing the delta
+    # aggregation, the full-outer merge AND the lazy touched-words
+    # filter in the SAME scheduled round the argmax already paid for.
+    # The r14 loop scheduled ~3 actions per iteration (top-K collect +
+    # eager touched checkpoint + eager pairs checkpoint); this loop
+    # schedules ONE on non-cadence iterations. Predecessor blocks are
+    # released only AFTER materialization (tracker settle()) — an early
+    # release of a localCheckpoint a lazy lineage still reads is
+    # unrecoverable, which is exactly why the r13/r14 loop kept
+    # everything eager. The learned table is bit-identical by
+    # construction: nothing about WHAT is computed changes, only how
+    # many actions schedule it (pinned by every trainer differential).
+    pairs = ckpts.checkpoint(_pair_counts(vocab), "pairs", eager=False)
     n_parts = vocab.rdd.getNumPartitions()
     since_ckpt = 0
     last_persist = len(merges)
@@ -529,6 +590,10 @@ def train_bpe_merges(
                 .limit(k_top)
                 .collect()
             )
+            # the collect materialized the lazy pairs generation (and,
+            # through its lineage, the previous iteration's lazy touched
+            # frame) — the predecessor generation is now releasable
+            ckpts.settle("pairs")
             if not top or top[0]["cnt"] < min_count:
                 break
             batch = _select_batch(
@@ -565,7 +630,7 @@ def train_bpe_merges(
             # only when that checkpoint truncates the references —
             # never generation-over-generation.
             touched = ckpts.checkpoint(
-                vocab.where(has_pair), f"touched-{since_ckpt}"
+                vocab.where(has_pair), f"touched-{since_ckpt}", eager=False
             )
             old_c = _pair_counts(touched).withColumnRenamed("cnt", "_old")
             # apply the whole batch in rank order as NESTED folds —
@@ -591,16 +656,12 @@ def train_bpe_merges(
                 )
                 .where(F.col("_d") != 0)
             )
-            # pairs is checkpointed EVERY merge (not on the vocab
-            # cadence): the next iteration's tracker call frees the
-            # previous ``touched`` generation's blocks, and a lazy
-            # pairs lineage would still reference them (localCheckpoint
-            # truncates lineage — lost blocks are unrecoverable, not
-            # recomputable). The eager materialization here is one
-            # touched-sized delta aggregation plus a pairs-frame join —
-            # and the argmax at the top of the loop scans the pairs
-            # frame anyway, so this adds a constant factor, never a
-            # vocab-sized term.
+            # pairs is (lazily) checkpointed EVERY merge so each
+            # generation's lineage reaches only the PREVIOUS generation's
+            # blocks plus this iteration's touched delta — never a chain
+            # across iterations. Materialization rides the next top-K
+            # collect (one action per iteration), and block release is
+            # settle()-deferred until then (r15 — see the loop header).
             pairs = ckpts.checkpoint(
                 pairs.join(delta, ["a", "b"], "full_outer")
                 .select(
@@ -612,6 +673,7 @@ def train_bpe_merges(
                 )
                 .where(F.col("cnt") > 0),
                 "pairs",
+                eager=False,
             )
             # vocab update as anti-join + union of the CHECKPOINTED
             # touched frame, NOT a stacked when(has_pair, fold)
@@ -641,8 +703,18 @@ def train_bpe_merges(
             since_ckpt += 1
             if since_ckpt >= checkpoint_every:
                 vocab = ckpts.checkpoint(vocab, "vocab")
-                # vocab's lineage is truncated — the touched
-                # generations it referenced are now dead weight
+                # r15 cadence ordering: the eager vocab checkpoint above
+                # materialized every touched generation in this window
+                # (the anti-join/union chain references each one), but
+                # the PENDING lazy pairs generation still reads this
+                # iteration's touched blocks — materialize it before the
+                # window's touched generations are released. count()
+                # computes all partitions of the checkpoint-marked frame;
+                # doCheckpoint persists them and truncates the lineage.
+                pairs.count()
+                ckpts.settle("pairs")
+                # vocab's and pairs' lineages are truncated — the touched
+                # generations they referenced are now dead weight
                 ckpts.release_prefix("touched-")
                 since_ckpt = 0
                 if state_dir and len(merges) - last_persist >= persist_every:

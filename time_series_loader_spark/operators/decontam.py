@@ -43,6 +43,24 @@ from time_series_loader_spark.operators.text import tokens
 _WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
+def _lit_str_array(values: Sequence[str]):
+    """Array-of-strings literal built in ONE py4j round-trip (r15, guide
+    §1): per-element ``F.lit`` loops cost one driver↔JVM socket exchange
+    each — a 2347-gram benchmark measured 2.5 s of corpus_filter's BUILD
+    phase in literal construction alone (and PySpark classic's
+    ``lit(list)`` loops internally, so it is no cheaper). One string
+    literal + ``split`` is a single call, and ConstantFolding collapses
+    it to exactly the array Literal the old form folded to, so the
+    executed expression — and every value — is unchanged. ``\\n`` is
+    collision-free as the separator: callers pass whitespace-tokenized
+    words or space-joined n-grams, and ``text.tokens`` splits on ``\\s``
+    runs, so no token can contain a newline (the ``lm_lit`` str_to_map
+    precedent in q_corpus_filter)."""
+    if any("\n" in v for v in values):
+        raise ValueError("literal array value contains the \\n separator")
+    return F.split(F.lit("\n".join(values)), "\n", -1)
+
+
 def ngram_set(texts: Iterable[str | None], n: int = 8) -> list[str]:
     """Driver-side distinct word n-grams of a small text collection,
     token-for-token identical to the Spark shingle expressions — for
@@ -112,7 +130,7 @@ def contamination_expr(
     """
     if not benchmark:
         return F.lit(0).cast("long")
-    bench_arr = F.array(*[F.lit(s) for s in sorted(set(benchmark))])
+    bench_arr = _lit_str_array(sorted(set(benchmark)))  # one py4j call — see helper
     m = F.size(toks) - (n - 1)
     shingles = F.when(
         m >= 1,
@@ -175,7 +193,7 @@ def strip_count_expr(
         )
     if not benchmark:
         return F.lit(0).cast("long")
-    bench_arr = F.array(*[F.lit(s) for s in sorted(set(benchmark))])
+    bench_arr = _lit_str_array(sorted(set(benchmark)))  # one py4j call — see helper
     m = F.size(toks) - (n - 1)
     grams = F.when(
         m >= 1,
@@ -449,7 +467,7 @@ def contaminated_positions(
     toked = df.select(F.col(id_col), tsrc.alias("_t"))
     m = F.size("_t") - (n - 1)
     if firsts:
-        first_arr = F.array(*[F.lit(t) for t in firsts])
+        first_arr = _lit_str_array(firsts)  # one py4j call — see helper
         idxs = F.filter(
             F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
             lambda i: F.array_contains(first_arr, F.element_at(F.col("_t"), i)),

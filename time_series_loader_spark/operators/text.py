@@ -316,7 +316,7 @@ def _gopher_named(text_col: str, toks: Column | None = None) -> dict[str, Column
     ) / F.nullif(n_tokens, F.lit(0))
     n_req = F.size(
         F.array_intersect(
-            F.array_distinct(t), F.array(*[F.lit(w) for w in REQUIRED_STOPWORDS])
+            F.array_distinct(t), F.lit(list(REQUIRED_STOPWORDS))
         )
     )
     mean_len = (
