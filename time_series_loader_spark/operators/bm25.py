@@ -249,17 +249,49 @@ def inverted_index(
             F.sum("tf").cast("long").alias("ct"),
         ]
         if positional == "both":
-            posting_tf = F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("_doc"), F.col("tf")))),
-                lambda s: F.concat_ws(
-                    ":", s["_doc"].cast("string"), s["tf"].cast("string")
-                ),
+            # ONE collect_list + ONE sort feeds BOTH serializations
+            # (r15): the aggregate emits the doc-sorted combined list as
+            # a column, and the next projection derives the two strings
+            # from that materialized attribute — the struct sorts by
+            # _doc first and doc ids are unique within a term group, so
+            # the order (hence each emitted string) is bit-identical to
+            # the two-collect r14 form, at half the per-term
+            # collect/sort work (the term groupBy is the index's skew
+            # point at scale).
+            aggs.append(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_doc"), F.col("tf"), F.col("_positions"))
+                    )
+                ).alias("_plist")
             )
-            aggs.append(F.array_join(posting_tf, ",").alias("postings"))
-            aggs.append(F.array_join(posting, ",").alias("postings_pos"))
+            out = tf.groupBy("term").agg(*aggs)
+            out = out.select(
+                "term",
+                "df",
+                "ct",
+                F.array_join(
+                    F.transform(
+                        F.col("_plist"),
+                        lambda s: F.concat_ws(
+                            ":", s["_doc"].cast("string"), s["tf"].cast("string")
+                        ),
+                    ),
+                    ",",
+                ).alias("postings"),
+                F.array_join(
+                    F.transform(
+                        F.col("_plist"),
+                        lambda s: F.concat_ws(
+                            ":", s["_doc"].cast("string"), s["_positions"]
+                        ),
+                    ),
+                    ",",
+                ).alias("postings_pos"),
+            )
         else:
             aggs.append(F.array_join(posting, ",").alias("postings"))
-        out = tf.groupBy("term").agg(*aggs)
+            out = tf.groupBy("term").agg(*aggs)
         if min_df > 1:
             out = out.where(F.col("df") >= min_df)
         return out
