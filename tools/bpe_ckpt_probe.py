@@ -37,8 +37,8 @@ def main():
     samples: list[tuple[int, int, int]] = []
     orig = bpe._CkptTracker.checkpoint
 
-    def sampled(self, df, key):
-        out = orig(self, df, key)
+    def sampled(self, df, key, eager=True):
+        out = orig(self, df, key, eager=eager)
         info = jsc_sc.getRDDStorageInfo()
         samples.append(
             (len(samples), sum(i.memSize() for i in info), len(info))
